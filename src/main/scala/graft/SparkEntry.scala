@@ -1,13 +1,145 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator from SURVEY.md §2
+  * (or a scale-pipeline op); [[oracleSql]] holds the DuckDB-equivalent SQL
+  * the driver runs over the same parquet tables for the correctness gate.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - aggregate outputs are cast to DECIMAL explicitly on both sides
+  *    (double sums are order-dependent; decimal sums are exact),
+  *  - every result has a total ORDER BY on both sides,
+  *  - counts are cast to BIGINT in DuckDB (its integer SUM is HUGEINT).
+  */
 object SparkEntry {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ RdfQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++ RdfQueries.oracle ++ PipelineQueries.oracle
+}
+
+/** Core relational primitives (scan, filter, hash-agg, joins, window,
+  * top-k) — the Spark substrate every SURVEY §2 operator compiles onto,
+  * and the bench headliners. */
+object RelationalQueries {
+  import SparkEntry.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §2.5 hash aggregation (partial+final), §2.1 parquet scan with
+    // predicate pushdown. TPC-H Q1 shape.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // SURVEY §2.3 joins: broadcast dim (customer) + shuffle join (orders ⋈
+    // lineitem on orderkey), agg + top-k. TPC-H Q3 shape.
+    "q3_join" -> ((s, dir) => {
+      import s.implicits._
+      val cst = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cst), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // SURVEY §2.6 window functions: row_number partitioned rank.
+    "q_window" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
+    // SURVEY §2.8 sort / top-k with deterministic tie-break.
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+        .limit(10)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+  )
+}
+
+/** RDF-engine operator demos (SURVEY §2.2-§2.11) — filled in as the graft
+  * engine lands. */
+object RdfQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracle: Map[String, String] = Map()
+}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * over the documents + embeddings tables. */
+object PipelineQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracle: Map[String, String] = Map()
 }
