@@ -1,0 +1,142 @@
+package graft.algebra
+
+import graft.functions.Hash64
+import graft.fts.FtsIndex
+import graft.semantic.{Embedder, HashingEmbedder, Semantic}
+import graft.store.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Everything a query needs besides the opts: the graph, the optional
+  * derived indexes, the embedding provider, and a sample seed (the
+  * reference's `random N` is nondeterministic, query.py:155-164; a fixed
+  * seed makes tests reproducible). */
+final case class EngineContext(
+    graph: Graph,
+    fts: Option[FtsIndex] = None,
+    semantic: Option[DataFrame] = None, // literals_semantic (hash=subject, vec)
+    embedder: Embedder = HashingEmbedder(),
+    sampleSeed: Long = 42L,
+    maxPathIterations: Int = 50)
+
+/** Compiles one [[FilterQ]] into a subject-set DataFrame — the Spark
+  * counterpart of the reference's `q_to_sql` (query.py:122-218). Every
+  * filter produces `(s)` distinct (or `(s, score)` distinct when
+  * `withScore` and the filter scores), or None for unrecognized shapes —
+  * which the caller silently drops, as the reference does (query.py:659-669).
+  */
+object FilterCompiler {
+
+  /** `"fts 2 <iri>"` → (2, Some("<iri>"), "fts") — query.py:90-107. */
+  def parseHopsAndProp(pStr: String): (Int, Option[String], String) = {
+    val toks = Option(pStr).getOrElse("").split("\\s+").filter(_.nonEmpty)
+    var hops = 0
+    var prop: Option[String] = None
+    if (toks.length >= 2) {
+      if (toks(1).forall(_.isDigit) && toks(1).nonEmpty) {
+        hops = toks(1).toInt
+        if (toks.length >= 3 && toks(2).startsWith("<") && toks(2).endsWith(">"))
+          prop = Some(toks(2))
+      } else if (toks(1).startsWith("<") && toks(1).endsWith(">"))
+        prop = Some(toks(1))
+    }
+    (hops, prop, if (toks.nonEmpty) toks(0) else "")
+  }
+
+  def h(term: String): Long = Hash64.hashString(term)
+
+  /** n-hop ancestor walk: subjects that REFERENCE the current subject set,
+    * repeated `hops` times (join_parents_sql, query.py:110-119). Each hop
+    * is one hash equi-join on the o column; `extra` columns (score) ride
+    * along from the inner set. */
+  private def hopUp(ctx: EngineContext, t0: DataFrame, hops: Int, extra: Seq[String]): DataFrame = {
+    var acc = t0
+    for (i <- 1 to hops) {
+      val t = ctx.graph.triples.as(s"T$i")
+      acc = t.join(acc.as(s"A$i"), col(s"T$i.o") === col(s"A$i.s"))
+        .select(col(s"T$i.s").as("s") +: extra.map(c => col(s"A$i.$c")): _*)
+    }
+    acc
+  }
+
+  def compile(ctx: EngineContext, f: FilterQ, withScore: Boolean = false): Option[DataFrame] = {
+    val triples = ctx.graph.triples
+    val p = f.p.trim
+    val o = f.o.trim
+    val g = f.g.trim
+    val (hops, pProp, pHead) = parseHopsAndProp(p)
+
+    // named-graph restriction on the T0 scan (query.py:145-148)
+    def withG(df: DataFrame): DataFrame =
+      if (g.isEmpty) df
+      else df.filter(col("g").isin(g.split(" ").map(h).toIndexedSeq: _*))
+
+    // o equality: multi-IRI list → IN, else whole-string hash (incl.
+    // lang/datatype — N3 surface equality) (query.py:134-144)
+    def oCond = {
+      if (o.startsWith("<") && o.endsWith(">") && o.split(" ").length > 1)
+        col("o").isin(o.split(" ").map(h).toIndexedSeq: _*)
+      else col("o") === h(o)
+    }
+
+    def propFilter(df: DataFrame): DataFrame =
+      pProp.fold(df)(pp => df.filter(col("p") === h(pp)))
+
+    if (p.isEmpty && (o.startsWith("<") || o.startsWith("_:"))) {
+      // reverse reference: subjects of triples whose object is o
+      Some(withG(triples).filter(oCond).select("s").distinct())
+    } else if (p == "id") {
+      if (o.startsWith("random") || o.startsWith("sample")) {
+        val parts = o.split(" ")
+        val n = if (parts.length > 1)
+          try parts(1).toInt catch { case _: NumberFormatException => 1 }
+        else 1
+        // `USING SAMPLE n` samples n TRIPLE rows then takes distinct s —
+        // up to n subjects. rand(seed) + limit gives the same contract,
+        // deterministically under a fixed seed.
+        Some(withG(triples)
+          .orderBy(rand(ctx.sampleSeed)).limit(n)
+          .select("s").distinct())
+      } else {
+        Some(withG(triples).filter(col("s") === h(o)).select("s").distinct())
+      }
+    } else if (p.startsWith("semantic")) {
+      ctx.semantic.map { sem =>
+        val qvec = ctx.embedder.embedOne(o)
+        val dist = Semantic.cosineDistanceUdf(col("vec"), lit(qvec))
+        val scored = sem.withColumn("distance", dist)
+          .filter(col("distance") < 0.5)
+          .withColumn("score", lit(1.0) / col("distance"))
+        // join key is the SUBJECT hash (SURVEY §1.1): T0.s = LS.hash
+        val joined = withG(triples.as("T0"))
+          .join(scored.as("LS"), col("T0.s") === col("LS.hash"))
+        val cols = if (withScore) Seq(col("T0.s").as("s"), col("LS.score").as("score"))
+                   else Seq(col("T0.s").as("s"))
+        joined.select(cols: _*).distinct()
+      }
+    } else if (p.startsWith("regex")) {
+      // DuckDB `SIMILAR TO` is full-string anchored; rlike is not →
+      // anchor explicitly (SURVEY §2.2)
+      val lits = ctx.graph.literals
+        .filter(col("value").rlike("^(?:" + o + ")$"))
+        .select(col("hash").as("lhash"))
+      val t0 = propFilter(withG(triples))
+        .join(lits, col("o") === col("lhash"))
+        .select("s")
+      Some(hopUp(ctx, t0, hops, Nil).distinct())
+    } else if (p.startsWith("fts")) {
+      ctx.fts.map { idx =>
+        val scored = idx.matchBm25(o).withColumnRenamed("hash", "mhash")
+        val t0 = propFilter(withG(triples))
+          .join(scored, col("o") === col("mhash"))
+        val base = t0.select(col("s"), col("score"))
+        val walked = hopUp(ctx, base, hops, Seq("score"))
+        (if (withScore) walked.select("s", "score") else walked.select("s")).distinct()
+      }
+    } else if (p.startsWith("<")) {
+      val t0 = withG(triples).filter(col("p") === h(pHead))
+      val filtered = if (o.nonEmpty) t0.filter(oCond) else t0
+      Some(hopUp(ctx, filtered.select("s"), hops, Nil).distinct())
+    } else None
+  }
+}

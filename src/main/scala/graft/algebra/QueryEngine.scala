@@ -1,0 +1,424 @@
+package graft.algebra
+
+import graft.functions.Hash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One result entity, reference envelope shape (query.py:847-886):
+  * property map in decoded N3 surface forms, `id`, the always-empty
+  * `graph` list (the reference's dead `r_g is False` branch,
+  * query.py:796-798 — shape preserved, not the bug), optional `_paths`. */
+final case class Entity(
+    id: String,
+    props: Map[String, Seq[String]],
+    graph: Seq[String] = Nil,
+    paths: Map[String, Seq[String]] = Map.empty)
+
+final case class QueryResult(
+    results: Map[String, Entity],
+    total: Long,
+    size: Int,
+    start: Int,
+    aggregates: Map[String, Seq[(Long, String)]]) {
+
+  def toJson: String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s._
+    val res: JObject = JObject(results.toList.map { case (iri, e) =>
+      val fields: List[JField] =
+        e.props.toList.map { case (p, vs) => JField(p, JArray(vs.toList.map(JString(_)))) } ++
+        List(JField("id", JString(e.id)),
+             JField("graph", JArray(e.graph.toList.map(JString(_))))) ++
+        (if (e.paths.nonEmpty)
+          List(JField("_paths", JObject(e.paths.toList.map { case (p, vs) =>
+            JField(p, JArray(vs.toList.map(JString(_)))) })))
+         else Nil)
+      JField(iri, JObject(fields))
+    })
+    val base: JObject =
+      ("results" -> res) ~ ("total" -> total) ~ ("size" -> size) ~ ("start" -> start)
+    val withAggs =
+      if (aggregates.isEmpty) base
+      else base ~ ("aggregates" -> JObject(aggregates.toList.map { case (k, vs) =>
+        JField(k, JArray(vs.toList.map { case (c, v) => JArray(List(JLong(c), JString(v))) }))
+      }))
+    JsonMethods.compact(JsonMethods.render(withAggs))
+  }
+}
+
+/** The query pipeline (reference `query()`, query.py:620-886), stage by
+  * stage, as lazily-composed DataFrames: filters → set algebra → score
+  * chain → total/sort/page → facets → hydration → paths → decode →
+  * assembly. Every intermediate is a DataFrame of hash Longs; strings
+  * appear only at decode (late materialization, SURVEY §4.1).
+  */
+object QueryEngine {
+
+  import FilterCompiler.h
+
+  // ---------------------------------------------------------------- set ops
+
+  /** Combine per-filter subject sets with SQL set-operator precedence:
+    * INTERSECT binds tighter than UNION/EXCEPT; UNION/EXCEPT associate
+    * left; EXCEPT terms always evaluated last (reference query.py:629-668
+    * emits one concatenated SQL string — precedence is DuckDB's).
+    * `items` is (op, df) with the first op ignored (seed). */
+  def combineSets(items: Seq[(String, DataFrame)]): Option[DataFrame] = {
+    if (items.isEmpty) return None
+    // collapse INTERSECT runs onto their left operand
+    val collapsed = items.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (op, df)) =>
+        if (op == "intersect" && acc.nonEmpty) {
+          val (prevOp, prevDf) = acc.head
+          (prevOp, prevDf.intersect(df)) :: acc.tail
+        } else (op, df) :: acc
+    }.reverse
+    // left-fold UNION / EXCEPT in order
+    val seed = collapsed.head._2
+    Some(collapsed.tail.foldLeft(seed) { case (acc, (op, df)) =>
+      op match {
+        case "union" => acc.union(df)
+        case "except" => acc.except(df)
+        case _ => acc
+      }
+    }.distinct())
+  }
+
+  /** Compile + combine the filter list into the s_results subject set.
+    * Unrecognized filters and unknown ops are silently dropped
+    * (query.py:659-669). */
+  def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] = {
+    var items = Vector.empty[(String, DataFrame)]
+    var excepts = Vector.empty[(String, DataFrame)]
+    for (f <- opts.filters) {
+      FilterCompiler.compile(ctx, f) match {
+        case None => ()
+        case Some(df) =>
+          val op = f.op
+          if (items.isEmpty) items :+= ("seed" -> df)
+          else if (op == "should" || op == "or") items :+= ("union" -> df)
+          else if (op == "must" || op == "and") items :+= ("intersect" -> df)
+          else if (op == "not") excepts :+= ("except" -> df)
+        // other op values: filter contributes nothing (reference parity)
+      }
+    }
+    combineSets(items ++ excepts)
+  }
+
+  /** Parallel score chain over the scoring (fts/semantic) filters —
+    * UNION/INTERSECT only, first scoring filter seeds regardless of its op
+    * (query.py:644-655); result is max(score) per subject. */
+  def scoreChain(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] = {
+    var items = Vector.empty[(String, DataFrame)]
+    for (f <- opts.filters if f.p.startsWith("fts") || f.p.startsWith("semantic")) {
+      FilterCompiler.compile(ctx, f, withScore = true) match {
+        case None => ()
+        case Some(df) =>
+          if (items.isEmpty) items :+= ("seed" -> df)
+          else if (f.op == "should" || f.op == "or") items :+= ("union" -> df)
+          else if (f.op == "must" || f.op == "and") items :+= ("intersect" -> df)
+      }
+    }
+    combineSets(items).map(_.groupBy("s").agg(max("score").as("score")))
+  }
+
+  // ------------------------------------------------------------ sort + page
+
+  /** The sorted, paged subject set `wanted(s, pos)` (query.py:708-741).
+    * `pos` comes from the explicit sort key (the reference's bare
+    * `row_number() over ()` inherits temp-table insertion order — same
+    * visible order, cleaner contract, SURVEY §7.4). The window runs over
+    * the ≤size-row page, not the full set. */
+  def wantedPage(
+      ctx: EngineContext,
+      opts: QueryOpts,
+      sResults: DataFrame,
+      sByScore: Option[DataFrame]): DataFrame = {
+    val (toPage, orderCols): (DataFrame, Seq[Column]) =
+      opts.order.headOption match {
+        case Some(rule) =>
+          Ordering.sortedSubjects(ctx, sResults, rule)
+        case None =>
+          sByScore match {
+            case Some(scores) =>
+              val joined = sResults.as("QJ").join(scores.as("SS"), Seq("s"), "left")
+                .select(col("QJ.s").as("s"), col("SS.score").as("score"))
+              (joined, Seq(col("score").desc_nulls_last, col("s").asc))
+            case None =>
+              (sResults.select("s"), Seq(col("s").asc))
+          }
+      }
+    val page = toPage.orderBy(orderCols: _*).offset(opts.start).limit(opts.size)
+    page.withColumn("pos", row_number().over(Window.orderBy(orderCols: _*)))
+      .select("s", "pos")
+  }
+
+  // -------------------------------------------------------------- hydration
+
+  /** Page hydration (query.py:756-786): all triples of the page subjects,
+    * with only/exclude property filtering. Returns hash-level rows
+    * (s, p, o, g, pos). The page side is tiny → broadcast. */
+  def hydrate(ctx: EngineContext, opts: QueryOpts, wanted: DataFrame): DataFrame = {
+    val t = ctx.graph.triples
+    var joined = t.join(broadcast(wanted), "s")
+      .select(col("s"), col("p"), col("o"), col("g"), col("pos"))
+    if (opts.onlyProperties.nonEmpty) {
+      val hashes = ctx.graph.iris
+        .filter(col("value").isin(opts.onlyProperties: _*))
+        .select(col("hash").as("p"))
+      joined = joined.join(broadcast(hashes), Seq("p"), "left_semi")
+    } else if (opts.excludeProperties.nonEmpty) {
+      val hashes = ctx.graph.iris
+        .filter(col("value").isin(opts.excludeProperties: _*))
+        .select(col("hash").as("p"))
+      joined = joined.join(broadcast(hashes), Seq("p"), "left_anti")
+    }
+    joined.distinct()
+  }
+
+  /** Decoded hydration for DataFrame consumers: N3 surface strings.
+    * Output (s, p, o, g, pos) string columns, ordered by (pos, p, o). */
+  def hydrateDecoded(ctx: EngineContext, opts: QueryOpts, wanted: DataFrame): DataFrame = {
+    val rows = hydrate(ctx, opts, wanted)
+    val iris = ctx.graph.iris
+    val dict = ctx.graph.dict
+    rows.as("R")
+      .join(iris.as("DS"), col("R.s") === col("DS.hash"), "left")
+      .join(iris.as("DP"), col("R.p") === col("DP.hash"), "left")
+      .join(dict.as("DO"), col("R.o") === col("DO.hash"), "left")
+      .join(iris.as("DG"), col("R.g") === col("DG.hash"), "left")
+      .select(
+        col("DS.value").as("s"), col("DP.value").as("p"),
+        col("DO.value").as("o"), col("DG.value").as("g"), col("R.pos"))
+  }
+
+  // ---------------------------------------------------------------- facets
+
+  /** Facet aggregate over the full filtered set (query.py:744-753).
+    * `agg` is "graphs", "properties", or a property IRI. Counts are
+    * triple counts (not distinct subjects), per the reference SQL.
+    * Returns (count: Long, val: String). */
+  def facet(ctx: EngineContext, agg: String, sResults: DataFrame): DataFrame = {
+    val t = ctx.graph.triples
+    val iris = ctx.graph.iris
+    val joined = t.join(sResults.select("s").as("S"), Seq("s"), "left_semi")
+    agg match {
+      case "graphs" =>
+        joined.groupBy(col("g")).agg(count(lit(1)).as("count"))
+          .join(iris, col("g") === col("hash"))
+          .select(col("count"), col("value").as("val"))
+      case "properties" =>
+        joined.groupBy(col("p")).agg(count(lit(1)).as("count"))
+          .join(iris, col("p") === col("hash"))
+          .select(col("count"), col("value").as("val"))
+      case propIri =>
+        val filtered = joined.filter(col("p") === h(propIri))
+        val counts = filtered.groupBy(col("o")).agg(count(lit(1)).as("count"))
+        val iriBranch = counts.join(iris, col("o") === col("hash"))
+          .select(col("count"), col("value").as("val"))
+        val litBranch = counts.join(ctx.graph.literals, col("o") === col("hash"))
+          .select(col("count"), col("value").as("val"))
+        iriBranch.union(litBranch).orderBy(col("count").desc, col("val").asc)
+    }
+  }
+
+  /** Whole-DB facet when no filters are present (query.py:825-832). */
+  def facetWholeDb(ctx: EngineContext, agg: String): DataFrame = {
+    val t = ctx.graph.triples
+    val iris = ctx.graph.iris
+    val keyCol = if (agg == "graphs") "g" else "p"
+    t.groupBy(col(keyCol)).agg(count(lit(1)).as("count"))
+      .join(iris, col(keyCol) === col("hash"))
+      .select(col("count"), col("value").as("val"))
+  }
+
+  // ----------------------------------------------------------------- paths
+
+  /** Ancestor paths under a parent-pointer property for the page subjects
+    * (reference recursive CTE, query.py:802-822). Iterative fixpoint:
+    * frontier starts at the page (≤size rows, broadcast side), each step
+    * one hash equi-join against the property's edge set; `localCheckpoint`
+    * cuts lineage per step. Nodes on a parentless chain finish with
+    * path = [self, parent, …, root]; cyclic chains are dropped after
+    * `maxPathIterations` (the reference's root-seeded recursion never
+    * reaches them either). Returns (source: Long, path: Array[Long]). */
+  def paths(ctx: EngineContext, propIri: String, wanted: DataFrame): DataFrame = {
+    val spark = ctx.graph.spark
+    val edges = ctx.graph.triples.filter(col("p") === h(propIri))
+      .select(col("s").as("part"), col("o").as("parent")).distinct()
+    var active = wanted.select(
+      col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
+    var finished = Vector.empty[DataFrame]
+    var i = 0
+    var done = false
+    while (!done && i < ctx.maxPathIterations) {
+      val joined = broadcast(active).join(edges, col("head") === col("part"), "left")
+      val fin = joined.filter(col("parent").isNull)
+        .select(col("source"), col("path")).localCheckpoint()
+      val nxt = joined.filter(col("parent").isNotNull)
+        .select(col("source"),
+          concat(col("path"), array(col("parent"))).as("path"),
+          col("parent").as("head"))
+        .localCheckpoint()
+      finished :+= fin
+      done = nxt.isEmpty
+      active = nxt
+      i += 1
+    }
+    finished.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataFrame
+        .select(lit(0L).as("source"), array().cast("array<long>").as("path")).limit(0))
+  }
+
+  // ----------------------------------------------------- convenience lookups
+
+  /** Raw triple lookup with any of s/p/o/g bound (query.py:60-87),
+    * decoded via 4-way left join; o falls back from iris to literals. */
+  def spo(
+      ctx: EngineContext,
+      s: Option[String] = None, p: Option[String] = None,
+      o: Option[String] = None, g: Option[String] = None,
+      size: Int = 1000, start: Int = 0): DataFrame = {
+    var t = ctx.graph.triples
+    s.filter(_.nonEmpty).foreach(v => t = t.filter(col("s") === h(v)))
+    p.filter(_.nonEmpty).foreach(v => t = t.filter(col("p") === h(v)))
+    o.filter(_.nonEmpty).foreach(v => t = t.filter(col("o") === h(v)))
+    g.filter(_.nonEmpty).foreach(v => t = t.filter(col("g") === h(v)))
+    val iris = ctx.graph.iris
+    val lits = ctx.graph.literals
+    t.as("T")
+      .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
+      .join(iris.as("UU"), col("T.p") === col("UU.hash"), "left")
+      .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
+      .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
+      .select(
+        col("U.value").as("s"), col("UU.value").as("p"),
+        coalesce(col("UUU.value"), col("L.value")).as("o"))
+      .offset(start).limit(size)
+  }
+
+  /** Batch subject+predicate lookup (query.py:38-57). */
+  def sp(ctx: EngineContext, subjects: Seq[String], p: Option[String]): DataFrame = {
+    val sHashes = subjects.map(h)
+    var t = ctx.graph.triples.filter(col("s").isin(sHashes: _*))
+    p.foreach(v => t = t.filter(col("p") === h(v)))
+    val iris = ctx.graph.iris
+    val lits = ctx.graph.literals
+    t.as("T")
+      .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
+      .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
+      .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
+      .select(col("U.value").as("s"), coalesce(col("UUU.value"), col("L.value")).as("o"))
+  }
+
+  /** count(distinct s) over all triples (query.py:13-17). */
+  def total(ctx: EngineContext): Long =
+    ctx.graph.triples.select("s").distinct().count()
+
+  /** Distinct-subject count per predicate IRI (query.py:20-27). */
+  def properties(ctx: EngineContext): DataFrame =
+    ctx.graph.triples.as("T")
+      .join(ctx.graph.iris.as("I"), col("T.p") === col("I.hash"))
+      .groupBy(col("I.value").as("value"))
+      .agg(countDistinct(col("T.s")).as("count"))
+
+  /** Distinct-subject count per object IRI of one predicate (query.py:30-35). */
+  def countByProperty(ctx: EngineContext, property: String): DataFrame =
+    ctx.graph.triples.as("T")
+      .join(ctx.graph.iris.as("I"), col("T.o") === col("I.hash"))
+      .filter(col("T.p") === h(property))
+      .groupBy(col("I.value").as("value"))
+      .agg(countDistinct(col("T.s")).as("count"))
+
+  // ------------------------------------------------------------ full query
+
+  /** The primary read path: full result assembly mirroring query.py's
+    * envelope. Heavy stages stay distributed; only the ≤size-row page,
+    * its decode dictionary slice, and facet rows are collected. */
+  def query(ctx: EngineContext, opts: QueryOpts): QueryResult = {
+    val spark = ctx.graph.spark
+    import spark.implicits._
+
+    val sResultsOpt = subjects(ctx, opts)
+    var aggregates = Map.empty[String, Seq[(Long, String)]]
+
+    sResultsOpt match {
+      case None =>
+        // no (valid) filters: only the whole-DB special aggregates run
+        for (agg <- opts.aggregates if agg == "properties" || agg == "graphs")
+          aggregates += agg -> facetWholeDb(ctx, agg).as[(Long, String)].collect().toSeq
+        QueryResult(Map.empty, 0L, opts.size, opts.start, aggregates)
+
+      case Some(sResultsRaw) =>
+        // s_results feeds count + page + every facet → persist once
+        // (the reference materializes a temp table for the same reason)
+        val sResults = sResultsRaw.persist()
+        try {
+          val total = sResults.count()
+          val sByScore = scoreChain(ctx, opts)
+          val wanted = wantedPage(ctx, opts, sResults, sByScore)
+            .persist()
+          try {
+            for (agg <- opts.aggregates)
+              aggregates += agg -> facet(ctx, agg, sResults).as[(Long, String)].collect().toSeq
+
+            val pageRows = hydrate(ctx, opts, wanted)
+              .select("s", "p", "o", "g", "pos").as[(Long, Long, Long, Long, Int)]
+              .collect().sortBy(_._5)
+
+            // paths for page subjects
+            val pathRows: Map[String, Array[(Long, Seq[Long])]] =
+              opts.paths.map { pad =>
+                pad -> paths(ctx, pad, wanted)
+                  .as[(Long, Seq[Long])].collect()
+              }.toMap
+
+            // decode set: page terms + path members
+            val toFetch = scala.collection.mutable.HashSet.empty[Long]
+            pageRows.foreach { case (s, p, o, _, _) => toFetch += s; toFetch += p; toFetch += o }
+            pathRows.values.foreach(_.foreach(_._2.foreach(toFetch += _)))
+            val hv: Map[Long, String] =
+              if (toFetch.isEmpty) Map.empty
+              else toFetch.toSeq.toDF("hash")
+                .join(ctx.graph.dict, "hash")
+                .as[(Long, String)].collect().toMap
+
+            // assemble entities in page order
+            val order = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.LinkedHashMap[Long, scala.collection.mutable.LinkedHashSet[Long]]]
+            pageRows.foreach { case (s, p, o, _, _) =>
+              order.getOrElseUpdate(s, scala.collection.mutable.LinkedHashMap.empty)
+                .getOrElseUpdate(p, scala.collection.mutable.LinkedHashSet.empty) += o
+            }
+            val pathsBySubject: Map[Long, Map[String, Seq[Long]]] =
+              pathRows.toSeq
+                .flatMap { case (pad, rows) => rows.map { case (src, path) => (src, pad, path) } }
+                .groupBy(_._1)
+                .map { case (src, rows) =>
+                  src -> rows.map { case (_, pad, path) => pad -> path }.toMap }
+
+            val results: Map[String, Entity] = order.toSeq.flatMap { case (sHash, props) =>
+              hv.get(sHash).map { sIri =>
+                val propMap = props.toSeq.flatMap { case (pHash, oHashes) =>
+                  hv.get(pHash).map { pIri =>
+                    pIri -> oHashes.toSeq.flatMap(hv.get)
+                  }
+                }.toMap
+                val entPaths = pathsBySubject.getOrElse(sHash, Map.empty).map {
+                  case (pad, path) =>
+                    pad -> path.filter(_ != sHash).flatMap(hv.get)
+                }
+                sIri -> Entity(sIri, propMap, Nil, entPaths)
+              }
+            }.toMap
+
+            QueryResult(results, total, opts.size, opts.start, aggregates)
+          } finally wanted.unpersist()
+        } finally sResults.unpersist()
+    }
+  }
+
+  def queryJson(ctx: EngineContext, optsJson: String): String =
+    query(ctx, QueryOpts.fromJson(optsJson)).toJson
+}

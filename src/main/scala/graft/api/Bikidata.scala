@@ -1,0 +1,148 @@
+package graft.api
+
+import graft.algebra.{EngineContext, QueryEngine, QueryOpts, QueryResult}
+import graft.fts.FtsIndex
+import graft.ingest.{Build, Quad}
+import graft.semantic.{Embedder, HashingEmbedder, Semantic}
+import graft.store.{Graph, MutationResult, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public API facade — the Spark-native counterpart of the reference's
+  * package surface (/root/reference/src/bikidata/__init__.py:1-28):
+  * build / build_ftss / build_semantic / query / spo / sp / total /
+  * properties / count_by_property / raw, plus insert/delete.
+  *
+  * A `Bikidata` instance wraps one warehouse directory (the reference's
+  * `BIKIDATA_DB` env var, main.py:18) with a long-lived [[EngineContext]];
+  * queries accept either the JSON opts dict of the reference or the typed
+  * [[QueryOpts]]. Results are JSON-shape-compatible with the reference
+  * envelope. A per-instance result cache keyed by the canonical opts JSON
+  * md5 mirrors the reference's Redis cache (workers.py:89-107) without
+  * the external dependency.
+  */
+final class Bikidata(
+    val spark: SparkSession,
+    val warehouseDir: String,
+    embedder: Embedder = HashingEmbedder(),
+    cacheSize: Int = 1024) {
+
+  private val warehouse = new Warehouse(spark, warehouseDir)
+  @volatile private var ctxOpt: Option[EngineContext] = None
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > cacheSize
+    })
+
+  def ctx: EngineContext = ctxOpt.getOrElse {
+    val graph = warehouse.load().persist()
+    val fts = FtsIndex.build(graph.literals).persist()
+    val c = EngineContext(graph, fts = Some(fts), embedder = embedder)
+    ctxOpt = Some(c)
+    c
+  }
+
+  private def invalidate(): Unit = {
+    ctxOpt.foreach(_.graph.unpersist())
+    ctxOpt = None
+    cache.clear()
+  }
+
+  /** Ingest N-Triples/TriG files into the warehouse (refuses if data
+    * already present, main.py:143-147). Returns the triple count. */
+  def build(paths: Seq[String]): Long = {
+    val g = Build.graphFromFiles(spark, paths)
+    Build.write(g, warehouseDir)
+    invalidate()
+    spark.read.parquet(s"$warehouseDir/triples").count()
+  }
+
+  /** Per-subject 2-hop FTS document table (main.py:229-272). */
+  def buildFtss(): DataFrame = {
+    val g = ctx.graph
+    FtsIndex.buildFtss(g.triples, g.literals)
+  }
+
+  /** Subject-level embedding index (semantic.py:41-87). */
+  def buildSemantic(): Unit = {
+    val docs = buildFtss()
+    val sem = Semantic.buildSemantic(docs, embedder).persist()
+    sem.count() // materialize
+    ctxOpt = ctxOpt.map(_.copy(semantic = Some(sem)))
+    if (ctxOpt.isEmpty) { val c = ctx; ctxOpt = Some(c.copy(semantic = Some(sem))) }
+  }
+
+  def query(opts: QueryOpts): QueryResult = QueryEngine.query(ctx, opts)
+
+  /** JSON-in/JSON-out with the md5-keyed result cache. */
+  def queryJson(optsJson: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(optsJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val res = QueryEngine.query(ctx, QueryOpts.fromJson(optsJson)).toJson
+      cache.put(key, res)
+      res
+    }
+  }
+
+  def spo(s: Option[String] = None, p: Option[String] = None,
+      o: Option[String] = None, g: Option[String] = None,
+      size: Int = 1000, start: Int = 0): DataFrame =
+    QueryEngine.spo(ctx, s, p, o, g, size, start)
+
+  def sp(subjects: Seq[String], p: Option[String] = None): DataFrame =
+    QueryEngine.sp(ctx, subjects, p)
+
+  def total(): Long = QueryEngine.total(ctx)
+  def properties(): DataFrame = QueryEngine.properties(ctx)
+  def countByProperty(p: String): DataFrame = QueryEngine.countByProperty(ctx, p)
+
+  def insert(quads: Seq[Quad]): MutationResult = {
+    val r = warehouse.insert(quads)
+    if (r.error.isEmpty) invalidate()
+    r
+  }
+
+  def delete(items: Seq[(String, String, Option[String], String)],
+      areHashes: Boolean = false): MutationResult = {
+    val r = warehouse.delete(items, areHashes)
+    if (r.error.isEmpty) invalidate()
+    r
+  }
+
+  /** Escape hatch (reference `raw()`): register temp views and hand back
+    * the session for ad-hoc Spark SQL. */
+  def raw(): SparkSession = { ctx.graph.registerViews(); spark }
+}
+
+/** CLI mirroring `python -m bikidata <file|dir>` (__main__.py:6-29). */
+object Main {
+  private def hasSuffix(f: String): Boolean =
+    f.endsWith(".gz") || f.endsWith(".nt") || f.endsWith(".trig")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.api.Main <file.nt|dir> [warehouseDir]")
+    val warehouseDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("GRAFT_DB", "graft_warehouse")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val target = new java.io.File(args(0))
+    val paths =
+      if (target.isDirectory)
+        target.listFiles().map(_.getPath).filter(hasSuffix).toSeq
+      else Seq(args(0))
+    val bk = new Bikidata(spark, warehouseDir)
+    val n = bk.build(paths)
+    println(s"""{"count": $n, "warehouse": "$warehouseDir"}""")
+    spark.stop()
+  }
+}

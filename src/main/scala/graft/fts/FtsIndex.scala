@@ -1,0 +1,122 @@
+package graft.fts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BM25 full-text index over a corpus of (hash, value) docs —
+  * the Spark-native replacement for DuckDB's `fts` extension + the
+  * `match_bm25(hash, q, conjunctive:=1)` call the reference issues
+  * (/root/reference/src/bikidata/query.py:198-209, index built at
+  * main.py:206-220).
+  *
+  * The index is three plain DataFrames (SURVEY §2.4) built with one
+  * `groupBy` each — partial aggregation, no custom physical operator:
+  *  - `postings(hash, term, tf)` — term frequency per doc
+  *  - `termstats(term, df)` — document frequency per term
+  *  - corpus stats (numDocs, avgdl) + per-doc length folded into postings
+  *    as `len` to save a join at query time.
+  *
+  * Scoring: Okapi BM25, k1 = 1.2, b = 0.75 (DuckDB's defaults), with the
+  * `+1`-smoothed idf DuckDB's macro uses:
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  *
+  * Query evaluation is pure DataFrame algebra: the (tiny) analyzed query
+  * term set is broadcast-joined against postings, conjunctive matching is
+  * `count(distinct term) == nTerms`, and the score a column expression —
+  * everything stays inside whole-stage codegen.
+  */
+final case class FtsIndex(
+    postings: DataFrame, // (hash: Long, term: String, tf: Long, len: Long)
+    termstats: DataFrame, // (term: String, df: Long)
+    numDocs: Long,
+    avgdl: Double,
+    k1: Double = 1.2,
+    b: Double = 0.75) {
+
+  def persist(): FtsIndex = {
+    postings.persist(StorageLevel.MEMORY_AND_DISK)
+    termstats.persist(StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  /** Conjunctive BM25 match: docs containing ALL query terms, scored.
+    * Returns (hash: Long, score: Double). Unknown query terms make the
+    * match set empty (conjunctive semantics). */
+  def matchBm25(query: String): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = Analyzer.tokenize(query).distinct
+    if (terms.isEmpty) return spark.emptyDataFrame
+      .withColumn("hash", lit(0L)).withColumn("score", lit(0.0))
+      .limit(0).select("hash", "score")
+    val nTerms = terms.length
+    val qterms = terms.toSeq.toDF("term")
+    // df per query term (termstats is corpus-wide; restrict first)
+    val qstats = termstats.join(broadcast(qterms), "term")
+    val n = numDocs.toDouble
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val scored = postings
+      .join(broadcast(qstats.withColumn("idf", idf)), "term")
+      .withColumn("subscore",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
+      .groupBy(col("hash"))
+      .agg(
+        countDistinct(col("term")).as("nmatch"),
+        sum(col("subscore")).as("score"))
+      .filter(col("nmatch") === nTerms)
+      .select(col("hash"), col("score"))
+    scored
+  }
+}
+
+object FtsIndex {
+
+  private val tokenizeUdf = udf((s: String) => Analyzer.tokenize(s))
+
+  /** Build the index over a (hash, value) document corpus. Triggers two
+    * jobs for the corpus stats (count + avg); the postings/termstats
+    * DataFrames stay lazy. */
+  def build(docs: DataFrame, hashCol: String = "hash", valueCol: String = "value"): FtsIndex = {
+    val tokens = docs.select(
+      col(hashCol).as("hash"),
+      tokenizeUdf(col(valueCol)).as("tokens"))
+    val withLen = tokens.withColumn("len", size(col("tokens")))
+    val postings = withLen
+      .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
+      .groupBy("hash", "term")
+      .agg(count(lit(1)).as("tf"), first("len").as("len"))
+    val termstats = postings.groupBy("term")
+      .agg(countDistinct("hash").as("df"))
+    // corpus stats: every doc row counts, including token-less ones
+    // (mirrors DuckDB indexing every row of the literals table)
+    val stats = withLen.agg(
+      count(lit(1)).as("n"),
+      avg(col("len")).as("avgdl")).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    FtsIndex(postings, termstats, n, avgdl)
+  }
+
+  /** Per-subject FTS document table — `build_ftss` equivalent
+    * (main.py:229-272): 1-hop distinct literal values newline-joined,
+    * 2-hop docs = newline-joined 1-hop docs of referenced subjects,
+    * union of both levels tab-joined per subject.
+    * Returns (s: Long, values: String).
+    */
+  def buildFtss(triples: DataFrame, literals: DataFrame): DataFrame = {
+    val fts1 = triples.join(literals, triples("o") === literals("hash"))
+      .groupBy(triples("s").as("s"))
+      .agg(array_join(array_distinct(collect_list(col("value"))), "\n").as("values"))
+      .select(col("s"), col("values"))
+    val fts2 = triples.as("T")
+      .join(fts1.as("R"), col("T.o") === col("R.s"))
+      .groupBy(col("T.s").as("s"))
+      .agg(array_join(collect_list(col("R.values")), "\n").as("values"))
+      .select(col("s"), col("values"))
+    fts1.union(fts2).distinct()
+      .groupBy("s")
+      .agg(array_join(collect_list(col("values")), "\t").as("values"))
+  }
+}

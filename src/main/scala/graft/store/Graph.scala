@@ -1,0 +1,51 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Immutable handle on one dictionary-encoded RDF graph: the quad relation
+  * plus its two term dictionaries (SURVEY §1.1; reference DDL at
+  * /root/reference/src/bikidata/main.py:188-192).
+  *
+  * Schemas:
+  *  - `triples(s, p, o, g: Long)` — every column a seed-0 XXH64 bit pattern
+  *  - `iris(hash: Long, value: String)` — IRIs + blank nodes (+ the empty
+  *    default-graph name)
+  *  - `literals(hash: Long, value: String)` — N3 surface forms
+  *
+  * The unsigned u64 of the reference is stored as the same 64 bits in a
+  * signed LongType; equality/join semantics are unaffected, and rendering
+  * uses `java.lang.Long.toUnsignedString` at the edges.
+  *
+  * Scale notes: all engine joins hit these hash columns (16 B/row quads),
+  * so shuffles stay narrow; `persist()` pins the hot tables for a serving
+  * session, and dictionary joins are broadcast-eligible whenever the dict
+  * fits `spark.sql.autoBroadcastJoinThreshold` (Catalyst/AQE decide).
+  */
+final case class Graph(
+    spark: SparkSession,
+    triples: DataFrame,
+    iris: DataFrame,
+    literals: DataFrame) {
+
+  /** Combined decode dictionary. */
+  def dict: DataFrame = iris.union(literals)
+
+  def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Graph = {
+    triples.persist(level); iris.persist(level); literals.persist(level)
+    this
+  }
+
+  def unpersist(): Graph = {
+    triples.unpersist(); iris.unpersist(); literals.unpersist()
+    this
+  }
+
+  /** Escape hatch (reference `raw()`, query.py:8-10): register the three
+    * core tables as temp views for ad-hoc Spark SQL. */
+  def registerViews(prefix: String = ""): Unit = {
+    triples.createOrReplaceTempView(prefix + "triples")
+    iris.createOrReplaceTempView(prefix + "iris")
+    literals.createOrReplaceTempView(prefix + "literals")
+  }
+}

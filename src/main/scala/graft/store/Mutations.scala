@@ -1,0 +1,104 @@
+package graft.store
+
+import graft.functions.Hash64
+import graft.ingest.Quad
+import graft.model.Term
+import org.apache.spark.sql.functions._
+
+final case class MutationResult(
+    triplesInserted: Int = 0,
+    irisInserted: Int = 0,
+    literalsInserted: Int = 0,
+    triplesDeleted: Int = 0,
+    error: Option[String] = None)
+
+/** Point insert / delete with the reference's validation semantics
+  * (/root/reference/src/bikidata/query.py:468-617), re-expressed over
+  * immutable DataFrames: an insert unions delta rows in, a delete
+  * anti-joins the victims out. [[Warehouse]] persists the same operations
+  * as delta parts + tombstones; these pure functions serve in-memory
+  * graphs and tests.
+  */
+object Mutations {
+
+  private def h(s: String): Long = Hash64.hashString(s)
+
+  /** Validate one insert item (query.py:538-546). */
+  def validateInsert(q: Quad): Option[String] = {
+    if (q.s.isEmpty || q.p.isEmpty || q.o.isEmpty) Some("Insert triple missing s, p, or o")
+    else if (!(q.s.startsWith("<") || q.s.startsWith("_:"))) Some("Subject must be an IRI or BlankNode")
+    else if (!(q.p.startsWith("<") && q.p.endsWith(">"))) Some("Predicate must be an IRI")
+    else if (!(q.o.startsWith("\"") || q.o.startsWith("<") || q.o.startsWith("_:")))
+      Some("Object must be a literal, IRI or a BlankNode")
+    else None
+  }
+
+  /** Insert quads; refuses the whole batch on the first invalid or
+    * already-existing triple (reference behavior: error out, nothing
+    * applied). */
+  def insert(graph: Graph, quads: Seq[Quad]): (Graph, MutationResult) = {
+    val spark = graph.spark
+    import spark.implicits._
+    quads.flatMap(validateInsert) match {
+      case err +: _ => return (graph, MutationResult(error = Some(err)))
+      case _ => ()
+    }
+    val rows = quads.map(q => (h(q.s), h(q.p), h(q.o), h(q.g)))
+    val candidates = rows.toDF("s", "p", "o", "g")
+    val existing = graph.triples.join(candidates, Seq("s", "p", "o", "g"), "left_semi").count()
+    if (existing > 0)
+      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")))
+
+    // dictionary deltas: graph name only when non-default (query.py:566-567)
+    val terms = quads.flatMap(q =>
+      Seq(q.s, q.p, q.o) ++ (if (q.g.nonEmpty) Seq(q.g) else Nil)).distinct
+    val (lits, irisTerms) = terms.partition(Term.isLiteral)
+    def newEntries(existingDict: org.apache.spark.sql.DataFrame, ts: Seq[String]) = {
+      val df = ts.map(t => (h(t), t)).toDF("hash", "value")
+      df.join(existingDict, Seq("hash"), "left_anti")
+    }
+    val newIris = newEntries(graph.iris, irisTerms).persist()
+    val newLits = newEntries(graph.literals, lits).persist()
+    val nIris = newIris.count().toInt
+    val nLits = newLits.count().toInt
+
+    val g2 = graph.copy(
+      triples = graph.triples.union(candidates),
+      iris = graph.iris.union(newIris),
+      literals = graph.literals.union(newLits))
+    (g2, MutationResult(triplesInserted = quads.size, irisInserted = nIris, literalsInserted = nLits))
+  }
+
+  /** Delete by (s,p,o,g) or (s,p,g) with o wildcard (query.py:468-526).
+    * Terms are N3 strings unless `areHashes` (then decimal hash strings). */
+  def delete(
+      graph: Graph,
+      items: Seq[(String, String, Option[String], String)],
+      areHashes: Boolean = false): (Graph, MutationResult) = {
+    val spark = graph.spark
+    import spark.implicits._
+    def toHash(v: String): Long =
+      if (areHashes) java.lang.Long.parseUnsignedLong(v) else h(v)
+
+    if (!areHashes) {
+      // every exact-form triple must exist (query.py:478-482)
+      val missing = items.exists { case (s, p, o, g) =>
+        graph.triples.filter(
+          col("s") === h(s) && col("p") === h(p) && col("g") === h(g) &&
+            (o match { case Some(ov) => col("o") === h(ov); case None => lit(true) })
+        ).limit(1).count() == 0
+      }
+      if (missing)
+        return (graph, MutationResult(error = Some("Triple does not exist, skipping delete")))
+    }
+
+    val exact = items.collect { case (s, p, Some(o), g) => (toHash(s), toHash(p), toHash(o), toHash(g)) }
+    val wild = items.collect { case (s, p, None, g) => (toHash(s), toHash(p), toHash(g)) }
+    var t = graph.triples
+    if (exact.nonEmpty)
+      t = t.join(exact.toDF("s", "p", "o", "g"), Seq("s", "p", "o", "g"), "left_anti")
+    if (wild.nonEmpty)
+      t = t.join(wild.toDF("s", "p", "g"), Seq("s", "p", "g"), "left_anti")
+    (graph.copy(triples = t), MutationResult(triplesDeleted = items.size))
+  }
+}

@@ -1,0 +1,206 @@
+package graft
+
+import graft.algebra._
+import graft.ingest.Quad
+import graft.store.Mutations
+
+class EngineSpec extends SparkSpec {
+  import Fixture._
+
+  def ctx: EngineContext = Fixture.ctx(spark)
+
+  def subjectsOf(opts: QueryOpts): Set[String] = {
+    val res = QueryEngine.query(ctx, opts)
+    res.results.keySet
+  }
+
+  test("p+o filter: subjects having (type, Jedi)") {
+    val r = QueryEngine.query(ctx, QueryOpts(filters = Seq(FilterQ(p = a, o = jedi))))
+    assert(r.results.keySet === Set("<http://ex/luke>", "<http://ex/vader>"))
+    assert(r.total === 2)
+  }
+
+  test("p-only filter: subjects with any homeworld") {
+    assert(subjectsOf(QueryOpts(filters = Seq(FilterQ(p = homeworld)))) ===
+      Set("<http://ex/luke>", "<http://ex/leia>", "<http://ex/vader>"))
+  }
+
+  test("reverse-reference o-only filter") {
+    assert(subjectsOf(QueryOpts(filters = Seq(FilterQ(o = "<http://ex/tatooine>")))) ===
+      Set("<http://ex/luke>", "<http://ex/vader>", "<http://ex/tatooine_desert>"))
+  }
+
+  test("id point lookup hydrates the full property map") {
+    val r = QueryEngine.query(ctx,
+      QueryOpts(filters = Seq(FilterQ(p = "id", o = "<http://ex/luke>"))))
+    val e = r.results("<http://ex/luke>")
+    assert(e.props(a).toSet === Set(jedi, human))
+    assert(e.props(height) === Seq("\"1.72\"^^<http://www.w3.org/2001/XMLSchema#decimal>"))
+    assert(e.id === "<http://ex/luke>")
+    assert(e.graph === Nil) // reference envelope quirk: always []
+  }
+
+  test("multi-IRI o list becomes IN") {
+    assert(subjectsOf(QueryOpts(filters = Seq(
+      FilterQ(p = a, o = s"$jedi $human")))) ===
+      Set("<http://ex/luke>", "<http://ex/leia>", "<http://ex/vader>", "_:b0"))
+  }
+
+  test("graph-restricted filter") {
+    assert(subjectsOf(QueryOpts(filters = Seq(
+      FilterQ(p = a, o = jedi, g = "<http://ex/graph1>")))) === Set("<http://ex/vader>"))
+  }
+
+  test("and / or / not set combination with EXCEPT-last") {
+    // not listed FIRST must still be applied last (query.py:629-668)
+    val r = subjectsOf(QueryOpts(filters = Seq(
+      FilterQ(p = a, o = human, op = "should"),
+      FilterQ(p = homeworld, o = "<http://ex/alderaan>", op = "not"),
+      FilterQ(p = a, o = jedi, op = "or"))))
+    // (human ∪ jedi) − alderaan-dwellers = luke, vader, b0
+    assert(r === Set("<http://ex/luke>", "<http://ex/vader>", "_:b0"))
+  }
+
+  test("intersect binds tighter than union") {
+    // human UNION jedi INTERSECT tatooine-dwellers = human ∪ (jedi ∩ tatooine)
+    val r = subjectsOf(QueryOpts(filters = Seq(
+      FilterQ(p = a, o = human, op = "should"),
+      FilterQ(p = a, o = jedi, op = "or"),
+      FilterQ(p = homeworld, o = "<http://ex/tatooine>", op = "and"))))
+    assert(r === Set("<http://ex/luke>", "<http://ex/leia>", "_:b0", "<http://ex/vader>"))
+  }
+
+  test("regex filter is full-string anchored like SIMILAR TO") {
+    // 'Tatooine' matches '"Tatooine"' only with explicit quotes in pattern
+    val rWhole = subjectsOf(QueryOpts(filters = Seq(FilterQ(p = "regex", o = "\"Tato.*"))))
+    assert(rWhole === Set("<http://ex/tatooine>"))
+    // unanchored fragment must NOT match (SIMILAR TO semantics)
+    val rFrag = QueryEngine.query(ctx, QueryOpts(filters = Seq(FilterQ(p = "regex", o = "Tato"))))
+    assert(rFrag.total === 0)
+  }
+
+  test("regex with 1 hop returns referencing ancestors") {
+    val r = subjectsOf(QueryOpts(filters = Seq(FilterQ(p = "regex 1", o = "\"Tatooine\""))))
+    // parents of tatooine via any predicate: luke, vader (homeworld), desert (broader)
+    assert(r === Set("<http://ex/luke>", "<http://ex/vader>", "<http://ex/tatooine_desert>"))
+  }
+
+  test("fts conjunctive match + score ordering") {
+    val r = QueryEngine.query(ctx, QueryOpts(filters = Seq(FilterQ(p = "fts", o = "Luke Skywalker"))))
+    assert(r.results.keySet === Set("<http://ex/luke>"))
+    val rAll = QueryEngine.query(ctx, QueryOpts(filters = Seq(FilterQ(p = "fts", o = "skywalker"))))
+    assert(rAll.results.keySet === Set("<http://ex/luke>"))
+  }
+
+  test("fts hop walks to referencing entity") {
+    val r = subjectsOf(QueryOpts(filters = Seq(FilterQ(p = "fts 1", o = "tatooine"))))
+    assert(r.contains("<http://ex/luke>") && r.contains("<http://ex/vader>"))
+  }
+
+  test("semantic filter returns scored subjects") {
+    // near-identical token multiset to luke's 2-hop fts doc → distance ≈ 0
+    val r = QueryEngine.query(ctx, QueryOpts(filters = Seq(
+      FilterQ(p = "semantic", o = "Luke Skywalker Lucas Cielocaminante Tatooine Tatuin 1 72"))))
+    assert(r.results.nonEmpty)
+    assert(r.results.contains("<http://ex/luke>"))
+  }
+
+  test("pagination: disjoint pages, union = full set, pos stable") {
+    val all = QueryOpts(filters = Seq(FilterQ(p = label)), size = 999)
+    val totalSet = subjectsOf(all)
+    val p1 = subjectsOf(all.copy(size = 3, start = 0))
+    val p2 = subjectsOf(all.copy(size = 3, start = 3))
+    val p3 = subjectsOf(all.copy(size = 999, start = 6))
+    assert(p1.size === 3 && p2.size === 3)
+    assert((p1 ++ p2 ++ p3) === totalSet)
+    assert(p1.intersect(p2).isEmpty)
+  }
+
+  test("size=0 returns aggregates only") {
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = a, o = human)),
+      size = 0, aggregates = Seq(a)))
+    assert(r.results.isEmpty)
+    assert(r.total === 3)
+    val aggVals = r.aggregates(a).map { case (c, v) => (v, c) }.toMap
+    assert(aggVals(human) === 3)
+    assert(aggVals(jedi) === 1) // luke is both
+  }
+
+  test("whole-DB properties aggregate without filters") {
+    val r = QueryEngine.query(ctx, QueryOpts(aggregates = Seq("properties")))
+    assert(r.total === 0 && r.results.isEmpty)
+    val m = r.aggregates("properties").map { case (c, v) => (v, c) }.toMap
+    assert(m(broader) === 2)
+  }
+
+  test("order by label asc with language preference") {
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = a, o = human)),
+      order = Seq(OrderRule(by = "label", lang = Seq("de", "en")))))
+    // labels (lang-pref: de, en, then untagged): luke -> "luke skywalker",
+    // leia -> "leia organa", b0 -> "unknown person"
+    assert(r.results.keys.toSeq.length === 3)
+    val positions = r.results.keySet
+    assert(positions === Set("<http://ex/luke>", "<http://ex/leia>", "_:b0"))
+  }
+
+  test("natural sort puts 2 before 10") {
+    val (sorted, cols) = Ordering.sortedSubjects(ctx,
+      QueryEngine.subjects(ctx, QueryOpts(filters = Seq(FilterQ(p = a, o = "<http://ex/Film>")))).get,
+      OrderRule(by = "label", natural = true))
+    import graft.functions.Hash64
+    val got = sorted.orderBy(cols: _*).collect().map(_.getLong(0)).toSeq
+    val expect = Seq("<http://ex/ep1>", "<http://ex/ep2>", "<http://ex/ep10>").map(Hash64.hashString)
+    assert(got === expect)
+  }
+
+  test("paths walk the broader hierarchy to the root") {
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = "id", o = "<http://ex/mos_eisley>")),
+      paths = Seq(broader)))
+    val e = r.results("<http://ex/mos_eisley>")
+    assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
+  }
+
+  test("spo lookup decodes with literal fallback") {
+    val rows = QueryEngine.spo(ctx, s = Some("<http://ex/leia>"), p = Some(label))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(("<http://ex/leia>", label, "\"Leia Organa\"")))
+  }
+
+  test("total and properties lookups") {
+    assert(QueryEngine.total(ctx) === 11) // distinct subjects incl bnode
+    val props = QueryEngine.properties(ctx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(props(homeworld) === 3)
+  }
+
+  test("insert validates and appends; delete removes") {
+    val g = ctx.graph
+    val (g2, r1) = Mutations.insert(g, Seq(Quad("<http://ex/new>", label, "\"New Thing\"", "")))
+    assert(r1.error.isEmpty && r1.triplesInserted === 1)
+    assert(g2.triples.count() === g.triples.count() + 1)
+    // duplicate refused
+    val (_, r2) = Mutations.insert(g2, Seq(Quad("<http://ex/new>", label, "\"New Thing\"", "")))
+    assert(r2.error.contains("Triple already exists, skipping insert"))
+    // invalid predicate refused
+    val (_, r3) = Mutations.insert(g, Seq(Quad("<http://ex/new>", "notiri", "\"x\"", "")))
+    assert(r3.error.contains("Predicate must be an IRI"))
+    // delete with o wildcard
+    val (g3, r4) = Mutations.delete(g2, Seq(("<http://ex/new>", label, None, "")))
+    assert(r4.error.isEmpty)
+    assert(g3.triples.count() === g.triples.count())
+    // delete nonexistent refused
+    val (_, r5) = Mutations.delete(g3, Seq(("<http://ex/nope>", label, None, "")))
+    assert(r5.error.contains("Triple does not exist, skipping delete"))
+  }
+
+  test("queryJson end-to-end envelope shape") {
+    val json = QueryEngine.queryJson(ctx,
+      s"""{"filters":[{"p":"$a","o":"$jedi"}],"size":10}""")
+    assert(json.contains("\"total\":2"))
+    assert(json.contains("\"id\":\"<http://ex/luke>\""))
+    assert(json.contains("\"graph\":[]"))
+  }
+}
