@@ -1,0 +1,423 @@
+package graft
+
+import graft.algebra._
+import graft.ingest.Quad
+import graft.rdfize.{OracleSql, Rdfize}
+import graft.store.Mutations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF-engine operator demos for the driver gate (SURVEY §2.2-§2.11).
+  * Each query RDF-izes the scale-factor tables (cached per sfDir), runs
+  * the graft engine operator, decodes hashes back to strings at the edge,
+  * and is checked against DuckDB SQL computing the same answer directly
+  * from the base tables — an end-to-end differential test of hashing,
+  * the filter algebra, set ops, ordering, pagination, hydration, facets,
+  * paths, and mutations.
+  */
+object RdfQueries {
+  import Rdfize.{LabelIri, ParentIri, predIri, graphIri}
+  import OracleSql.subj
+
+  private def rctx(s: SparkSession, dir: String) = Rdfize.ctx(s, dir)
+
+  /** Decode a subject-hash set to sorted IRI strings. */
+  private def decodeS(ctx: EngineContext, df: DataFrame): DataFrame =
+    df.join(ctx.graph.iris, df("s") === ctx.graph.iris("hash"))
+      .select(col("value").as("s")).orderBy("s")
+
+  private def subjects(ctx: EngineContext, filters: FilterQ*): DataFrame =
+    QueryEngine.subjects(ctx, QueryOpts(filters = filters)).get
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 p+o property filter
+    "q_rdf_filter_po" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\"")))
+    }),
+
+    // §2.2 p-only filter (any value)
+    "q_rdf_filter_p" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = ParentIri)))
+    }),
+
+    // §2.2 reverse reference (o-only)
+    "q_rdf_filter_o" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(o = "<urn:t:nation:7>")))
+    }),
+
+    // §2.2 id point lookup + §2.3 hydration join + decode
+    "q_rdf_filter_id" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(filters = Seq(FilterQ(p = "id", o = "<urn:t:region:1>")))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      QueryEngine.hydrateDecoded(ctx, opts, wanted)
+        .select("s", "p", "o", "g").orderBy("p", "o")
+    }),
+
+    // §2.7 INTERSECT
+    "q_rdf_and" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\""),
+        FilterQ(p = ParentIri, o = "<urn:t:nation:7>", op = "and")))
+    }),
+
+    // §2.7 UNION
+    "q_rdf_or" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\""),
+        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"AUTOMOBILE\"", op = "or")))
+    }),
+
+    // §2.7 EXCEPT applied last even when listed mid-chain
+    // (a FIRST-position `not` would seed the chain instead —
+    // reference quirk at query.py:656-657, covered in EngineSpec)
+    "q_rdf_not" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = ParentIri, o = "<urn:t:nation:7>"),
+        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\"", op = "not"),
+        FilterQ(p = ParentIri, o = "<urn:t:nation:3>", op = "or")))
+    }),
+
+    // §2.2 multi-IRI o => IN
+    "q_rdf_multi_o" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = ParentIri, o = "<urn:t:nation:3> <urn:t:nation:7>")))
+    }),
+
+    // §2.2 named-graph restriction
+    "q_rdf_graph" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = LabelIri, g = graphIri("nation"))))
+    }),
+
+    // §2.2 regex filter — SIMILAR TO (full-string) semantics
+    "q_rdf_regex" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = "regex", o = "\"NATION_1.\"")))
+    }),
+
+    // §2.2 regex restricted to one property
+    "q_rdf_regex_prop" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = s"regex ${predIri("part", "p_name")}", o = "\"red .*\"")))
+    }),
+
+    // §2.4 BM25 conjunctive match set
+    "q_rdf_fts" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = "fts", o = "machinery")))
+    }),
+
+    // §2.4 fts with 1-hop ancestor walk
+    "q_rdf_fts_hop" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = "fts 1", o = "nation 3")))
+    }),
+
+    // §2.8 order by label with pos
+    "q_rdf_order_label" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(
+        filters = Seq(FilterQ(p = predIri("nation", "n_name"))),
+        order = Seq(OrderRule(by = "label")))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
+        .select(col("value").as("s"), col("pos")).orderBy("pos")
+    }),
+
+    // §2.8 order by arbitrary property
+    "q_rdf_order_property" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      // restrict to customers (suppliers share the parent edge but have
+      // no c_name => null labels in hash tie-break order, oracle-hostile)
+      val opts = QueryOpts(
+        filters = Seq(
+          FilterQ(p = ParentIri, o = "<urn:t:nation:5>"),
+          FilterQ(p = predIri("customer", "c_mktsegment"), op = "and")),
+        order = Seq(OrderRule(by = "property", prop = Some(predIri("customer", "c_name")))))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
+        .select(col("value").as("s"), col("pos")).orderBy("pos")
+    }),
+
+    // §2.8 natural sort + pagination (offset crosses numeric prefixes)
+    "q_rdf_order_natural" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(
+        filters = Seq(FilterQ(p = predIri("orders", "o_orderstatus"), o = "\"P\"")),
+        order = Seq(OrderRule(by = "label", natural = true)),
+        size = 10, start = 5)
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
+        .select(col("value").as("s"), col("pos")).orderBy("pos")
+    }),
+
+    // §2.8 order by label of referenced object (set check; pos ties break
+    // on the hash, which the oracle cannot reproduce)
+    "q_rdf_order_object_label" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val sres = subjects(ctx, FilterQ(p = predIri("supplier", "s_nationkey")))
+      val (sorted, _) = Ordering.sortedSubjects(ctx, sres,
+        OrderRule(by = "object_label", via = Some(ParentIri)))
+      sorted.join(ctx.graph.iris, sorted("s") === col("hash"))
+        .select(col("value").as("s"), col("sort_label")).orderBy("s")
+    }),
+
+    // §2.5 facet by property over the filtered set
+    "q_rdf_facet" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      // subjects = customers + suppliers of nation 3; suppliers have no
+      // mktsegment triples so they contribute nothing to the facet
+      val sres = subjects(ctx, FilterQ(p = ParentIri, o = "<urn:t:nation:3>"))
+      QueryEngine.facet(ctx, predIri("customer", "c_mktsegment"), sres)
+        .orderBy(col("count").desc, col("val"))
+    }),
+
+    // §2.5 properties facet over the filtered set
+    "q_rdf_facet_properties" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val sres = subjects(ctx, FilterQ(p = predIri("nation", "n_name")))
+      QueryEngine.facet(ctx, "properties", sres).orderBy("val")
+    }),
+
+    // §2.5 whole-DB properties() lookup
+    "q_rdf_agg_properties" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      QueryEngine.properties(ctx)
+        .select(col("value"), col("count")).orderBy("value")
+    }),
+
+    // §2.5 total() = count(distinct s)
+    "q_rdf_total" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      import s.implicits._
+      Seq(QueryEngine.total(ctx)).toDF("total")
+    }),
+
+    // §2.5 count_by_property
+    "q_rdf_count_by_property" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      QueryEngine.countByProperty(ctx, ParentIri)
+        .select(col("value"), col("count")).orderBy("value")
+    }),
+
+    // §2.13 spo lookup with literal-fallback decode
+    "q_rdf_spo" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      QueryEngine.spo(ctx, p = Some(LabelIri), o = Some("\"NATION_3\""))
+        .orderBy("s")
+    }),
+
+    // §2.11 recursive paths to the hierarchy root
+    "q_rdf_paths" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(filters = Seq(FilterQ(p = ParentIri, o = "<urn:t:nation:3>")))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      val p = QueryEngine.paths(ctx, ParentIri, wanted)
+      // decode: '/'-joined ancestor IRIs, self excluded (reference
+      // excludes val == entity from _paths, query.py:864)
+      val exploded = p.select(col("source"), posexplode(col("path")))
+        .filter(col("col") =!= col("source"))
+        .join(ctx.graph.iris, col("col") === col("hash"))
+        .groupBy("source")
+        .agg(concat_ws("/", transform(
+          array_sort(collect_list(struct(col("pos"), col("value")))),
+          x => x.getField("value"))).as("path"))
+      exploded.join(ctx.graph.iris, exploded("source") === col("hash"))
+        .select(col("value").as("s"), col("path")).orderBy("s")
+    }),
+
+    // §2.1 delete (anti-join semantics) — triple count drops by one
+    "q_rdf_delete" -> ((s, dir) => {
+      import s.implicits._
+      val ctx = rctx(s, dir)
+      val name = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_regionkey") === 1).select("r_name").collect()(0).getString(0)
+      val (g2, res) = Mutations.delete(ctx.graph,
+        Seq(("<urn:t:region:1>", LabelIri, Some("\"" + name + "\""), graphIri("region"))))
+      assert(res.error.isEmpty, res.error)
+      Seq(g2.triples.count()).toDF("cnt")
+    }),
+
+    // §2.1 validated insert — triple count grows by one
+    "q_rdf_insert" -> ((s, dir) => {
+      import s.implicits._
+      val ctx = rctx(s, dir)
+      val (g2, res) = Mutations.insert(ctx.graph,
+        Seq(Quad("<urn:t:region:99>", LabelIri, "\"NEWLAND\"", graphIri("region"))))
+      assert(res.error.isEmpty, res.error)
+      Seq(g2.triples.count()).toDF("cnt")
+    }),
+
+    // §2.2 random sample — nondeterministic vs the oracle => rows-only
+    "q_rdf_sample" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx, FilterQ(p = "id", o = "random 50")))
+    }),
+
+    // §2.2 semantic filter — engine-specific scores => rows-only
+    "q_rdf_semantic" -> ((s, dir) => {
+      val ctx = Rdfize.semantic(s, dir)
+      val r = QueryEngine.query(ctx, QueryOpts(
+        filters = Seq(FilterQ(p = "semantic", o = "NATION_3 NATION_3")), size = 10))
+      import s.implicits._
+      r.results.keys.toSeq.sorted.toDF("s")
+    }),
+
+    // §2.4 fts scores — BM25 constants engine-specific => rows-only
+    "q_rdf_fts_score" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val scored = QueryEngine.scoreChain(ctx, QueryOpts(
+        filters = Seq(FilterQ(p = "fts", o = "red widget")))).get
+      decodeS(ctx, scored.select("s"))
+    }),
+
+    // the reference's flagship analytical query (wikidata.md:45-67):
+    // entities sharing >k (p,o) pairs with a seed entity, ranked
+    "q_rdf_flagship" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val seedHash = FilterCompiler.h("<urn:t:customer:1>")
+      val seedPairs = ctx.graph.triples.filter(col("s") === seedHash)
+        .select(col("p").as("sp"), col("o").as("so")).distinct()
+      val shared = ctx.graph.triples
+        .join(broadcast(seedPairs), col("p") === col("sp") && col("o") === col("so"))
+        .filter(col("s") =!= seedHash)
+        .groupBy("s").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      shared.join(ctx.graph.iris, shared("s") === col("hash"))
+        .select(col("value").as("s"), col("shared"))
+        .orderBy(col("shared").desc, col("s"))
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val custS = subj("customer", "c_custkey")
+  private val suppS = subj("supplier", "s_suppkey")
+  private val natS = subj("nation", "n_nationkey")
+
+  val oracle: Map[String, String] = Map(
+    "q_rdf_filter_po" ->
+      s"SELECT $custS AS s FROM customer WHERE c_mktsegment='BUILDING' ORDER BY s",
+    "q_rdf_filter_p" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer
+         |  UNION SELECT $suppS FROM supplier
+         |  UNION SELECT $natS FROM nation) ORDER BY s""".stripMargin,
+    "q_rdf_filter_o" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer WHERE c_nationkey=7
+         |  UNION SELECT $suppS FROM supplier WHERE s_nationkey=7) ORDER BY s""".stripMargin,
+    "q_rdf_filter_id" ->
+      s"""SELECT * FROM (
+         |  SELECT '<urn:t:region:1>' AS s, '${predIri("region", "r_name")}' AS p,
+         |         '"' || r_name || '"' AS o, '${graphIri("region")}' AS g
+         |  FROM region WHERE r_regionkey=1
+         |  UNION ALL
+         |  SELECT '<urn:t:region:1>', '$LabelIri', '"' || r_name || '"',
+         |         '${graphIri("region")}'
+         |  FROM region WHERE r_regionkey=1) ORDER BY p, o""".stripMargin,
+    "q_rdf_and" ->
+      s"""SELECT $custS AS s FROM customer
+         |WHERE c_mktsegment='BUILDING' AND c_nationkey=7 ORDER BY s""".stripMargin,
+    "q_rdf_or" ->
+      s"""SELECT $custS AS s FROM customer
+         |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY s""".stripMargin,
+    "q_rdf_not" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer
+         |  WHERE c_nationkey IN (3,7) AND c_mktsegment<>'BUILDING'
+         |  UNION SELECT $suppS FROM supplier WHERE s_nationkey IN (3,7)) ORDER BY s""".stripMargin,
+    "q_rdf_multi_o" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer WHERE c_nationkey IN (3,7)
+         |  UNION SELECT $suppS FROM supplier WHERE s_nationkey IN (3,7)) ORDER BY s""".stripMargin,
+    "q_rdf_graph" ->
+      s"SELECT $natS AS s FROM nation ORDER BY s",
+    "q_rdf_regex" ->
+      s"SELECT $natS AS s FROM nation WHERE n_name SIMILAR TO 'NATION_1.' ORDER BY s",
+    "q_rdf_regex_prop" ->
+      s"SELECT ${subj("part", "p_partkey")} AS s FROM part WHERE p_name SIMILAR TO 'red .*' ORDER BY s",
+    "q_rdf_fts" ->
+      s"SELECT $custS AS s FROM customer WHERE c_mktsegment='MACHINERY' ORDER BY s",
+    "q_rdf_fts_hop" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer WHERE c_nationkey=3
+         |  UNION SELECT $suppS FROM supplier WHERE s_nationkey=3) ORDER BY s""".stripMargin,
+    "q_rdf_order_label" ->
+      s"""SELECT $natS AS s,
+         |  CAST(row_number() OVER (ORDER BY lower(n_name)) AS INTEGER) AS pos
+         |FROM nation ORDER BY pos""".stripMargin,
+    "q_rdf_order_property" ->
+      s"""SELECT $custS AS s,
+         |  CAST(row_number() OVER (ORDER BY lower(c_name)) AS INTEGER) AS pos
+         |FROM customer WHERE c_nationkey=5 ORDER BY pos""".stripMargin,
+    "q_rdf_order_natural" ->
+      s"""SELECT s, CAST(pos - 5 AS INTEGER) AS pos FROM (
+         |  SELECT ${subj("orders", "o_orderkey")} AS s,
+         |    row_number() OVER (ORDER BY o_orderkey) AS pos
+         |  FROM orders WHERE o_orderstatus='P')
+         |WHERE pos BETWEEN 6 AND 15 ORDER BY pos""".stripMargin,
+    "q_rdf_order_object_label" ->
+      s"""SELECT $suppS AS s, lower(n_name) AS sort_label
+         |FROM supplier JOIN nation ON s_nationkey=n_nationkey ORDER BY s""".stripMargin,
+    "q_rdf_facet" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS count, '"' || c_mktsegment || '"' AS val
+         |FROM customer WHERE c_nationkey=3
+         |GROUP BY c_mktsegment ORDER BY count DESC, val""".stripMargin,
+    "q_rdf_facet_properties" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS count, val FROM (
+         |  SELECT '${predIri("nation", "n_name")}' AS val FROM nation
+         |  UNION ALL SELECT '${predIri("nation", "n_regionkey")}' FROM nation
+         |  UNION ALL SELECT '$LabelIri' FROM nation
+         |  UNION ALL SELECT '$ParentIri' FROM nation)
+         |GROUP BY val ORDER BY val""".stripMargin,
+    "q_rdf_agg_properties" -> OracleSql.propertiesSql,
+    "q_rdf_total" ->
+      s"SELECT CAST(${OracleSql.totalSubjectsExpr} AS BIGINT) AS total",
+    "q_rdf_count_by_property" ->
+      s"""SELECT value, CAST(count(*) AS BIGINT) AS count FROM (
+         |  SELECT '<urn:t:nation:' || c_nationkey || '>' AS value FROM customer
+         |  UNION ALL SELECT '<urn:t:nation:' || s_nationkey || '>' FROM supplier
+         |  UNION ALL SELECT '<urn:t:region:' || n_regionkey || '>' FROM nation)
+         |GROUP BY value ORDER BY value""".stripMargin,
+    "q_rdf_spo" ->
+      s"""SELECT $natS AS s, '$LabelIri' AS p, '"' || n_name || '"' AS o
+         |FROM nation WHERE n_name='NATION_3' ORDER BY s""".stripMargin,
+    "q_rdf_paths" ->
+      s"""SELECT s, '<urn:t:nation:3>/<urn:t:region:' ||
+         |  (SELECT n_regionkey FROM nation WHERE n_nationkey=3) || '>' AS path
+         |FROM (
+         |  SELECT $custS AS s FROM customer WHERE c_nationkey=3
+         |  UNION SELECT $suppS FROM supplier WHERE s_nationkey=3)
+         |ORDER BY s""".stripMargin,
+    "q_rdf_delete" ->
+      s"SELECT CAST((${OracleSql.totalTriplesExpr}) - 1 AS BIGINT) AS cnt",
+    "q_rdf_insert" ->
+      s"SELECT CAST((${OracleSql.totalTriplesExpr}) + 1 AS BIGINT) AS cnt",
+    "q_rdf_flagship" ->
+      s"""SELECT s, shared FROM (
+         |  SELECT $custS AS s,
+         |    CAST(CASE WHEN c_mktsegment = (SELECT c_mktsegment FROM customer WHERE c_custkey=1) THEN 1 ELSE 0 END
+         |       + CASE WHEN c_nationkey = (SELECT c_nationkey FROM customer WHERE c_custkey=1) THEN 2 ELSE 0 END
+         |       + CASE WHEN c_acctbal   = (SELECT c_acctbal   FROM customer WHERE c_custkey=1) THEN 1 ELSE 0 END
+         |      AS BIGINT) AS shared
+         |  FROM customer WHERE c_custkey <> 1)
+         |WHERE shared >= 3 ORDER BY shared DESC, s""".stripMargin,
+  )
+}

@@ -20,9 +20,11 @@ object SparkEntry {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's headline analytical query (wikidata.md:45-67): rank
+    * entities by shared (p,o) pairs with a seed entity. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_rdf_flagship")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RdfQueries.queries ++ PipelineQueries.queries
@@ -128,13 +130,6 @@ object RelationalQueries {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
   )
-}
-
-/** RDF-engine operator demos (SURVEY §2.2-§2.11) — filled in as the graft
-  * engine lands. */
-object RdfQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
 }
 
 /** Training-data pipeline operators (dedup / similarity / text analysis)

@@ -1,0 +1,175 @@
+package graft.rdfize
+
+import graft.algebra.EngineContext
+import graft.fts.FtsIndex
+import graft.ingest.Build
+import graft.semantic.{HashingEmbedder, Semantic}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic RDF-ization of the driver's TPC-H-ish tables
+  * (FIXTURES.md §5): each row becomes `<urn:t:{table}:{pk}>`, each column
+  * a predicate `<urn:c:{table}:{col}>` with FK columns pointing at the
+  * referenced row IRI and data columns as typed N3 literals; every table
+  * with a name column gets `rdfs:label`, FK chains get a uniform
+  * `<urn:p:parent>` edge (customer→nation, supplier→nation,
+  * nation→region) so hierarchy/paths have material; each table lives in
+  * named graph `<urn:g:{table}>`.
+  *
+  * The schema is declared once ([[tables]]) and drives BOTH the Spark
+  * quad generation and the DuckDB oracle SQL fragments
+  * ([[OracleSql]]) so the two sides cannot drift.
+  */
+object Rdfize {
+
+  val LabelIri = "<http://www.w3.org/2000/01/rdf-schema#label>"
+  val ParentIri = "<urn:p:parent>"
+  val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
+  val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
+  val XsdDate = "<http://www.w3.org/2001/XMLSchema#date>"
+
+  sealed trait ColKind
+  case object StrCol extends ColKind
+  case object IntCol extends ColKind
+  case object Dec2Col extends ColKind
+  case object DateCol extends ColKind
+  final case class FkCol(table: String) extends ColKind
+
+  final case class TableDef(
+      name: String,
+      pk: String,
+      cols: Seq[(String, ColKind)],
+      labelExprSql: Option[String], // DuckDB SQL for the label text
+      parentFk: Option[(String, String)]) // (fk column, target table)
+
+  val tables: Seq[TableDef] = Seq(
+    TableDef("region", "r_regionkey",
+      Seq("r_name" -> StrCol),
+      Some("r_name"), None),
+    TableDef("nation", "n_nationkey",
+      Seq("n_name" -> StrCol, "n_regionkey" -> FkCol("region")),
+      Some("n_name"), Some("n_regionkey" -> "region")),
+    TableDef("customer", "c_custkey",
+      Seq("c_name" -> StrCol, "c_nationkey" -> FkCol("nation"),
+        "c_acctbal" -> Dec2Col, "c_mktsegment" -> StrCol),
+      Some("c_name"), Some("c_nationkey" -> "nation")),
+    TableDef("supplier", "s_suppkey",
+      Seq("s_name" -> StrCol, "s_nationkey" -> FkCol("nation"),
+        "s_acctbal" -> Dec2Col),
+      Some("s_name"), Some("s_nationkey" -> "nation")),
+    TableDef("orders", "o_orderkey",
+      Seq("o_custkey" -> FkCol("customer"), "o_orderstatus" -> StrCol,
+        "o_totalprice" -> Dec2Col, "o_orderdate" -> DateCol,
+        "o_orderpriority" -> StrCol),
+      // numeric-prefixed label => natural-sort material
+      Some("o_orderkey || ' order'"), None),
+    TableDef("part", "p_partkey",
+      Seq("p_name" -> StrCol, "p_brand" -> StrCol, "p_type" -> StrCol,
+        "p_size" -> IntCol, "p_retailprice" -> Dec2Col),
+      Some("p_name"), None))
+
+  def predIri(table: String, colName: String): String = s"<urn:c:$table:$colName>"
+  def graphIri(table: String): String = s"<urn:g:$table>"
+
+  private def subjectCol(table: String, pk: Column): Column =
+    concat(lit(s"<urn:t:$table:"), pk.cast("string"), lit(">"))
+
+  private def objectCol(kind: ColKind, c: Column): Column = kind match {
+    case StrCol => concat(lit("\""), c, lit("\""))
+    case IntCol => concat(lit("\""), c.cast("string"), lit("\"^^" + XsdInteger))
+    case Dec2Col => concat(lit("\""), c.cast("decimal(18,2)").cast("string"),
+      lit("\"^^" + XsdDecimal))
+    case DateCol => concat(lit("\""), date_format(c, "yyyy-MM-dd"),
+      lit("\"^^" + XsdDate))
+    case FkCol(t) => concat(lit(s"<urn:t:$t:"), c.cast("string"), lit(">"))
+  }
+
+  /** String quads (s,p,o,g) for one scale-factor directory. */
+  def quads(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts: Seq[DataFrame] = tables.flatMap { td =>
+      val df = spark.read.parquet(s"$sfDir/${td.name}.parquet")
+      val subj = subjectCol(td.name, col(td.pk))
+      val g = lit(graphIri(td.name))
+      val colQuads = td.cols.map { case (cn, kind) =>
+        df.select(subj.as("s"), lit(predIri(td.name, cn)).as("p"),
+          objectCol(kind, col(cn)).as("o"), g.as("g"))
+      }
+      val labelQuads = td.labelExprSql.toSeq.map { _ =>
+        val labelCol: Column = td.name match {
+          case "orders" => concat(col(td.pk).cast("string"), lit(" order"))
+          case _ => col(td.cols.head._1) // first column is the name column
+        }
+        df.select(subj.as("s"), lit(LabelIri).as("p"),
+          concat(lit("\""), labelCol, lit("\"")).as("o"), g.as("g"))
+      }
+      val parentQuads = td.parentFk.toSeq.map { case (fk, target) =>
+        df.select(subj.as("s"), lit(ParentIri).as("p"),
+          objectCol(FkCol(target), col(fk)).as("o"), g.as("g"))
+      }
+      colQuads ++ labelQuads ++ parentQuads
+    }
+    parts.reduce(_ union _)
+  }
+
+  // one engine context per (session, sfDir) — queries share the persisted
+  // graph + fts index across the Verify/Bench run
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, EngineContext]()
+  private val semCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def ctx(spark: SparkSession, sfDir: String): EngineContext =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val graph = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
+      graph.triples.count() // materialize the persisted tables once
+      val fts = FtsIndex.build(graph.literals).persist()
+      EngineContext(graph, fts = Some(fts), embedder = HashingEmbedder(64))
+    })
+
+  /** Subject-embedding index, built on first use (semantic demos only). */
+  def semantic(spark: SparkSession, sfDir: String): EngineContext = {
+    val base = ctx(spark, sfDir)
+    val sem = semCache.computeIfAbsent(sfDir, { _ =>
+      val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
+      val s = Semantic.buildSemantic(docs, base.embedder).persist()
+      s.count()
+      s
+    })
+    base.copy(semantic = Some(sem))
+  }
+}
+
+/** DuckDB-side SQL fragments derived from the same [[Rdfize.tables]]
+  * schema — used to assemble oracle queries that reconstruct subject
+  * IRIs / predicate IRIs / triple counts directly from the base tables. */
+object OracleSql {
+  import Rdfize._
+
+  def subj(table: String, keyExpr: String): String =
+    s"'<urn:t:$table:' || $keyExpr || '>'"
+
+  /** Predicates of one table with its per-row triple count (each row emits
+    * one triple per predicate — no NULLs in the testdata). */
+  def predsOf(td: TableDef): Seq[String] =
+    td.cols.map { case (cn, _) => predIri(td.name, cn) } ++
+      td.labelExprSql.map(_ => LabelIri).toSeq ++
+      td.parentFk.map(_ => ParentIri).toSeq
+
+  /** Total triple count as a SQL scalar expression. */
+  def totalTriplesExpr: String =
+    tables.map(td => s"(SELECT count(*) FROM ${td.name}) * ${predsOf(td).size}")
+      .mkString(" + ")
+
+  /** Total distinct subjects (one per row). */
+  def totalSubjectsExpr: String =
+    tables.map(td => s"(SELECT count(*) FROM ${td.name})").mkString(" + ")
+
+  /** `properties()` oracle: distinct-subject count per predicate IRI. */
+  def propertiesSql: String = {
+    val rows = tables.flatMap { td =>
+      predsOf(td).map(p =>
+        s"SELECT '$p' AS value, (SELECT count(*) FROM ${td.name}) AS cnt")
+    }
+    s"""SELECT value, CAST(SUM(cnt) AS BIGINT) AS count
+       |FROM (${rows.mkString(" UNION ALL ")})
+       |GROUP BY value ORDER BY value""".stripMargin
+  }
+}
