@@ -1,0 +1,177 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables — dedup, similarity search, text analysis, multimodal plumbing
+  * (the scale-out extension layer of SURVEY §7.1 step 11). Oracle-checked
+  * where DuckDB can reproduce the computation; sketch/LSH operators are
+  * rows-only here and property-tested in OpsSpec with planted duplicates.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    emb(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting: whitespace + BPE-ish pre-tokenizer classes
+    "q_doc_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: stopword/punct/digit counts + composite score
+    "q_doc_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.stopwordCount(col("text")).as("stop_cnt"),
+          TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+          TextAnalysis.digitCount(col("text")).as("digit_cnt"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: one groupBy(content hash)
+    "q_doc_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("h")
+    }),
+
+    // exact token-set Jaccard via inverted-index self-join
+    "q_doc_jaccard" -> ((s, dir) => {
+      Dedup.tokenJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
+          "doc_id", "text", 0.9)
+        .orderBy("a", "b")
+    }),
+
+    // whole-document fingerprint (md5 over normalized text)
+    "q_doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // exact cosine top-k against one query vector
+    "q_emb_knn" -> ((s, dir) => {
+      Similarity.topK(emb(s, dir), "vec_id", "embedding", queryVec(s, dir), 10)
+    }),
+
+    // top-n most-similar pairs (embedding near-dup, brute verification)
+    "q_emb_top_pairs" -> ((s, dir) => {
+      Similarity.topPairs(emb(s, dir).filter(col("vec_id") < 100),
+        "vec_id", "embedding", 5)
+    }),
+
+    // MinHash+LSH near-dup: planted duplicate must surface (rows-only —
+    // the oracle can't run banded LSH; exactness covered by q_doc_jaccard)
+    "q_doc_minhash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(1000000L))
+      Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash sketches (pairs property-tested in OpsSpec)
+    "q_doc_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
+    }),
+
+    // language ID heuristic (documents.lang is synthetic label noise, so
+    // rows-only here; real-language behavior covered in OpsSpec)
+    "q_doc_langid" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_guess")).orderBy("doc_id")
+    }),
+
+    // winnowing fingerprint sketch sizes
+    "q_doc_winnow" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.winnowingUdf()(col("text"))).as("n_fps")).orderBy("doc_id")
+    }),
+
+    // LSH-bucketed approximate top-k (recall vs brute tested in OpsSpec)
+    "q_emb_lsh" -> ((s, dir) => {
+      val bucketed = Similarity.buildLsh(emb(s, dir), "vec_id", "embedding")
+      Similarity.lshTopK(bucketed, "vec_id", "embedding", queryVec(s, dir), 10)
+    }),
+
+    // multimodal plumbing: binary column -> batched decode/featurize
+    "q_mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.batchFeaturize(media)
+        .select(col("id"), col("meta.format").as("format"),
+          col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"))
+        .orderBy("id")
+    }),
+  )
+
+  private val BpeishRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val PunctClass = "[^!-/:-@\\[-`{-~]"
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")
+  private val cosSql =
+    "list_dot_product(va, vb) / sqrt(list_dot_product(va, va)) / sqrt(list_dot_product(vb, vb))"
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$BpeishRe')) AS INTEGER) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS digit_cnt,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n
+         |  FROM documents)
+         |SELECT doc_id, stop_cnt, punct_cnt, digit_cnt,
+         |  round((least(n/100.0, 1.0)
+         |       + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |       + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |      ) / 3.0, 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_doc_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS canonical,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_doc_jaccard" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),'\s+'))) AS tok
+        |           FROM documents WHERE doc_id < 40),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id),
+        |inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+        |          FROM t ta JOIN t tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 4) >= 0.9
+        |ORDER BY a, b""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_emb_knn" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round($cosSql, 4) AS sim
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings), q
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_emb_top_pairs" ->
+      s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings WHERE vec_id < 100) ea
+         |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id < 100) eb
+         |  ON ea.vec_id < eb.vec_id
+         |ORDER BY sim DESC, a, b LIMIT 5""".stripMargin,
+  )
+}

@@ -132,9 +132,3 @@ object RelationalQueries {
   )
 }
 
-/** Training-data pipeline operators (dedup / similarity / text analysis)
-  * over the documents + embeddings tables. */
-object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
-}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.functions.Hash64
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle shape that survives scale-up:
+  *
+  *  - exact: one `groupBy(content hash)` — the canonical map-side-combine
+  *    aggregation, no pairwise work;
+  *  - MinHash+LSH: per-doc signature (narrow), band-bucket `groupBy`
+  *    (shuffle on band hash), pairwise work only WITHIN buckets — the
+  *    classic way to keep near-dup detection out of O(n²);
+  *  - SimHash: 64-bit sketch, candidate pairs via 16-bit chunk buckets
+  *    (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal);
+  *  - token-set Jaccard: inverted-index self-join (shuffle on token),
+  *    exact but bounded by posting-list sizes — used to verify the
+  *    sketch-based candidates;
+  *  - embedding cosine: threshold/top-k pairs (brute for verification,
+  *    LSH-bucketed in [[Similarity]] as the scale path).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: (key, canonical_id, cnt) per group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("cnt"))
+
+  private def seededHash(s: String, seed: Long): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+
+  /** n-word shingles of a document. */
+  def shingles(text: String, n: Int): Seq[String] = {
+    if (text == null) return Nil
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Seq(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  /** MinHash signature: k minima over seeded XXH64 of the shingle set —
+    * one pass per doc, no shuffle. */
+  def minhashUdf(k: Int, shingleN: Int) = udf { (text: String) =>
+    val sh = shingles(text, shingleN).distinct
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      val it = sh.iterator
+      while (it.hasNext) {
+        val h = seededHash(it.next(), i.toLong)
+        if (h < m) m = h
+      }
+      sig(i) = if (sh.isEmpty) 0L else m
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band table: (id, band, band_hash) — r rows per doc. */
+  def minhashBands(sigs: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val k = bands // rows-per-band derived from signature length at runtime
+    sigs.select(col(idCol).as("id"),
+        posexplode(transformBands(col(sigCol), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Split a signature array into `bands` slices and hash each slice. */
+  private def transformBands(sig: Column, bands: Int): Column = {
+    val rows = size(sig) / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string")))))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Pairwise expansion happens only inside buckets. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, shingleN: Int = 3, bands: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      minhashUdf(k, shingleN)(col(textCol)).as("sig"))
+    val bandTable = minhashBands(sigs, "id", "sig", bands)
+    bandTable.as("A").join(bandTable.as("B"),
+        col("A.band") === col("B.band") &&
+        col("A.band_hash") === col("B.band_hash") &&
+        col("A.id") < col("B.id"))
+      .select(col("A.id").as("a"), col("B.id").as("b")).distinct()
+  }
+
+  /** MinHash candidates verified with exact token-shingle Jaccard. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, shingleN: Int = 3, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, shingleN, bands)
+    val docs = df.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+    val withText = cands
+      .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("jtext", "ta"), "a")
+      .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("jtext", "tb"), "b")
+    val jacc = udf { (ta: String, tb: String) =>
+      val sa = shingles(ta, shingleN).toSet
+      val sb = shingles(tb, shingleN).toSet
+      val inter = sa.intersect(sb).size.toDouble
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter / union
+    }
+    withText.withColumn("jaccard", jacc(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset. */
+  def simhashUdf = udf { (text: String) =>
+    val toks = if (text == null) Array.empty[String]
+      else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = Hash64.hashString(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
+    * candidates via equal 16-bit chunks (pigeonhole), verified with
+    * bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+    val chunks = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    chunks.as("A").join(chunks.as("B"),
+        col("A.chunk") === col("B.chunk") &&
+        col("A.chunk_val") === col("B.chunk_val") &&
+        col("A.id") < col("B.id"))
+      .select(col("A.id").as("a"), col("B.id").as("b"),
+        expr("bit_count(A.sim ^ B.sim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard pairs via inverted-index self-join —
+    * (a, b, jaccard) for pairs ≥ threshold. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("A").join(toks.as("B"),
+        col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
+      .groupBy(col("A.id").as("a"), col("B.id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

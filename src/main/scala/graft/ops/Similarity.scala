@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.functions.Hash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a single projection +
+  * global top-k (TakeOrderedAndProject — no full sort materialization).
+  * The scale path is sign-random-projection LSH: a deterministic set of
+  * hyperplanes buckets vectors by sign pattern; queries search only
+  * matching buckets (optionally multi-probing 1-bit-flipped neighbors).
+  * At 100 TB the bucket table is the only shuffle, and per-bucket
+  * candidate sets stay small.
+  *
+  * Dot products run in double precision via codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no UDF on the hot path.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double (deterministic left-to-right summation). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k by cosine against one query vector. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    emb.select(col(idCol),
+        round(cosine(col(vecCol), lit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplanes: `planes` pseudo-random unit directions
+    * seeded from the plane index — same buckets on every run/cluster. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Float]] =
+    Array.tabulate(planes) { p =>
+      val v = Array.tabulate(dim) { i =>
+        val h = Hash64.hashString(s"$seed:$p:$i")
+        // map hash to (-1, 1)
+        (h.toDouble / Long.MaxValue.toDouble).toFloat
+      }
+      v
+    }
+
+  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
+  def bucketUdf(planes: Array[Array[Float]]) = udf { (vec: Seq[Float]) =>
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val plane = planes(p)
+      var i = 0
+      val n = math.min(plane.length, vec.length)
+      while (i < n) { dot += plane(i) * vec(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Bucket the corpus once (materialize + reuse across queries). */
+  def buildLsh(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 12, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(dim, planes)
+    emb.select(col(idCol), col(vecCol), bucketUdf(hp)(col(vecCol)).as("bucket"))
+  }
+
+  /** Approximate top-k: search the query's bucket plus all 1-bit-flip
+    * neighbor buckets (multi-probe), then exact cosine within. */
+  def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, planes: Int = 12): DataFrame = {
+    val hp = hyperplanes(query.length, planes)
+    var bucket = 0L
+    for (p <- hp.indices) {
+      var dot = 0.0
+      for (i <- query.indices) dot += hp(p)(i) * query(i)
+      if (dot >= 0) bucket |= (1L << p)
+    }
+    val probes = bucket +: (0 until planes).map(b => bucket ^ (1L << b))
+    bucketed.filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), lit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-n most similar pairs within a corpus slice (brute; used for
+    * embedding-near-dup verification at test scale). */
+  def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(n)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All hot
+  * paths are Catalyst column expressions (codegen'd, no UDF) except the
+  * winnowing fingerprint, which is a single-pass Scala UDF.
+  *
+  * Scale: every operator is per-row (embarrassingly parallel, no
+  * shuffle); a 100 TB corpus maps straight through a projection.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish pre-tokenization count: letter runs, digit runs, and single
+    * punctuation marks — the GPT-2-style pre-tokenizer word classes. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Compact English stopword set, shared with the quality oracle. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "this", "be", "are")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(wsTokens(lower(text)), t => t.isin(EnStopwords: _*)))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  /** Heuristic quality score in [0,1]: favors texts with a healthy
+    * stopword ratio, moderate length, and low punctuation density —
+    * the usual cheap pre-filter shape for web-scale corpora. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / greatest(n, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val lengthTerm = least(n / lit(100.0), lit(1.0))
+    val stopTerm = least(stopRatio * lit(5.0), lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio * lit(10.0), lit(0.0))
+    round((lengthTerm + stopTerm + punctTerm) / lit(3.0), 4)
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"))
+
+  /** N-gram/stopword-profile language ID: CJK codepoints → zh, else the
+    * profile with the most token hits (en on ties/zero — the unknown
+    * bucket a downstream filter would route to review). */
+  def languageId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val hits = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = hits.tail.foldLeft[(Column, Column)]((lit(hits.head._1), hits.head._2)) {
+      case ((bestLang, bestHits), (lang, h)) =>
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }._1
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(best)
+  }
+
+  /** Whole-document fingerprint over whitespace-normalized text —
+    * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling-hash all k-grams, keep the minimum per sliding window of w —
+    * the standard near-dup/plagiarism sketch. Single-pass scalar UDF. */
+  def winnowingUdf(k: Int = 5, w: Int = 4) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+      if (s.length < k) Array.empty[Long]
+      else {
+        val n = s.length - k + 1
+        val hashes = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hashes(i) = graft.functions.Hash64.hashString(s.substring(i, i + k))
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var j = 0
+        while (j + w <= n) {
+          var m = hashes(j); var x = j + 1
+          while (x < j + w) { if (hashes(x) < m) m = hashes(x); x += 1 }
+          out += m
+          j += 1
+        }
+        out.toArray
+      }
+    }
+  }
+}
