@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one named query (optionally after warmup) and dump its
+  * formatted physical plan — the `.explain`-and-iterate loop of the
+  * build instructions. Usage:
+  *   runMain graft.Inspect <queryName> [sfDir] [--explain] [--cold]
+  */
+object Inspect {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.01")
+    val doExplain = args.contains("--explain")
+    val cold = args.contains("--cold")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // dictionaries are classic broadcast dims at bench scale; at true
+      // cluster scale AQE falls back to SMJ automatically past the limit
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!cold) SparkEntry.warmup(spark, sfDir)
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      println(f"[inspect] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      if (doExplain && i == 1) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

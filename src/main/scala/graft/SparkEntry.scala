@@ -29,6 +29,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RdfQueries.queries ++ PipelineQueries.queries
 
+  /** One-time store/index builds (the ingest phase in real usage — the
+    * DuckDB baseline likewise queries a prebuilt database). Bench calls
+    * this before timing so per-query numbers are steady-state. */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    val ctx = graft.rdfize.Rdfize.ctx(spark, sfDir)
+    ctx.fts.foreach(_.postings.count()) // materialize the persisted postings
+    graft.rdfize.Rdfize.semantic(spark, sfDir)
+  }
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RdfQueries.oracle ++ PipelineQueries.oracle
 }

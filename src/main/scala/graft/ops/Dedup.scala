@@ -90,22 +90,33 @@ object Dedup {
       .select(col("A.id").as("a"), col("B.id").as("b")).distinct()
   }
 
-  /** MinHash candidates verified with exact token-shingle Jaccard. */
+  /** MinHash candidates verified with exact token-shingle Jaccard.
+    * Shingle sets are computed ONCE per doc and joined to the candidate
+    * pairs — a doc appearing in many band-collision pairs must not
+    * re-shingle per pair (that turns heavy-vocab corpora quadratic). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, shingleN: Int = 3, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, shingleN, bands)
-    val docs = df.select(col(idCol).as("jid"), col(textCol).as("jtext"))
-    val withText = cands
-      .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("jtext", "ta"), "a")
-      .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("jtext", "tb"), "b")
-    val jacc = udf { (ta: String, tb: String) =>
-      val sa = shingles(ta, shingleN).toSet
-      val sb = shingles(tb, shingleN).toSet
-      val inter = sa.intersect(sb).size.toDouble
-      val union = sa.size + sb.size - inter
-      if (union == 0) 0.0 else inter / union
+    val shingleUdf = udf { (text: String) =>
+      shingles(text, shingleN).distinct.map(Hash64.hashString).sorted.toArray
     }
-    withText.withColumn("jaccard", jacc(col("ta"), col("tb")))
+    val docs = df.select(col(idCol).as("jid"),
+      shingleUdf(col(textCol)).as("sh")).persist()
+    val jacc = udf { (sa: Seq[Long], sb: Seq[Long]) =>
+      // both inputs sorted -> linear merge intersection
+      var i = 0; var j = 0; var inter = 0
+      while (i < sa.length && j < sb.length) {
+        val c = java.lang.Long.compare(sa(i), sb(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      val union = sa.length + sb.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val withSets = cands
+      .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("sh", "sa"), "a")
+      .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("sh", "sb"), "b")
+    withSets.withColumn("jaccard", jacc(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
