@@ -18,6 +18,7 @@ object Inspect {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // dictionaries are classic broadcast dims at bench scale; at true
       // cluster scale AQE falls back to SMJ automatically past the limit
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")

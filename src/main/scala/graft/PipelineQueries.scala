@@ -14,6 +14,18 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS), which Spark's reader only
+    * surfaces as a long (spark.sql.legacy.parquet.nanosAsLong) — convert
+    * to a microsecond timestamp at the read edge. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer div — `/` would go through double and lose precision at
+      // 1.7e18 ns (beyond double's 2^53 exact-integer range)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -106,6 +118,24 @@ object PipelineQueries {
       Similarity.lshTopK(bucketed, "vec_id", "embedding", queryVec(s, dir), 10)
     }),
 
+    // windowed event aggregation — the SAME function serves streaming
+    // (readStream + watermark, see graft.streaming.Streaming) and this
+    // batch-mode oracle check
+    "q_events_window" -> ((s, dir) => {
+      graft.streaming.Streaming.hourlyEventStats(events(s, dir))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // gap-based sessionization with custom state (flatMapGroupsWithState)
+    "q_events_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val evts = events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streaming.Event]
+      graft.streaming.Streaming.sessionize(evts, gapMinutes = 30)
+        .toDF().orderBy("user_id", "startMs")
+    }),
+
     // multimodal plumbing: binary column -> batched decode/featurize
     "q_mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -167,6 +197,23 @@ object PipelineQueries {
          |SELECT vec_id, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings), q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS startMs, max(t) AS endMs,
+        |  CAST(count(*) AS INTEGER) AS events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, startMs""".stripMargin,
     "q_emb_top_pairs" ->
       s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings WHERE vec_id < 100) ea

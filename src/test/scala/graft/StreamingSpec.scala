@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Event(1, ts(5), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(65), 1, "view", 3.0),
+    Event(4, ts(8), 2, "click", 4.0),
+    // user 1 returns after a >30min gap -> second session
+    Event(5, ts(120), 1, "click", 5.0))
+
+  test("hourlyEventStats: stream result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.hourlyEventStats(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    mem.addData(sample.take(3))
+    q.processAllAvailable()
+    mem.addData(sample.drop(3))
+    q.processAllAvailable()
+    val streamed = spark.table("hourly").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = Streaming.hourlyEventStats(sample.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.contains(("2024-01-01 00:00:00", "click", 3L)))
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    val sessions = Streaming.sessionize(sample.toDS(), gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.startMs))
+    assert(sessions.map(s => (s.user_id, s.events)).toSeq ===
+      Seq((1L, 2), (1L, 1), (1L, 1), (2L, 1)))
+    // first session of user 1 spans events 1-2 (5min gap), 65min is separate
+    assert(sessions(0).endMs - sessions(0).startMs === 5 * 60 * 1000L)
+  }
+
+  test("streamNt ingests micro-batches into warehouse deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val watch = s"$dir/watch"; val wh = s"$dir/wh"; val ckpt = s"$dir/ckpt"
+    new java.io.File(watch).mkdirs()
+    val q = Streaming.streamNt(spark, watch, wh, ckpt)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(watch, "batch1.nt"),
+      "<http://ex/a> <http://ex/p> \"v1\" .\n<http://ex/b> <http://ex/p> <http://ex/a> .\n")
+    q.processAllAvailable()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(watch, "batch2.nt"),
+      "<http://ex/c> <http://ex/p> \"v2\" .\n")
+    q.processAllAvailable()
+    q.stop()
+    val graph = new graft.store.Warehouse(spark, wh).load()
+    assert(graph.triples.count() === 3)
+    val lits = graph.literals.select("value").collect().map(_.getString(0)).toSet
+    assert(lits === Set("\"v1\"", "\"v2\""))
+    // streamed hashes must equal batch-side hashing of the same terms
+    assert(graph.iris.filter(col("value") === "<http://ex/a>").count() === 1)
+  }
+}
