@@ -86,43 +86,53 @@ object QueryEngine {
     }.distinct())
   }
 
-  /** Compile + combine the filter list into the s_results subject set.
+  private def isScoring(f: FilterQ): Boolean =
+    f.p.startsWith("fts") || f.p.startsWith("semantic")
+
+  /** Compile each filter exactly once. Scoring filters compile WITH their
+    * score column (persisted by [[query]] so the expensive FTS/vector scan
+    * runs once and feeds both the subject set and the score chain). */
+  private[algebra] def compileAll(ctx: EngineContext, opts: QueryOpts): Seq[(FilterQ, DataFrame)] =
+    opts.filters.flatMap { f =>
+      FilterCompiler.compile(ctx, f, withScore = isScoring(f)).map(f -> _)
+    }
+
+  /** Combine the compiled filters into the s_results subject set.
     * Unrecognized filters and unknown ops are silently dropped
     * (query.py:659-669). */
-  def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] = {
+  def subjectsFromCompiled(compiled: Seq[(FilterQ, DataFrame)]): Option[DataFrame] = {
     var items = Vector.empty[(String, DataFrame)]
     var excepts = Vector.empty[(String, DataFrame)]
-    for (f <- opts.filters) {
-      FilterCompiler.compile(ctx, f) match {
-        case None => ()
-        case Some(df) =>
-          val op = f.op
-          if (items.isEmpty) items :+= ("seed" -> df)
-          else if (op == "should" || op == "or") items :+= ("union" -> df)
-          else if (op == "must" || op == "and") items :+= ("intersect" -> df)
-          else if (op == "not") excepts :+= ("except" -> df)
-        // other op values: filter contributes nothing (reference parity)
-      }
+    for ((f, dfRaw) <- compiled) {
+      val df = if (isScoring(f)) dfRaw.select("s").distinct() else dfRaw
+      val op = f.op
+      if (items.isEmpty) items :+= ("seed" -> df)
+      else if (op == "should" || op == "or") items :+= ("union" -> df)
+      else if (op == "must" || op == "and") items :+= ("intersect" -> df)
+      else if (op == "not") excepts :+= ("except" -> df)
+      // other op values: filter contributes nothing (reference parity)
     }
     combineSets(items ++ excepts)
   }
 
+  def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
+    subjectsFromCompiled(compileAll(ctx, opts))
+
   /** Parallel score chain over the scoring (fts/semantic) filters —
     * UNION/INTERSECT only, first scoring filter seeds regardless of its op
     * (query.py:644-655); result is max(score) per subject. */
-  def scoreChain(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] = {
+  def scoreChainFromCompiled(compiled: Seq[(FilterQ, DataFrame)]): Option[DataFrame] = {
     var items = Vector.empty[(String, DataFrame)]
-    for (f <- opts.filters if f.p.startsWith("fts") || f.p.startsWith("semantic")) {
-      FilterCompiler.compile(ctx, f, withScore = true) match {
-        case None => ()
-        case Some(df) =>
-          if (items.isEmpty) items :+= ("seed" -> df)
-          else if (f.op == "should" || f.op == "or") items :+= ("union" -> df)
-          else if (f.op == "must" || f.op == "and") items :+= ("intersect" -> df)
-      }
+    for ((f, df) <- compiled if isScoring(f)) {
+      if (items.isEmpty) items :+= ("seed" -> df.select("s", "score"))
+      else if (f.op == "should" || f.op == "or") items :+= ("union" -> df.select("s", "score"))
+      else if (f.op == "must" || f.op == "and") items :+= ("intersect" -> df.select("s", "score"))
     }
     combineSets(items).map(_.groupBy("s").agg(max("score").as("score")))
   }
+
+  def scoreChain(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
+    scoreChainFromCompiled(compileAll(ctx, opts))
 
   // ------------------------------------------------------------ sort + page
 
@@ -341,10 +351,14 @@ object QueryEngine {
     val spark = ctx.graph.spark
     import spark.implicits._
 
-    val sResultsOpt = subjects(ctx, opts)
+    // one compile per filter; scoring DFs persisted so the FTS/vector
+    // scan feeds both the subject set and the score chain
+    val compiled = compileAll(ctx, opts)
+    val persistedScoring = compiled.collect { case (f, df) if isScoring(f) => df.persist() }
+    val sResultsOpt = subjectsFromCompiled(compiled)
     var aggregates = Map.empty[String, Seq[(Long, String)]]
 
-    sResultsOpt match {
+    try sResultsOpt match {
       case None =>
         // no (valid) filters: only the whole-DB special aggregates run
         for (agg <- opts.aggregates if agg == "properties" || agg == "graphs")
@@ -357,7 +371,7 @@ object QueryEngine {
         val sResults = sResultsRaw.persist()
         try {
           val total = sResults.count()
-          val sByScore = scoreChain(ctx, opts)
+          val sByScore = scoreChainFromCompiled(compiled)
           val wanted = wantedPage(ctx, opts, sResults, sByScore)
             .persist()
           try {
@@ -416,7 +430,7 @@ object QueryEngine {
             QueryResult(results, total, opts.size, opts.start, aggregates)
           } finally wanted.unpersist()
         } finally sResults.unpersist()
-    }
+    } finally persistedScoring.foreach(_.unpersist())
   }
 
   def queryJson(ctx: EngineContext, optsJson: String): String =

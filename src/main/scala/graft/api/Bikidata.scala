@@ -88,6 +88,21 @@ final class Bikidata(
     }
   }
 
+  /** Async variant mirroring the reference's queue tier
+    * (workers.py:115-128): same md5-keyed cache, 60 s default timeout.
+    * Spark jobs are already cluster-parallel, so the "worker pool" is the
+    * session's scheduler rather than forked OS processes. */
+  def queryAsync(optsJson: String, timeoutSeconds: Int = 60): scala.concurrent.Future[String] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    val f = Future(queryJson(optsJson))
+    val timeout = Future {
+      Thread.sleep(timeoutSeconds * 1000L)
+      throw new java.util.concurrent.TimeoutException(s"query timed out after ${timeoutSeconds}s")
+    }
+    Future.firstCompletedOf(Seq(f, timeout))
+  }
+
   def spo(s: Option[String] = None, p: Option[String] = None,
       o: Option[String] = None, g: Option[String] = None,
       size: Int = 1000, start: Int = 0): DataFrame =
