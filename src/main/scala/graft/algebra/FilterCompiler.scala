@@ -103,7 +103,9 @@ object FilterCompiler {
     } else if (p.startsWith("semantic")) {
       ctx.semantic.map { sem =>
         val qvec = ctx.embedder.embedOne(o)
-        val dist = Semantic.cosineDistanceUdf(col("vec"), lit(qvec))
+        // codegen'd Catalyst expression — no per-row boxing (Hash64-style
+        // wrapper over graft.functions.CosineDistance)
+        val dist = graft.functions.CosineDistance(col("vec"), lit(qvec))
         val scored = sem.withColumn("distance", dist)
           .filter(col("distance") < 0.5)
           .withColumn("score", lit(1.0) / col("distance"))

@@ -169,6 +169,39 @@ class EngineSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("<http://ex/leia>", label, "\"Leia Organa\"")))
   }
 
+  test("sp batch lookup") {
+    val rows = QueryEngine.sp(ctx,
+      Seq("<http://ex/luke>", "<http://ex/leia>"), Some(homeworld))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(
+      "<http://ex/luke>" -> "<http://ex/tatooine>",
+      "<http://ex/leia>" -> "<http://ex/alderaan>"))
+  }
+
+  test("CosineDistance expression matches the UDF on all edge shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical -> 0
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal -> 1
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f)), // opposite -> 2
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),   // zero vector -> null
+      (Array(1.0f), Array(1.0f, 2.0f))          // length mismatch -> null
+    ).toDF("a", "b")
+    val both = df.select(
+      graft.functions.CosineDistance(col("a"), col("b")).as("expr"),
+      graft.semantic.Semantic.cosineDistanceUdf(col("a"), col("b")).as("udf"))
+      .collect()
+    both.foreach { r =>
+      val e = if (r.isNullAt(0)) null else r.getDouble(0)
+      val u = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(e === u)
+    }
+    assert(math.abs(both(0).getDouble(0)) < 1e-12)
+    assert(math.abs(both(2).getDouble(0) - 2.0) < 1e-12)
+    assert(both(3).isNullAt(0) && both(4).isNullAt(0))
+  }
+
   test("total and properties lookups") {
     assert(QueryEngine.total(ctx) === 11) // distinct subjects incl bnode
     val props = QueryEngine.properties(ctx).collect()
