@@ -23,8 +23,13 @@ object RdfQueries {
 
   /** Decode a subject-hash set to sorted IRI strings. */
   private def decodeS(ctx: EngineContext, df: DataFrame): DataFrame =
-    df.join(ctx.graph.iris, df("s") === ctx.graph.iris("hash"))
-      .select(col("value").as("s")).orderBy("s")
+    QueryEngine.decoded(ctx, df.select(col("s").as("sh")), "sh", "s", inner = true)
+      .select("s").orderBy("s")
+
+  /** Decode the (s, pos) page keeping order. */
+  private def decodePage(ctx: EngineContext, wanted: DataFrame): DataFrame =
+    QueryEngine.decoded(ctx, wanted, "s", "sval", inner = true)
+      .select(col("sval").as("s"), col("pos")).orderBy("pos")
 
   private def subjects(ctx: EngineContext, filters: FilterQ*): DataFrame =
     QueryEngine.subjects(ctx, QueryOpts(filters = filters)).get
@@ -133,8 +138,7 @@ object RdfQueries {
         order = Seq(OrderRule(by = "label")))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
-        .select(col("value").as("s"), col("pos")).orderBy("pos")
+      decodePage(ctx, wanted)
     }),
 
     // §2.8 order by arbitrary property
@@ -149,8 +153,7 @@ object RdfQueries {
         order = Seq(OrderRule(by = "property", prop = Some(predIri("customer", "c_name")))))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
-        .select(col("value").as("s"), col("pos")).orderBy("pos")
+      decodePage(ctx, wanted)
     }),
 
     // §2.8 natural sort + pagination (offset crosses numeric prefixes)
@@ -162,8 +165,7 @@ object RdfQueries {
         size = 10, start = 5)
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      wanted.join(ctx.graph.iris, wanted("s") === col("hash"))
-        .select(col("value").as("s"), col("pos")).orderBy("pos")
+      decodePage(ctx, wanted)
     }),
 
     // §2.8 order by label of referenced object (set check; pos ties break
@@ -173,8 +175,8 @@ object RdfQueries {
       val sres = subjects(ctx, FilterQ(p = predIri("supplier", "s_nationkey")))
       val (sorted, _) = Ordering.sortedSubjects(ctx, sres,
         OrderRule(by = "object_label", via = Some(ParentIri)))
-      sorted.join(ctx.graph.iris, sorted("s") === col("hash"))
-        .select(col("value").as("s"), col("sort_label")).orderBy("s")
+      QueryEngine.decoded(ctx, sorted, "s", "sval", inner = true)
+        .select(col("sval").as("s"), col("sort_label")).orderBy("s")
     }),
 
     // §2.5 facet by property over the filtered set
@@ -231,15 +233,16 @@ object RdfQueries {
       val p = QueryEngine.paths(ctx, ParentIri, wanted)
       // decode: '/'-joined ancestor IRIs, self excluded (reference
       // excludes val == entity from _paths, query.py:864)
-      val exploded = p.select(col("source"), posexplode(col("path")))
-        .filter(col("col") =!= col("source"))
-        .join(ctx.graph.iris, col("col") === col("hash"))
+      val exploded = QueryEngine.decoded(ctx,
+          p.select(col("source"), posexplode(col("path")))
+            .filter(col("col") =!= col("source")),
+          "col", "value", inner = true)
         .groupBy("source")
         .agg(concat_ws("/", transform(
           array_sort(collect_list(struct(col("pos"), col("value")))),
           x => x.getField("value"))).as("path"))
-      exploded.join(ctx.graph.iris, exploded("source") === col("hash"))
-        .select(col("value").as("s"), col("path")).orderBy("s")
+      QueryEngine.decoded(ctx, exploded, "source", "sval", inner = true)
+        .select(col("sval").as("s"), col("path")).orderBy("s")
     }),
 
     // §2.1 delete (anti-join semantics) — triple count drops by one

@@ -10,14 +10,41 @@ import org.apache.spark.sql.functions._
 /** Everything a query needs besides the opts: the graph, the optional
   * derived indexes, the embedding provider, and a sample seed (the
   * reference's `random N` is nondeterministic, query.py:155-164; a fixed
-  * seed makes tests reproducible). */
+  * seed makes tests reproducible).
+  *
+  * `dictBroadcast` is the decode fast path: when the term dictionary fits
+  * on the driver (serving sessions at test/warehouse scale), hash→string
+  * decode becomes a broadcast-map lookup instead of a per-query join —
+  * the join would re-broadcast (or shuffle) the whole dictionary for
+  * every page decode. At corpus scales where the dictionary cannot fit,
+  * leave it None and every decode falls back to the join path. */
 final case class EngineContext(
     graph: Graph,
     fts: Option[FtsIndex] = None,
     semantic: Option[DataFrame] = None, // literals_semantic (hash=subject, vec)
     embedder: Embedder = HashingEmbedder(),
     sampleSeed: Long = 42L,
-    maxPathIterations: Int = 50)
+    maxPathIterations: Int = 50,
+    dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None) {
+
+  /** Decode column via the broadcast map (None => use the join path). */
+  def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
+    dictBroadcast.map { b =>
+      org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull).apply(c)
+    }
+}
+
+object EngineContext {
+  /** Collect + broadcast the dictionary when it is bounded. */
+  def withDictBroadcast(ctx: EngineContext, maxEntries: Long = 5000000L): EngineContext = {
+    val n = ctx.graph.dict.count()
+    if (n > maxEntries) ctx
+    else {
+      val m = ctx.graph.dict.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      ctx.copy(dictBroadcast = Some(ctx.graph.spark.sparkContext.broadcast(m)))
+    }
+  }
+}
 
 /** Compiles one [[FilterQ]] into a subject-set DataFrame — the Spark
   * counterpart of the reference's `q_to_sql` (query.py:122-218). Every
@@ -53,7 +80,9 @@ object FilterCompiler {
     var acc = t0
     for (i <- 1 to hops) {
       val t = ctx.graph.triples.as(s"T$i")
-      acc = t.join(acc.as(s"A$i"), col(s"T$i.o") === col(s"A$i.s"))
+      // the accumulated subject set is the filtered (small) side — hint it
+      // broadcast so the full triples relation never shuffles per hop
+      acc = t.join(broadcast(acc.as(s"A$i")), col(s"T$i.o") === col(s"A$i.s"))
         .select(col(s"T$i.s").as("s") +: extra.map(c => col(s"A$i.$c")): _*)
     }
     acc
@@ -123,14 +152,14 @@ object FilterCompiler {
         .filter(col("value").rlike("^(?:" + o + ")$"))
         .select(col("hash").as("lhash"))
       val t0 = propFilter(withG(triples))
-        .join(lits, col("o") === col("lhash"))
+        .join(broadcast(lits), col("o") === col("lhash"))
         .select("s")
       Some(hopUp(ctx, t0, hops, Nil).distinct())
     } else if (p.startsWith("fts")) {
       ctx.fts.map { idx =>
         val scored = idx.matchBm25(o).withColumnRenamed("hash", "mhash")
         val t0 = propFilter(withG(triples))
-          .join(scored, col("o") === col("mhash"))
+          .join(broadcast(scored), col("o") === col("mhash"))
         val base = t0.select(col("s"), col("score"))
         val walked = hopUp(ctx, base, hops, Seq("score"))
         (if (withScore) walked.select("s", "score") else walked.select("s")).distinct()

@@ -188,20 +188,32 @@ object QueryEngine {
     joined.distinct()
   }
 
+  /** Decode one hash column to its term string: broadcast-map lookup when
+    * available, dictionary join otherwise. `inner` drops undecodable rows
+    * (join parity with the reference's inner dictionary joins). */
+  def decoded(ctx: EngineContext, df: DataFrame, hashCol: String, outCol: String,
+      inner: Boolean = false): DataFrame =
+    ctx.decodeExpr(col(hashCol)) match {
+      case Some(e) =>
+        val d = df.withColumn(outCol, e)
+        if (inner) d.filter(col(outCol).isNotNull) else d
+      case None =>
+        val dict = ctx.graph.dict
+          .withColumnRenamed("hash", s"__h_$outCol")
+          .withColumnRenamed("value", outCol)
+        df.join(dict, col(hashCol) === col(s"__h_$outCol"),
+            if (inner) "inner" else "left")
+          .drop(s"__h_$outCol")
+    }
+
   /** Decoded hydration for DataFrame consumers: N3 surface strings.
-    * Output (s, p, o, g, pos) string columns, ordered by (pos, p, o). */
+    * Output (s, p, o, g, pos) string columns. */
   def hydrateDecoded(ctx: EngineContext, opts: QueryOpts, wanted: DataFrame): DataFrame = {
     val rows = hydrate(ctx, opts, wanted)
-    val iris = ctx.graph.iris
-    val dict = ctx.graph.dict
-    rows.as("R")
-      .join(iris.as("DS"), col("R.s") === col("DS.hash"), "left")
-      .join(iris.as("DP"), col("R.p") === col("DP.hash"), "left")
-      .join(dict.as("DO"), col("R.o") === col("DO.hash"), "left")
-      .join(iris.as("DG"), col("R.g") === col("DG.hash"), "left")
-      .select(
-        col("DS.value").as("s"), col("DP.value").as("p"),
-        col("DO.value").as("o"), col("DG.value").as("g"), col("R.pos"))
+    val out = Seq(("s", "s_str"), ("p", "p_str"), ("o", "o_str"), ("g", "g_str"))
+      .foldLeft(rows) { case (df, (h, o)) => decoded(ctx, df, h, o) }
+    out.select(col("s_str").as("s"), col("p_str").as("p"),
+      col("o_str").as("o"), col("g_str").as("g"), col("pos"))
   }
 
   // ---------------------------------------------------------------- facets
@@ -215,33 +227,30 @@ object QueryEngine {
     val iris = ctx.graph.iris
     val joined = t.join(sResults.select("s").as("S"), Seq("s"), "left_semi")
     agg match {
-      case "graphs" =>
-        joined.groupBy(col("g")).agg(count(lit(1)).as("count"))
-          .join(iris, col("g") === col("hash"))
-          .select(col("count"), col("value").as("val"))
-      case "properties" =>
-        joined.groupBy(col("p")).agg(count(lit(1)).as("count"))
-          .join(iris, col("p") === col("hash"))
-          .select(col("count"), col("value").as("val"))
+      case "graphs" | "properties" =>
+        val keyCol = if (agg == "graphs") "g" else "p"
+        // decode AFTER the aggregation: tiny row set, bijective via hash
+        decoded(ctx, joined.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
+            keyCol, "val", inner = true)
+          .select(col("count"), col("val"))
       case propIri =>
         val filtered = joined.filter(col("p") === h(propIri))
         val counts = filtered.groupBy(col("o")).agg(count(lit(1)).as("count"))
-        val iriBranch = counts.join(iris, col("o") === col("hash"))
-          .select(col("count"), col("value").as("val"))
-        val litBranch = counts.join(ctx.graph.literals, col("o") === col("hash"))
-          .select(col("count"), col("value").as("val"))
-        iriBranch.union(litBranch).orderBy(col("count").desc, col("val").asc)
+        // iris ∪ literals branches of the reference = one dict decode
+        // (every hash lives in exactly one dictionary)
+        decoded(ctx, counts, "o", "val", inner = true)
+          .select(col("count"), col("val"))
+          .orderBy(col("count").desc, col("val").asc)
     }
   }
 
   /** Whole-DB facet when no filters are present (query.py:825-832). */
   def facetWholeDb(ctx: EngineContext, agg: String): DataFrame = {
     val t = ctx.graph.triples
-    val iris = ctx.graph.iris
     val keyCol = if (agg == "graphs") "g" else "p"
-    t.groupBy(col(keyCol)).agg(count(lit(1)).as("count"))
-      .join(iris, col(keyCol) === col("hash"))
-      .select(col("count"), col("value").as("val"))
+    decoded(ctx, t.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
+        keyCol, "val", inner = true)
+      .select(col("count"), col("val"))
   }
 
   // ----------------------------------------------------------------- paths
@@ -296,17 +305,25 @@ object QueryEngine {
     p.filter(_.nonEmpty).foreach(v => t = t.filter(col("p") === h(v)))
     o.filter(_.nonEmpty).foreach(v => t = t.filter(col("o") === h(v)))
     g.filter(_.nonEmpty).foreach(v => t = t.filter(col("g") === h(v)))
-    val iris = ctx.graph.iris
-    val lits = ctx.graph.literals
-    t.as("T")
-      .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
-      .join(iris.as("UU"), col("T.p") === col("UU.hash"), "left")
-      .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
-      .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
-      .select(
-        col("U.value").as("s"), col("UU.value").as("p"),
-        coalesce(col("UUU.value"), col("L.value")).as("o"))
-      .offset(start).limit(size)
+    ctx.dictBroadcast match {
+      case Some(_) =>
+        val out = Seq(("s", "s_str"), ("p", "p_str"), ("o", "o_str"))
+          .foldLeft(t) { case (df, (hc, oc)) => decoded(ctx, df, hc, oc) }
+        out.select(col("s_str").as("s"), col("p_str").as("p"), col("o_str").as("o"))
+          .offset(start).limit(size)
+      case None =>
+        val iris = ctx.graph.iris
+        val lits = ctx.graph.literals
+        t.as("T")
+          .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
+          .join(iris.as("UU"), col("T.p") === col("UU.hash"), "left")
+          .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
+          .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
+          .select(
+            col("U.value").as("s"), col("UU.value").as("p"),
+            coalesce(col("UUU.value"), col("L.value")).as("o"))
+          .offset(start).limit(size)
+    }
   }
 
   /** Batch subject+predicate lookup (query.py:38-57). */
@@ -327,20 +344,36 @@ object QueryEngine {
   def total(ctx: EngineContext): Long =
     ctx.graph.triples.select("s").distinct().count()
 
-  /** Distinct-subject count per predicate IRI (query.py:20-27). */
+  /** Distinct-subject count per predicate IRI (query.py:20-27).
+    * Aggregates on the hash FIRST (map-side combine on a Long key), then
+    * decodes the few result rows — hash↔value is bijective, so grouping
+    * by hash equals the reference's group-by-decoded-value. */
   def properties(ctx: EngineContext): DataFrame =
-    ctx.graph.triples.as("T")
-      .join(ctx.graph.iris.as("I"), col("T.p") === col("I.hash"))
-      .groupBy(col("I.value").as("value"))
-      .agg(countDistinct(col("T.s")).as("count"))
+    decoded(ctx,
+      ctx.graph.triples.groupBy(col("p"))
+        .agg(countDistinct(col("s")).as("count")),
+      "p", "value", inner = true)
+      .select(col("value"), col("count"))
 
-  /** Distinct-subject count per object IRI of one predicate (query.py:30-35). */
-  def countByProperty(ctx: EngineContext, property: String): DataFrame =
-    ctx.graph.triples.as("T")
-      .join(ctx.graph.iris.as("I"), col("T.o") === col("I.hash"))
-      .filter(col("T.p") === h(property))
-      .groupBy(col("I.value").as("value"))
-      .agg(countDistinct(col("T.s")).as("count"))
+  /** Distinct-subject count per object IRI of one predicate (query.py:30-35).
+    * The inner decode keeps IRI objects only when falling back to the join
+    * path; the broadcast path filters literals explicitly for parity. */
+  def countByProperty(ctx: EngineContext, property: String): DataFrame = {
+    val counts = ctx.graph.triples
+      .filter(col("p") === h(property))
+      .groupBy(col("o"))
+      .agg(countDistinct(col("s")).as("count"))
+    val d = ctx.dictBroadcast match {
+      case Some(_) =>
+        decoded(ctx, counts, "o", "value", inner = true)
+          .filter(!col("value").startsWith("\""))
+      case None =>
+        val iris = ctx.graph.iris
+          .withColumnRenamed("hash", "__h").withColumnRenamed("value", "value")
+        counts.join(iris, col("o") === col("__h")).drop("__h")
+    }
+    d.select(col("value"), col("count"))
+  }
 
   // ------------------------------------------------------------ full query
 
@@ -393,11 +426,15 @@ object QueryEngine {
             val toFetch = scala.collection.mutable.HashSet.empty[Long]
             pageRows.foreach { case (s, p, o, _, _) => toFetch += s; toFetch += p; toFetch += o }
             pathRows.values.foreach(_.foreach(_._2.foreach(toFetch += _)))
-            val hv: Map[Long, String] =
-              if (toFetch.isEmpty) Map.empty
-              else toFetch.toSeq.toDF("hash")
-                .join(ctx.graph.dict, "hash")
-                .as[(Long, String)].collect().toMap
+            val hv: Map[Long, String] = ctx.dictBroadcast match {
+              case Some(b) =>
+                toFetch.iterator.flatMap(h => b.value.get(h).map(h -> _)).toMap
+              case None =>
+                if (toFetch.isEmpty) Map.empty
+                else toFetch.toSeq.toDF("hash")
+                  .join(ctx.graph.dict, "hash")
+                  .as[(Long, String)].collect().toMap
+            }
 
             // assemble entities in page order
             val order = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.LinkedHashMap[Long, scala.collection.mutable.LinkedHashSet[Long]]]

@@ -38,7 +38,10 @@ final class Bikidata(
   def ctx: EngineContext = ctxOpt.getOrElse {
     val graph = warehouse.load().persist()
     val fts = FtsIndex.build(graph.literals).persist()
-    val c = EngineContext(graph, fts = Some(fts), embedder = embedder)
+    // decode via one session-wide broadcast map while the dictionary is
+    // bounded; falls back to join-decode automatically past the cap
+    val c = EngineContext.withDictBroadcast(
+      EngineContext(graph, fts = Some(fts), embedder = embedder))
     ctxOpt = Some(c)
     c
   }

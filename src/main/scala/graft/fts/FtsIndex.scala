@@ -53,10 +53,15 @@ final case class FtsIndex(
     val nTerms = terms.length
     val qterms = terms.toSeq.toDF("term")
     // df per query term (termstats is corpus-wide; restrict first)
-    val qstats = termstats.join(broadcast(qterms), "term")
+    val qstats = termstats.filter(col("term").isin(terms.toIndexedSeq: _*))
+      .join(broadcast(qterms), "term")
+    // explicit IN filter BEFORE the join: cached batches carry term
+    // min/max stats, and the term-clustered layout (see build) lets the
+    // in-memory scan skip batches instead of streaming all postings
+    val prunedPostings = postings.filter(col("term").isin(terms.toIndexedSeq: _*))
     val n = numDocs.toDouble
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val scored = postings
+    val scored = prunedPostings
       .join(broadcast(qstats.withColumn("idf", idf)), "term")
       .withColumn("subscore",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
@@ -87,6 +92,10 @@ object FtsIndex {
       .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
       .groupBy("hash", "term")
       .agg(count(lit(1)).as("tf"), first("len").as("len"))
+      // cluster by term so the persisted/cached (or parquet-written)
+      // postings skip non-matching batches on term-IN filters
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
     val termstats = postings.groupBy("term")
       .agg(countDistinct("hash").as("df"))
     // corpus stats: every doc row counts, including token-less ones

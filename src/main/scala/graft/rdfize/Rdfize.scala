@@ -121,7 +121,9 @@ object Rdfize {
       val graph = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
       graph.triples.count() // materialize the persisted tables once
       val fts = FtsIndex.build(graph.literals).persist()
-      EngineContext(graph, fts = Some(fts), embedder = HashingEmbedder(64))
+      // decode fast path: one broadcast dictionary map for the session
+      EngineContext.withDictBroadcast(
+        EngineContext(graph, fts = Some(fts), embedder = HashingEmbedder(64)))
     })
 
   /** Subject-embedding index, built on first use (semantic demos only). */

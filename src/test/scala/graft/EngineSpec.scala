@@ -229,6 +229,41 @@ class EngineSpec extends SparkSpec {
     assert(r5.error.contains("Triple does not exist, skipping delete"))
   }
 
+  test("only_properties / exclude_properties restrict hydration") {
+    val base = QueryOpts(filters = Seq(FilterQ(p = "id", o = "<http://ex/luke>")))
+    val only = QueryEngine.query(ctx, base.copy(onlyProperties = Seq(label)))
+    assert(only.results("<http://ex/luke>").props.keySet === Set(label))
+    val excl = QueryEngine.query(ctx, base.copy(excludeProperties = Seq(label)))
+    val keys = excl.results("<http://ex/luke>").props.keySet
+    assert(!keys.contains(label) && keys.contains(a))
+  }
+
+  test("graphs aggregate counts triples per named graph") {
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = "id", o = "<http://ex/vader>")),
+      aggregates = Seq("graphs"), size = 0))
+    val m = r.aggregates("graphs").map { case (c, v) => (v, c) }.toMap
+    assert(m("<http://ex/graph1>") === 3) // vader's three triples
+  }
+
+  test("order desc with nulls first") {
+    val sres = QueryEngine.subjects(ctx,
+      QueryOpts(filters = Seq(FilterQ(p = a, o = human)))).get
+    val (sorted, cols) = Ordering.sortedSubjects(ctx, sres,
+      OrderRule(by = "property", prop = Some(homeworld),
+        dir = "desc", nulls = "first"))
+    // homeworld objects are IRIs (not literals) => every sort_label null?
+    // No: property sort joins literals, so all three humans have no
+    // literal homeworld label -> all null, nulls-first keeps the set
+    val got = sorted.orderBy(cols: _*).collect()
+    assert(got.length === 3 && got.forall(_.isNullAt(1)))
+    // label-based desc ordering with a real label
+    val (s2, c2) = Ordering.sortedSubjects(ctx, sres,
+      OrderRule(by = "label", dir = "desc"))
+    val names = s2.orderBy(c2: _*).collect().map(r => Option(r.getString(1)))
+    assert(names.flatten.toSeq === names.flatten.toSeq.sorted.reverse)
+  }
+
   test("queryJson end-to-end envelope shape") {
     val json = QueryEngine.queryJson(ctx,
       s"""{"filters":[{"p":"$a","o":"$jedi"}],"size":10}""")

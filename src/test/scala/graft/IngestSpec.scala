@@ -1,0 +1,61 @@
+package graft
+
+import graft.ingest.Build
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** File-level ingest paths: plain .nt, gzipped .nt (transparent
+  * decompression, main.py:76-80), and .trig with cross-line graph state
+  * (parsed one-file-per-task). */
+class IngestSpec extends SparkSpec {
+
+  private val ntContent =
+    """<http://ex/s1> <http://ex/p> "v1" .
+      |<http://ex/s2> <http://ex/p> <http://ex/s1> .
+      |not a triple
+      |<http://ex/s3> <http://ex/p> "multi word value" .
+      |""".stripMargin
+
+  private val trigContent =
+    """<http://ex/s0> <http://ex/p> "default graph" .
+      |<http://ex/g1> {
+      |<http://ex/s1> <http://ex/p> "in g1" .
+      |}
+      |<http://ex/g2> {
+      |<http://ex/s2> <http://ex/p> "in g2" .
+      |}
+      |""".stripMargin
+
+  test("plain and gzipped .nt parse identically") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.writeString(dir.resolve("data.nt"), ntContent)
+    val gz = new GZIPOutputStream(Files.newOutputStream(dir.resolve("data.nt.gz")))
+    gz.write(ntContent.getBytes("UTF-8")); gz.close()
+
+    val plain = Build.quads(spark, Seq(dir.resolve("data.nt").toString)).collect().toSet
+    val zipped = Build.quads(spark, Seq(dir.resolve("data.nt.gz").toString)).collect().toSet
+    assert(plain === zipped)
+    assert(plain.size === 3)
+    assert(plain.exists(_.o == "\"multi word value\""))
+  }
+
+  test(".trig graph blocks survive the one-file-per-task path") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.writeString(dir.resolve("data.trig"), trigContent)
+    val quads = Build.quads(spark, Seq(dir.resolve("data.trig").toString))
+      .collect().sortBy(_.s)
+    assert(quads.map(_.g).toSeq === Seq("", "<http://ex/g1>", "<http://ex/g2>"))
+  }
+
+  test("mixed .nt + .trig input unions both paths") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.writeString(dir.resolve("a.nt"), ntContent)
+    Files.writeString(dir.resolve("b.trig"), trigContent)
+    val graph = Build.graphFromFiles(spark,
+      Seq(dir.resolve("a.nt").toString, dir.resolve("b.trig").toString))
+    assert(graph.triples.count() === 6)
+    // named graphs land in the iris dictionary
+    val iris = graph.iris.collect().map(_.getString(1)).toSet
+    assert(iris.contains("<http://ex/g1>") && iris.contains(""))
+  }
+}
