@@ -28,7 +28,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"sf":"$sfDir"}""")
+    val note = "steady-state (2nd run per query); warmup_build_sec = one-time " +
+      "RDF-ization + dictionary broadcast + FTS/semantic index build, the " +
+      "ingest phase a DuckDB baseline performs before its own timings"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"notes":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,9 +138,10 @@ object FilterCompiler {
         val scored = sem.withColumn("distance", dist)
           .filter(col("distance") < 0.5)
           .withColumn("score", lit(1.0) / col("distance"))
-        // join key is the SUBJECT hash (SURVEY §1.1): T0.s = LS.hash
+        // join key is the SUBJECT hash (SURVEY §1.1): T0.s = LS.hash;
+        // the thresholded score set is small — broadcast it
         val joined = withG(triples.as("T0"))
-          .join(scored.as("LS"), col("T0.s") === col("LS.hash"))
+          .join(broadcast(scored.as("LS")), col("T0.s") === col("LS.hash"))
         val cols = if (withScore) Seq(col("T0.s").as("s"), col("LS.score").as("score"))
                    else Seq(col("T0.s").as("s"))
         joined.select(cols: _*).distinct()
