@@ -136,6 +136,13 @@ object PipelineQueries {
         .toDF().orderBy("user_id", "startMs")
     }),
 
+    // IVF-partitioned approximate top-k (the second ANN scale path;
+    // recall vs brute tested in OpsSpec)
+    "q_emb_ivf" -> ((s, dir) => {
+      val idx = graft.ops.Ivf.build(emb(s, dir), "vec_id", "embedding")
+      graft.ops.Ivf.topK(idx, "vec_id", "embedding", queryVec(s, dir), 10)
+    }),
+
     // multimodal plumbing: binary column -> batched decode/featurize
     "q_mm_features" -> ((s, dir) => {
       import s.implicits._

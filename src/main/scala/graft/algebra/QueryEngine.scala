@@ -273,14 +273,18 @@ object QueryEngine {
     var i = 0
     var done = false
     while (!done && i < ctx.maxPathIterations) {
-      val joined = broadcast(active).join(edges, col("head") === col("part"), "left")
+      // one materialization per step: checkpoint the joined frame, then
+      // derive the finished/continuing splits lazily from it (cuts both
+      // the lineage and the per-iteration job count)
+      val joined = broadcast(active)
+        .join(edges, col("head") === col("part"), "left")
+        .localCheckpoint()
       val fin = joined.filter(col("parent").isNull)
-        .select(col("source"), col("path")).localCheckpoint()
+        .select(col("source"), col("path"))
       val nxt = joined.filter(col("parent").isNotNull)
         .select(col("source"),
           concat(col("path"), array(col("parent"))).as("path"),
           col("parent").as("head"))
-        .localCheckpoint()
       finished :+= fin
       done = nxt.isEmpty
       active = nxt

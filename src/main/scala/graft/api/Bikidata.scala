@@ -136,31 +136,47 @@ final class Bikidata(
   def raw(): SparkSession = { ctx.graph.registerViews(); spark }
 }
 
-/** CLI mirroring `python -m bikidata <file|dir>` (__main__.py:6-29). */
+/** CLI mirroring `python -m bikidata <file|dir>` (__main__.py:6-29), plus
+  * a `query` subcommand (JSON opts in, reference envelope JSON out). */
 object Main {
   private def hasSuffix(f: String): Boolean =
     f.endsWith(".gz") || f.endsWith(".nt") || f.endsWith(".trig")
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.api.Main <file.nt|dir> [warehouseDir]")
-    val warehouseDir = if (args.length > 1) args(1)
-      else sys.env.getOrElse("GRAFT_DB", "graft_warehouse")
-    val spark = SparkSession.builder()
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val target = new java.io.File(args(0))
-    val paths =
-      if (target.isDirectory)
-        target.listFiles().map(_.getPath).filter(hasSuffix).toSeq
-      else Seq(args(0))
-    val bk = new Bikidata(spark, warehouseDir)
-    val n = bk.build(paths)
-    println(s"""{"count": $n, "warehouse": "$warehouseDir"}""")
-    spark.stop()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.api.Main <file.nt|dir> [warehouseDir] | query <warehouseDir> <optsJson>")
+    args(0) match {
+      case "query" =>
+        require(args.length >= 3, "usage: graft.api.Main query <warehouseDir> <optsJson>")
+        val spark = session()
+        val bk = new Bikidata(spark, args(1))
+        println(bk.queryJson(args(2)))
+        spark.stop()
+      case buildTarget =>
+        val warehouseDir = if (args.length > 1) args(1)
+          else sys.env.getOrElse("GRAFT_DB", "graft_warehouse")
+        val spark = session()
+        val target = new java.io.File(buildTarget)
+        val paths =
+          if (target.isDirectory)
+            target.listFiles().map(_.getPath).filter(hasSuffix).toSeq
+          else Seq(buildTarget)
+        val bk = new Bikidata(spark, warehouseDir)
+        val n = bk.build(paths)
+        println(s"""{"count": $n, "warehouse": "$warehouseDir"}""")
+        spark.stop()
+    }
   }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index: partition the
+  * corpus into `nLists` Voronoi cells around k-means centroids; a query
+  * scans only the `nProbe` closest cells.
+  *
+  * The coarse quantizer is a small fixed-iteration k-means run on a
+  * driver-collected sample (deterministic: seeded sample, centroids
+  * initialized from evenly-spaced sample points). Cell assignment and
+  * probing reuse the codegen'd cosine machinery. The cell table is the
+  * scale artifact: at 100 TB it is written partitioned BY cell, so a
+  * probe reads `nProbe/nLists` of the data — the classic IVF contract.
+  */
+object Ivf {
+
+  final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Float]])
+
+  private def dist2(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Fixed-iteration k-means on a sample (driver-side; the sample is
+    * small and the centroid count smaller). */
+  def trainCentroids(emb: DataFrame, vecCol: String, nLists: Int,
+      sampleSize: Int = 2048, iterations: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = emb.select(vecCol).orderBy(rand(seed)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val k = math.min(nLists, sample.length)
+    // deterministic init: evenly spaced sample points
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        for (c <- 0 until k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c } }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def assignUdf(centroids: Array[Array[Float]]) = udf { (vec: Seq[Float]) =>
+    val v = vec.toArray
+    var best = 0; var bd = Double.MaxValue
+    for (c <- centroids.indices) {
+      val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }
+    }
+    best
+  }
+
+  /** Assign every vector to its nearest centroid cell. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16): IvfIndex = {
+    val centroids = trainCentroids(emb, vecCol, nLists)
+    val cells = emb.select(col(idCol), col(vecCol),
+      assignUdf(centroids)(col(vecCol)).as("cell"))
+    IvfIndex(cells, centroids)
+  }
+
+  /** Approximate top-k: exact cosine within the nProbe nearest cells. */
+  def topK(index: IvfIndex, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val byDist = index.centroids.indices
+      .sortBy(c => dist2(query, index.centroids(c)))
+      .take(nProbe)
+    index.cells.filter(col("cell").isin(byDist: _*))
+      .select(col(idCol), round(Similarity.cosine(col(vecCol), lit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

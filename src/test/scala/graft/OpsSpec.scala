@@ -73,6 +73,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
+      (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
+    val base = randVec("ivf-center")
+    val vecs = ((0 until 190).map(i => (i.toLong, randVec(s"iv$i"))) ++
+      (190 until 200).map { i =>
+        val noise = randVec(s"ivnoise$i")
+        (i.toLong, base.indices.map(d => base(d) + 0.1f * noise(d)).toArray)
+      }).toDF("vec_id", "embedding")
+    val brute = graft.ops.Similarity.topK(vecs, "vec_id", "embedding", base, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = graft.ops.Ivf.build(vecs, "vec_id", "embedding", nLists = 8)
+    val approx = graft.ops.Ivf.topK(idx, "vec_id", "embedding", base, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+    // the cluster lives in one cell: probing 2 of 8 cells must find it
+  }
+
   test("language id on real-language samples") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy with the result of the day"),
