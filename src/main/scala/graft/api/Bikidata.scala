@@ -37,7 +37,16 @@ final class Bikidata(
 
   def ctx: EngineContext = ctxOpt.getOrElse {
     val graph = warehouse.load().persist()
-    val fts = FtsIndex.build(graph.literals).persist()
+    // prefer the warehouse-persisted FTS index (written at build time,
+    // like the reference's in-database index); rebuild only if absent
+    // or stale (mutations invalidate via invalidate())
+    val fts = FtsIndex.load(spark, warehouseDir)
+      .getOrElse {
+        val idx = FtsIndex.build(graph.literals)
+        try FtsIndex.write(idx, warehouseDir)
+        catch { case _: Exception => () } // read-only warehouse: keep in-memory
+        idx
+      }.persist()
     // decode via one session-wide broadcast map while the dictionary is
     // bounded; falls back to join-decode automatically past the cap
     val c = EngineContext.withDictBroadcast(
@@ -50,6 +59,14 @@ final class Bikidata(
     ctxOpt.foreach(_.graph.unpersist())
     ctxOpt = None
     cache.clear()
+    // mutations make the stored FTS index stale — drop it so the next
+    // ctx load rebuilds (and re-persists) it
+    for (sub <- Seq("fts_postings", "fts_termstats")) {
+      val d = new java.io.File(warehouseDir, sub)
+      if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
+    }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(warehouseDir, "fts_meta.json"))
   }
 
   /** Ingest N-Triples/TriG files into the warehouse (refuses if data

@@ -108,6 +108,36 @@ object FtsIndex {
     FtsIndex(postings, termstats, n, avgdl)
   }
 
+  /** Persist the index into a warehouse directory (postings already
+    * term-clustered → parquet row-group stats prune term lookups). The
+    * reference likewise stores its FTS index inside the database file
+    * (main.py:218-220) rather than rebuilding per session. */
+  def write(index: FtsIndex, warehouseDir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$warehouseDir/fts_postings")
+    index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/fts_termstats")
+    val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(warehouseDir, "fts_meta.json"), meta)
+  }
+
+  /** Load a previously written index; None if absent. */
+  def load(spark: org.apache.spark.sql.SparkSession, warehouseDir: String): Option[FtsIndex] = {
+    val metaPath = java.nio.file.Paths.get(warehouseDir, "fts_meta.json")
+    if (!java.nio.file.Files.exists(metaPath)) None
+    else {
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val j = JsonMethods.parse(java.nio.file.Files.readString(metaPath))
+      Some(FtsIndex(
+        spark.read.parquet(s"$warehouseDir/fts_postings"),
+        spark.read.parquet(s"$warehouseDir/fts_termstats"),
+        (j \ "numDocs").extract[Long],
+        (j \ "avgdl").extract[Double],
+        (j \ "k1").extract[Double],
+        (j \ "b").extract[Double]))
+    }
+  }
+
   /** Per-subject FTS document table — `build_ftss` equivalent
     * (main.py:229-272): 1-hop distinct literal values newline-joined,
     * 2-hop docs = newline-joined 1-hop docs of referenced subjects,

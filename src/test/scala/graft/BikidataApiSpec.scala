@@ -1,0 +1,49 @@
+package graft
+
+import graft.api.Bikidata
+import graft.ingest.Quad
+
+/** End-to-end facade round trip on a disk warehouse, including the
+  * persisted FTS index and its invalidation on mutation. */
+class BikidataApiSpec extends SparkSpec {
+
+  test("build → query → fts → mutate → stale-index rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api").toString
+    val nt = s"$dir/data.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
+      """<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> "alpha thing" .
+        |<http://ex/b> <http://www.w3.org/2000/01/rdf-schema#label> "beta thing" .
+        |<http://ex/b> <http://ex/rel> <http://ex/a> .
+        |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    assert(bk.build(Seq(nt)) === 3)
+    assert(bk.total() === 2)
+
+    // fts query → index built AND persisted into the warehouse
+    val r1 = bk.queryJson("""{"filters":[{"p":"fts","o":"alpha"}]}""")
+    assert(r1.contains("<http://ex/a>"))
+    assert(new java.io.File(s"$dir/wh/fts_meta.json").exists())
+
+    // result cache: identical opts hit the cache (same string instance)
+    val r2 = bk.queryJson("""{"filters":[{"p":"fts","o":"alpha"}]}""")
+    assert(r1 eq r2)
+
+    // insert invalidates the cache and the stored index
+    val ins = bk.insert(Seq(Quad("<http://ex/c>",
+      "<http://www.w3.org/2000/01/rdf-schema#label>", "\"gamma thing\"", "")))
+    assert(ins.error.isEmpty)
+    assert(!new java.io.File(s"$dir/wh/fts_meta.json").exists())
+
+    // new literal is findable after rebuild; index re-persisted
+    val r3 = bk.queryJson("""{"filters":[{"p":"fts","o":"gamma"}]}""")
+    assert(r3.contains("<http://ex/c>"))
+    assert(new java.io.File(s"$dir/wh/fts_meta.json").exists())
+    assert(bk.total() === 3)
+
+    // delete with o wildcard
+    val del = bk.delete(Seq(("<http://ex/c>",
+      "<http://www.w3.org/2000/01/rdf-schema#label>", None, "")))
+    assert(del.error.isEmpty)
+    assert(bk.total() === 2)
+  }
+}
