@@ -59,9 +59,9 @@ final class Bikidata(
     ctxOpt.foreach(_.graph.unpersist())
     ctxOpt = None
     cache.clear()
-    // mutations make the stored FTS index stale — drop it so the next
-    // ctx load rebuilds (and re-persists) it
-    for (sub <- Seq("fts_postings", "fts_termstats")) {
+    // mutations make the stored derived indexes stale — drop them so the
+    // next session rebuilds (and re-persists) them
+    for (sub <- Seq("fts_postings", "fts_termstats", "literals_semantic")) {
       val d = new java.io.File(warehouseDir, sub)
       if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
     }
@@ -84,13 +84,24 @@ final class Bikidata(
     FtsIndex.buildFtss(g.triples, g.literals)
   }
 
-  /** Subject-level embedding index (semantic.py:41-87). */
+  /** Subject-level embedding index (semantic.py:41-87): built once,
+    * persisted into the warehouse as `literals_semantic` parquet (the
+    * reference stores the same table in its DB file), loaded on later
+    * sessions. */
   def buildSemantic(): Unit = {
-    val docs = buildFtss()
-    val sem = Semantic.buildSemantic(docs, embedder).persist()
-    sem.count() // materialize
-    ctxOpt = ctxOpt.map(_.copy(semantic = Some(sem)))
-    if (ctxOpt.isEmpty) { val c = ctx; ctxOpt = Some(c.copy(semantic = Some(sem))) }
+    val semDir = s"$warehouseDir/literals_semantic"
+    val sem =
+      if (new java.io.File(semDir).exists()) spark.read.parquet(semDir)
+      else {
+        val docs = buildFtss()
+        val built = Semantic.buildSemantic(docs, embedder)
+        try { built.write.mode("overwrite").parquet(semDir); spark.read.parquet(semDir) }
+        catch { case _: Exception => built } // read-only warehouse
+      }
+    val persisted = sem.persist()
+    persisted.count() // materialize
+    ctxOpt = ctxOpt.map(_.copy(semantic = Some(persisted)))
+    if (ctxOpt.isEmpty) { val c = ctx; ctxOpt = Some(c.copy(semantic = Some(persisted))) }
   }
 
   def query(opts: QueryOpts): QueryResult = QueryEngine.query(ctx, opts)
