@@ -98,6 +98,14 @@ object RdfQueries {
         FilterQ(p = ParentIri, o = "<urn:t:nation:3> <urn:t:nation:7>")))
     }),
 
+    // §2.3 n-hop ancestor walk on a plain property filter:
+    // nations of region 2, one hop up => everything referencing them
+    "q_rdf_hop" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = s"${predIri("nation", "n_regionkey")} 1", o = "<urn:t:region:2>")))
+    }),
+
     // §2.2 named-graph restriction
     "q_rdf_graph" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -350,6 +358,13 @@ object RdfQueries {
       s"""SELECT s FROM (
          |  SELECT $custS AS s FROM customer WHERE c_nationkey IN (3,7)
          |  UNION SELECT $suppS FROM supplier WHERE s_nationkey IN (3,7)) ORDER BY s""".stripMargin,
+    "q_rdf_hop" ->
+      s"""SELECT s FROM (
+         |  SELECT $custS AS s FROM customer
+         |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey=2)
+         |  UNION SELECT $suppS FROM supplier
+         |  WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey=2)
+         |) ORDER BY s""".stripMargin,
     "q_rdf_graph" ->
       s"SELECT $natS AS s FROM nation ORDER BY s",
     "q_rdf_regex" ->
