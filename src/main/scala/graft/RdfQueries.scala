@@ -138,6 +138,32 @@ object RdfQueries {
       decodeS(ctx, subjects(ctx, FilterQ(p = "fts 1", o = "nation 3")))
     }),
 
+    // §2.4 fts restricted to one literal property (`fts <prop>`)
+    "q_rdf_fts_prop" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = s"fts ${predIri("part", "p_name")}", o = "red widget")))
+    }),
+
+    // §3.1 stage 8: only_properties-restricted hydration
+    "q_rdf_only_props" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(
+        filters = Seq(FilterQ(p = "id", o = "<urn:t:nation:3>")),
+        onlyProperties = Seq(LabelIri))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      QueryEngine.hydrateDecoded(ctx, opts, wanted)
+        .select("s", "p", "o").orderBy("p", "o")
+    }),
+
+    // §2.5 graphs facet over a filtered set
+    "q_rdf_facet_graphs" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val sres = subjects(ctx, FilterQ(p = predIri("nation", "n_name")))
+      QueryEngine.facet(ctx, "graphs", sres).orderBy("val")
+    }),
+
     // §2.8 order by label with pos
     "q_rdf_order_label" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -377,6 +403,14 @@ object RdfQueries {
       s"""SELECT s FROM (
          |  SELECT $custS AS s FROM customer WHERE c_nationkey=3
          |  UNION SELECT $suppS FROM supplier WHERE s_nationkey=3) ORDER BY s""".stripMargin,
+    "q_rdf_fts_prop" ->
+      s"SELECT ${subj("part", "p_partkey")} AS s FROM part WHERE p_name = 'red widget' ORDER BY s",
+    "q_rdf_only_props" ->
+      s"""SELECT '<urn:t:nation:3>' AS s, '$LabelIri' AS p, '"' || n_name || '"' AS o
+         |FROM nation WHERE n_nationkey = 3 ORDER BY p, o""".stripMargin,
+    "q_rdf_facet_graphs" ->
+      s"""SELECT CAST(count(*) * 4 AS BIGINT) AS count, '${graphIri("nation")}' AS val
+         |FROM nation""".stripMargin,
     "q_rdf_order_label" ->
       s"""SELECT $natS AS s,
          |  CAST(row_number() OVER (ORDER BY lower(n_name)) AS INTEGER) AS pos

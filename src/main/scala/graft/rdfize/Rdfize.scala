@@ -116,22 +116,61 @@ object Rdfize {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, EngineContext]()
   private val semCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** On-disk cache of the RDF-ized warehouse, shared ACROSS JVMs: the
+    * first process (Verify or Bench) writes the sorted triples parquet +
+    * dictionaries + FTS index once; later processes just load parquet —
+    * which also makes the gate exercise the real warehouse read path
+    * (p,o,s-clustered row groups) instead of an in-memory rebuild. */
+  private def cacheDir(sfDir: String): String =
+    sys.env.getOrElse("GRAFT_RDFIZE_CACHE", "/tmp/graft_rdfize_cache") +
+      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def ctx(spark: SparkSession, sfDir: String): EngineContext =
     cache.computeIfAbsent(sfDir, { _ =>
-      val graph = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
+      val wh = cacheDir(sfDir)
+      if (!new java.io.File(s"$wh/triples").exists()) {
+        val built = Build.graphFromQuads(spark, quads(spark, sfDir))
+        try {
+          Build.write(built, wh)
+          FtsIndex.write(FtsIndex.build(
+            spark.read.parquet(s"$wh/literals")), wh)
+        } catch { case e: Exception =>
+          // unwritable cache dir: fall back to a fully in-memory build
+          System.err.println(s"[rdfize] cache write failed ($e); in-memory build")
+        }
+      }
+      val (graph, fts) =
+        if (new java.io.File(s"$wh/triples").exists())
+          (Build.load(spark, wh).persist(),
+            FtsIndex.load(spark, wh).getOrElse(FtsIndex.build(
+              spark.read.parquet(s"$wh/literals"))))
+        else {
+          val g = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
+          (g, FtsIndex.build(g.literals))
+        }
       graph.triples.count() // materialize the persisted tables once
-      val fts = FtsIndex.build(graph.literals).persist()
-      // decode fast path: one broadcast dictionary map for the session
       EngineContext.withDictBroadcast(
-        EngineContext(graph, fts = Some(fts), embedder = HashingEmbedder(64)))
+        EngineContext(graph, fts = Some(fts.persist()), embedder = HashingEmbedder(64)))
     })
 
-  /** Subject-embedding index, built on first use (semantic demos only). */
+  /** Subject-embedding index, built on first use (semantic demos only),
+    * parquet-cached next to the warehouse. */
   def semantic(spark: SparkSession, sfDir: String): EngineContext = {
     val base = ctx(spark, sfDir)
     val sem = semCache.computeIfAbsent(sfDir, { _ =>
-      val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
-      val s = Semantic.buildSemantic(docs, base.embedder).persist()
+      val semDir = cacheDir(sfDir) + "/literals_semantic"
+      if (!new java.io.File(semDir).exists()) {
+        val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
+        try Semantic.buildSemantic(docs, base.embedder)
+          .write.mode("overwrite").parquet(semDir)
+        catch { case _: Exception => () }
+      }
+      val s =
+        if (new java.io.File(semDir).exists()) spark.read.parquet(semDir).persist()
+        else {
+          val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
+          Semantic.buildSemantic(docs, base.embedder).persist()
+        }
       s.count()
       s
     })
