@@ -93,6 +93,16 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // near-dup clustering: MinHash pairs -> connected components with
+    // min-id canonical per cluster (rows-only; component law in OpsSpec)
+    "q_doc_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(1000000L))
+      val pairs = Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
+      Dedup.clusters(pairs).orderBy("id")
+    }),
+
     // SimHash sketches (pairs property-tested in OpsSpec)
     "q_doc_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),

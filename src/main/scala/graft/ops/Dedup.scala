@@ -160,6 +160,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clusters from a pair list: connected components by
+    * iterative min-label propagation (each doc adopts the smallest id
+    * reachable through dup edges; converges in O(diameter) rounds, every
+    * round one join + one groupBy — the standard DataFrame-native
+    * union-find for web-scale dedup). Returns (id, cluster) where
+    * cluster = min id of the component; the cluster id doubles as the
+    * canonical (kept) document. */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().persist()
+    var labels = edges.select(col("x").as("id"))
+      .union(edges.select(col("y").as("id"))).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("y") === labels("id"))
+        .groupBy(col("x").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact token-set Jaccard pairs via inverted-index self-join —
     * (a, b, jaccard) for pairs ≥ threshold. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -73,6 +73,14 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("near-dup clusters: connected components with min-id canonicals") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {7,9}; singleton 5 absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
       (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
