@@ -113,6 +113,13 @@ object RdfQueries {
         FilterQ(p = LabelIri, g = graphIri("nation"))))
     }),
 
+    // §2.2 multi-graph restriction (space-separated graph IN-list)
+    "q_rdf_multi_graph" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = LabelIri, g = s"${graphIri("nation")} ${graphIri("region")}")))
+    }),
+
     // §2.2 regex filter — SIMILAR TO (full-string) semantics
     "q_rdf_regex" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -393,6 +400,10 @@ object RdfQueries {
          |) ORDER BY s""".stripMargin,
     "q_rdf_graph" ->
       s"SELECT $natS AS s FROM nation ORDER BY s",
+    "q_rdf_multi_graph" ->
+      s"""SELECT s FROM (
+         |  SELECT $natS AS s FROM nation
+         |  UNION SELECT ${subj("region", "r_regionkey")} FROM region) ORDER BY s""".stripMargin,
     "q_rdf_regex" ->
       s"SELECT $natS AS s FROM nation WHERE n_name SIMILAR TO 'NATION_1.' ORDER BY s",
     "q_rdf_regex_prop" ->
