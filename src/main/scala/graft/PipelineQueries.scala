@@ -33,6 +33,18 @@ object PipelineQueries {
     emb(s, dir).filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
+  // MinHash pairs (docs + planted dup) shared by q_doc_minhash and
+  // q_doc_clusters — computed and persisted once per sfDir
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(dir, { _ =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(1000000L))
+      Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
+        .persist()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace + BPE-ish pre-tokenizer classes
@@ -86,21 +98,13 @@ object PipelineQueries {
     // MinHash+LSH near-dup: planted duplicate must surface (rows-only —
     // the oracle can't run banded LSH; exactness covered by q_doc_jaccard)
     "q_doc_minhash" -> ((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.filter(col("doc_id") === 0)
-        .withColumn("doc_id", lit(1000000L))
-      Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
-        .orderBy("a", "b")
+      minhashPairs(s, dir).orderBy("a", "b")
     }),
 
     // near-dup clustering: MinHash pairs -> connected components with
     // min-id canonical per cluster (rows-only; component law in OpsSpec)
     "q_doc_clusters" -> ((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.filter(col("doc_id") === 0)
-        .withColumn("doc_id", lit(1000000L))
-      val pairs = Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
-      Dedup.clusters(pairs).orderBy("id")
+      Dedup.clusters(minhashPairs(s, dir)).orderBy("id")
     }),
 
     // SimHash sketches (pairs property-tested in OpsSpec)
