@@ -164,6 +164,18 @@ object RdfQueries {
         .select("s", "p", "o").orderBy("p", "o")
     }),
 
+    // §3.1 stage 8: exclude_properties-restricted hydration
+    "q_rdf_exclude_props" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val opts = QueryOpts(
+        filters = Seq(FilterQ(p = "id", o = "<urn:t:region:1>")),
+        excludeProperties = Seq(LabelIri))
+      val wanted = QueryEngine.wantedPage(ctx, opts,
+        QueryEngine.subjects(ctx, opts).get, None)
+      QueryEngine.hydrateDecoded(ctx, opts, wanted)
+        .select("s", "p", "o").orderBy("p", "o")
+    }),
+
     // §2.5 graphs facet over a filtered set
     "q_rdf_facet_graphs" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -419,6 +431,10 @@ object RdfQueries {
     "q_rdf_only_props" ->
       s"""SELECT '<urn:t:nation:3>' AS s, '$LabelIri' AS p, '"' || n_name || '"' AS o
          |FROM nation WHERE n_nationkey = 3 ORDER BY p, o""".stripMargin,
+    "q_rdf_exclude_props" ->
+      s"""SELECT '<urn:t:region:1>' AS s, '${predIri("region", "r_name")}' AS p,
+         |  '"' || r_name || '"' AS o
+         |FROM region WHERE r_regionkey=1 ORDER BY p, o""".stripMargin,
     "q_rdf_facet_graphs" ->
       s"""SELECT CAST(count(*) * 4 AS BIGINT) AS count, '${graphIri("nation")}' AS val
          |FROM nation""".stripMargin,
