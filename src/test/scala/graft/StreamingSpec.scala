@@ -30,12 +30,13 @@ class StreamingSpec extends SparkSpec {
     mem.addData(sample.drop(3))
     q.processAllAvailable()
     val streamed = spark.table("hourly").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     q.stop()
     val batch = Streaming.hourlyEventStats(sample.toDF()).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batch)
-    assert(batch.contains(("2024-01-01 00:00:00", "click", 3L)))
+    // 2024-01-01T00:00:00Z == epoch 1704067200
+    assert(batch.contains((1704067200L, "click", 3L)))
   }
 
   test("sessionize splits on the inactivity gap") {
