@@ -22,6 +22,9 @@ final case class EngineContext(
     graph: Graph,
     fts: Option[FtsIndex] = None,
     semantic: Option[DataFrame] = None, // literals_semantic (hash=subject, vec)
+    // lossless IVF cell partition of `semantic` — threshold queries scan
+    // only cells whose spherical cap can hold a match (identical results)
+    semanticAnn: Option[graft.semantic.SemanticAnn] = None,
     embedder: Embedder = HashingEmbedder(),
     sampleSeed: Long = 42L,
     maxPathIterations: Int = 50,
@@ -132,19 +135,34 @@ object FilterCompiler {
     } else if (p.startsWith("semantic")) {
       ctx.semantic.map { sem =>
         val qvec = ctx.embedder.embedOne(o)
+        // ANN prefilter when the cell index exists: probe only cells whose
+        // spherical cap can intersect the query cap, then rescore exactly
+        // — provably the same rows as the full scan (SemanticAnn scaladoc)
+        val source = ctx.semanticAnn.fold(sem)(_.candidates(qvec, maxDist = 0.5))
         // codegen'd Catalyst expression — no per-row boxing (Hash64-style
         // wrapper over graft.functions.CosineDistance)
         val dist = graft.functions.CosineDistance(col("vec"), lit(qvec))
-        val scored = sem.withColumn("distance", dist)
+        val scored = source.withColumn("distance", dist)
           .filter(col("distance") < 0.5)
           .withColumn("score", lit(1.0) / col("distance"))
-        // join key is the SUBJECT hash (SURVEY §1.1): T0.s = LS.hash;
-        // the thresholded score set is small — broadcast it
-        val joined = withG(triples.as("T0"))
-          .join(broadcast(scored.as("LS")), col("T0.s") === col("LS.hash"))
-        val cols = if (withScore) Seq(col("T0.s").as("s"), col("LS.score").as("score"))
-                   else Seq(col("T0.s").as("s"))
-        joined.select(cols: _*).distinct()
+        if (g.isEmpty) {
+          // `hash` IS the subject hash (SURVEY §1.1), one row per subject,
+          // and the index only ever holds subjects present in triples
+          // (mutations invalidate it) — the reference's `join triples`
+          // here only multiplies rows its DISTINCT then removes. Skipping
+          // it saves a full triples scan per query.
+          val cols = if (withScore) Seq(col("hash").as("s"), col("score"))
+                     else Seq(col("hash").as("s"))
+          scored.select(cols: _*).distinct()
+        } else {
+          // graph restriction needs the triples rows: join on T0.s = LS.hash;
+          // the thresholded score set is small — broadcast it
+          val joined = withG(triples.as("T0"))
+            .join(broadcast(scored.as("LS")), col("T0.s") === col("LS.hash"))
+          val cols = if (withScore) Seq(col("T0.s").as("s"), col("LS.score").as("score"))
+                     else Seq(col("T0.s").as("s"))
+          joined.select(cols: _*).distinct()
+        }
       }
     } else if (p.startsWith("regex")) {
       // DuckDB `SIMILAR TO` is full-string anchored; rlike is not →

@@ -407,24 +407,41 @@ object QueryEngine {
         // (the reference materializes a temp table for the same reason)
         val sResults = sResultsRaw.persist()
         try {
-          val total = sResults.count()
+          // total / facets / page hydration / paths are independent Spark
+          // actions — run them from separate threads so their jobs overlap
+          // instead of paying the per-job scheduling floor sequentially.
+          // The shared persisted inputs are computed once (per-partition
+          // cache locking); on a cluster this is plain multi-job
+          // scheduling inside one session.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val totalF = Future(sResults.count())
           val sByScore = scoreChainFromCompiled(compiled)
           val wanted = wantedPage(ctx, opts, sResults, sByScore)
             .persist()
           try {
-            for (agg <- opts.aggregates)
-              aggregates += agg -> facet(ctx, agg, sResults).as[(Long, String)].collect().toSeq
-
-            val pageRows = hydrate(ctx, opts, wanted)
-              .select("s", "p", "o", "g", "pos").as[(Long, Long, Long, Long, Int)]
-              .collect().sortBy(_._5)
-
+            val aggF = Future {
+              opts.aggregates.map(agg =>
+                agg -> facet(ctx, agg, sResults).as[(Long, String)].collect().toSeq)
+            }
+            val pageF = Future {
+              hydrate(ctx, opts, wanted)
+                .select("s", "p", "o", "g", "pos").as[(Long, Long, Long, Long, Int)]
+                .collect().sortBy(_._5)
+            }
             // paths for page subjects
-            val pathRows: Map[String, Array[(Long, Seq[Long])]] =
+            val pathsF = Future {
               opts.paths.map { pad =>
                 pad -> paths(ctx, pad, wanted)
                   .as[(Long, Seq[Long])].collect()
               }.toMap
+            }
+            val total = Await.result(totalF, Duration.Inf)
+            aggregates ++= Await.result(aggF, Duration.Inf)
+            val pageRows = Await.result(pageF, Duration.Inf)
+            val pathRows: Map[String, Array[(Long, Seq[Long])]] =
+              Await.result(pathsF, Duration.Inf)
 
             // decode set: page terms + path members
             val toFetch = scala.collection.mutable.HashSet.empty[Long]

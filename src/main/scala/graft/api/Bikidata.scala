@@ -61,7 +61,7 @@ final class Bikidata(
     cache.clear()
     // mutations make the stored derived indexes stale — drop them so the
     // next session rebuilds (and re-persists) them
-    for (sub <- Seq("fts_postings", "fts_termstats", "literals_semantic")) {
+    for (sub <- Seq("fts_postings", "fts_termstats", "literals_semantic", "semantic_ann")) {
       val d = new java.io.File(warehouseDir, sub)
       if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
     }
@@ -90,6 +90,7 @@ final class Bikidata(
     * sessions. */
   def buildSemantic(): Unit = {
     val semDir = s"$warehouseDir/literals_semantic"
+    val annDir = s"$warehouseDir/semantic_ann"
     val sem =
       if (new java.io.File(semDir).exists()) spark.read.parquet(semDir)
       else {
@@ -100,8 +101,18 @@ final class Bikidata(
       }
     val persisted = sem.persist()
     persisted.count() // materialize
-    ctxOpt = ctxOpt.map(_.copy(semantic = Some(persisted)))
-    if (ctxOpt.isEmpty) { val c = ctx; ctxOpt = Some(c.copy(semantic = Some(persisted))) }
+    val ann = graft.semantic.SemanticAnn.load(spark, annDir).getOrElse {
+      val built = graft.semantic.SemanticAnn.build(persisted)
+      try {
+        graft.semantic.SemanticAnn.write(built, annDir)
+        graft.semantic.SemanticAnn.load(spark, annDir).getOrElse(built)
+      } catch { case _: Exception => built } // read-only warehouse
+    }
+    ann.cells.persist().count()
+    def attach(c: EngineContext) =
+      c.copy(semantic = Some(persisted), semanticAnn = Some(ann))
+    ctxOpt = ctxOpt.map(attach)
+    if (ctxOpt.isEmpty) ctxOpt = Some(attach(ctx))
   }
 
   def query(opts: QueryOpts): QueryResult = QueryEngine.query(ctx, opts)

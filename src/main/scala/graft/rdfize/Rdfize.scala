@@ -124,7 +124,8 @@ object Rdfize {
   // one engine context per (session, sfDir) — queries share the persisted
   // graph + fts index across the Verify/Bench run
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, EngineContext]()
-  private val semCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val semCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, graft.semantic.SemanticAnn)]()
 
   /** On-disk cache of the RDF-ized warehouse, shared ACROSS JVMs: the
     * first process (Verify or Bench) writes the sorted triples parquet +
@@ -163,12 +164,13 @@ object Rdfize {
         EngineContext(graph, fts = Some(fts.persist()), embedder = HashingEmbedder(64)))
     })
 
-  /** Subject-embedding index, built on first use (semantic demos only),
-    * parquet-cached next to the warehouse. */
+  /** Subject-embedding index + its lossless ANN cell partition, built on
+    * first use, parquet-cached next to the warehouse. */
   def semantic(spark: SparkSession, sfDir: String): EngineContext = {
     val base = ctx(spark, sfDir)
-    val sem = semCache.computeIfAbsent(sfDir, { _ =>
+    val (sem, ann) = semCache.computeIfAbsent(sfDir, { _ =>
       val semDir = cacheDir(sfDir) + "/literals_semantic"
+      val annDir = cacheDir(sfDir) + "/semantic_ann"
       if (!new java.io.File(semDir).exists()) {
         val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
         try Semantic.buildSemantic(docs, base.embedder)
@@ -182,9 +184,17 @@ object Rdfize {
           Semantic.buildSemantic(docs, base.embedder).persist()
         }
       s.count()
-      s
+      val a = graft.semantic.SemanticAnn.load(spark, annDir).getOrElse {
+        val built = graft.semantic.SemanticAnn.build(s)
+        try {
+          graft.semantic.SemanticAnn.write(built, annDir)
+          graft.semantic.SemanticAnn.load(spark, annDir).getOrElse(built)
+        } catch { case _: Exception => built } // unwritable cache dir
+      }
+      a.cells.persist().count()
+      (s, a)
     })
-    base.copy(semantic = Some(sem))
+    base.copy(semantic = Some(sem), semanticAnn = Some(ann))
   }
 }
 

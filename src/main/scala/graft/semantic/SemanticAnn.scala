@@ -1,0 +1,129 @@
+package graft.semantic
+
+import graft.ops.Ivf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lossless IVF acceleration for the `semantic` distance-threshold filter
+  * (reference query.py:166-170: `cosine distance < 0.5`, score = 1/d).
+  *
+  * The subject-embedding table is Voronoi-partitioned into `nLists` cells
+  * (seeded k-means, [[Ivf.trainCentroids]]); each cell records the max
+  * ANGULAR radius of its members around the centroid. A threshold query
+  * probes only cells whose spherical cap can intersect the query cap —
+  * by the triangle inequality on the unit sphere,
+  * `angle(q,v) >= angle(q,c) - radius(c)` for every member v of cell c,
+  * so a cell with `angle(q,c) - radius(c) >= acos(1-maxDist)` cannot
+  * contain a match. Survivors are rescored EXACTLY with the codegen'd
+  * cosine expression: results are identical to the brute scan, the
+  * pruning is purely a scan reduction.
+  *
+  * Scale: the cells parquet is written `partitionBy("cell")`, so a probe
+  * reads only intersecting cells' files (the classic IVF contract); the
+  * centroid/radius metadata is O(nLists · dim) on the driver.
+  */
+final case class SemanticAnn(
+    cells: DataFrame, // (hash, vec, cell)
+    centroids: Array[Array[Float]],
+    radii: Array[Double]) {
+
+  /** Candidate rows (hash, vec) for a `distance < maxDist` query —
+    * a strict superset of the matches. */
+  def candidates(q: Array[Float], maxDist: Double): DataFrame = {
+    val probe = probeCells(q, maxDist)
+    if (probe.isEmpty) cells.select("hash", "vec").filter(lit(false))
+    else cells.filter(col("cell").isin(probe: _*)).select("hash", "vec")
+  }
+
+  /** Cells whose cap can intersect the query cap. Zero-norm queries match
+    * nothing (cosine to them is undefined ⇒ null ⇒ dropped by the
+    * threshold, same as the brute path). */
+  def probeCells(q: Array[Float], maxDist: Double): Seq[Int] = {
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    if (qn == 0.0) return Nil
+    val capAngle = math.acos(math.max(-1.0, math.min(1.0, 1.0 - maxDist)))
+    centroids.indices.filter { c =>
+      val cvec = centroids(c)
+      val cn = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (cn == 0.0) true // degenerate centroid: always probe
+      else {
+        var dot = 0.0
+        var i = 0
+        while (i < q.length && i < cvec.length) { dot += q(i).toDouble * cvec(i); i += 1 }
+        val angle = math.acos(math.max(-1.0, math.min(1.0, dot / (qn * cn))))
+        // 1e-9 slack absorbs float rounding in the radius computation
+        angle - radii(c) < capAngle + 1e-9
+      }
+    }
+  }
+}
+
+object SemanticAnn {
+
+  /** Angle (radians) between a vector and a centroid; NaN for zero norms. */
+  private def angleTo(v: Array[Float], c: Array[Float]): Double = {
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) {
+      dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i); nc += c(i).toDouble * c(i)
+      i += 1
+    }
+    if (nv == 0.0 || nc == 0.0) Double.NaN
+    else math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(nv * nc))))
+  }
+
+  /** Build over a (hash, vec) table. Zero vectors go to cell -1, which is
+    * never probed (they can never pass a cosine threshold). */
+  def build(sem: DataFrame, nLists: Int = 16): SemanticAnn = {
+    val centroids = Ivf.trainCentroids(sem, "vec", nLists)
+    val bc = sem.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      var norm = 0.0
+      var i = 0
+      while (i < v.length) { norm += v(i).toDouble * v(i); i += 1 }
+      if (norm == 0.0) (-1, 0.0)
+      else {
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        for (c <- cs.indices) {
+          var d = 0.0; var j = 0
+          val n = math.min(v.length, cs(c).length)
+          while (j < n) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
+          if (d < bd) { bd = d; best = c }
+        }
+        val a = angleTo(v, cs(best))
+        (best, if (a.isNaN) 0.0 else a)
+      }
+    }
+    val assigned = sem.select(col("hash"), col("vec"), assign(col("vec")).as("ca"))
+      .select(col("hash"), col("vec"), col("ca._1").as("cell"), col("ca._2").as("angle"))
+      .persist()
+    val radii = new Array[Double](centroids.length)
+    assigned.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    SemanticAnn(assigned.drop("angle"), centroids, radii)
+  }
+
+  /** Persist cells partitioned by cell id + centroid/radius metadata. */
+  def write(ann: SemanticAnn, dir: String): Unit = {
+    ann.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    val spark = ann.cells.sparkSession
+    import spark.implicits._
+    ann.centroids.indices
+      .map(c => (c, ann.centroids(c).toSeq, ann.radii(c)))
+      .toDF("cell", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: SparkSession, dir: String): Option[SemanticAnn] = {
+    if (!new java.io.File(s"$dir/cells").exists()) None
+    else try {
+      val meta = spark.read.parquet(s"$dir/meta").orderBy("cell").collect()
+      val centroids = meta.map(_.getSeq[Float](1).toArray)
+      val radii = meta.map(_.getDouble(2))
+      Some(SemanticAnn(spark.read.parquet(s"$dir/cells"), centroids, radii))
+    } catch { case _: Exception => None }
+  }
+}
