@@ -225,7 +225,11 @@ object QueryEngine {
   def facet(ctx: EngineContext, agg: String, sResults: DataFrame): DataFrame = {
     val t = ctx.graph.triples
     val iris = ctx.graph.iris
-    val joined = t.join(sResults.select("s").as("S"), Seq("s"), "left_semi")
+    // the filtered subject set is the small side (bounded by filter
+    // selectivity) but carries no size stats after persist/set-ops, so
+    // Spark would otherwise plan a two-sided shuffle — hint it broadcast
+    // and keep the full triples scan shuffle-free
+    val joined = t.join(broadcast(sResults.select("s").as("S")), Seq("s"), "left_semi")
     agg match {
       case "graphs" | "properties" =>
         val keyCol = if (agg == "graphs") "g" else "p"
@@ -265,34 +269,38 @@ object QueryEngine {
     * reaches them either). Returns (source: Long, path: Array[Long]). */
   def paths(ctx: EngineContext, propIri: String, wanted: DataFrame): DataFrame = {
     val spark = ctx.graph.spark
+    import spark.implicits._
+    // persist the per-property edge set across the level loop — the
+    // distinct is one shuffle total instead of one per level
     val edges = ctx.graph.triples.filter(col("p") === h(propIri))
-      .select(col("s").as("part"), col("o").as("parent")).distinct()
-    var active = wanted.select(
-      col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
-    var finished = Vector.empty[DataFrame]
-    var i = 0
-    var done = false
-    while (!done && i < ctx.maxPathIterations) {
-      // one materialization per step: checkpoint the joined frame, then
-      // derive the finished/continuing splits lazily from it (cuts both
-      // the lineage and the per-iteration job count)
-      val joined = broadcast(active)
-        .join(edges, col("head") === col("part"), "left")
-        .localCheckpoint()
-      val fin = joined.filter(col("parent").isNull)
-        .select(col("source"), col("path"))
-      val nxt = joined.filter(col("parent").isNotNull)
-        .select(col("source"),
-          concat(col("path"), array(col("parent"))).as("path"),
-          col("parent").as("head"))
-      finished :+= fin
-      done = nxt.isEmpty
-      active = nxt
-      i += 1
-    }
-    finished.reduceOption(_ union _)
-      .getOrElse(spark.emptyDataFrame
-        .select(lit(0L).as("source"), array().cast("array<long>").as("path")).limit(0))
+      .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
+    // The frontier lives on the driver: it is page-bounded (≤ opts.size
+    // subjects, each on one chain) so each level is exactly ONE Spark job
+    // — broadcast(local frontier) ⋈ edges — instead of the
+    // checkpoint+emptiness-probe pair per level a distributed frontier
+    // needs. The reference's recursive CTE materializes each level the
+    // same way. Distributed-frontier variants only pay off when the
+    // frontier can outgrow the driver, which a paged query's cannot.
+    var frontier: Array[(Long, Seq[Long], Long)] = wanted
+      .select(col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
+      .as[(Long, Seq[Long], Long)].collect()
+    val finished = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    try {
+      var i = 0
+      while (frontier.nonEmpty && i < ctx.maxPathIterations) {
+        val fdf = frontier.toSeq.toDF("source", "path", "head")
+        val joined = broadcast(fdf)
+          .join(edges, col("head") === col("part"), "left")
+          .select(col("source"), col("path"), col("parent"))
+          .as[(Long, Seq[Long], Option[Long])].collect()
+        finished ++= joined.collect { case (src, p, None) => (src, p) }
+        frontier = joined.collect { case (src, p, Some(par)) => (src, p :+ par, par) }
+        i += 1
+      }
+    } finally edges.unpersist(false)
+    // chains still active at the iteration cap are cycles — dropped, as
+    // the reference's root-seeded recursion never reaches them either
+    finished.toSeq.toDF("source", "path")
   }
 
   // ----------------------------------------------------- convenience lookups

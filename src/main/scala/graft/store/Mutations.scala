@@ -37,17 +37,29 @@ object Mutations {
     * already-existing triple (reference behavior: error out, nothing
     * applied). */
   def insert(graph: Graph, quads: Seq[Quad]): (Graph, MutationResult) = {
+    val (g2, res, _, _) = insertWithDeltas(graph, quads)
+    (g2, res)
+  }
+
+  /** [[insert]] that also returns the new-dictionary-entry frames, so
+    * disk-backed callers can append exactly those rows without
+    * recomputing them (they are persisted and already counted). */
+  def insertWithDeltas(graph: Graph, quads: Seq[Quad])
+      : (Graph, MutationResult, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val spark = graph.spark
     import spark.implicits._
+    val empty = spark.emptyDataFrame
     quads.flatMap(validateInsert) match {
-      case err +: _ => return (graph, MutationResult(error = Some(err)))
+      case err +: _ => return (graph, MutationResult(error = Some(err)), empty, empty)
       case _ => ()
     }
     val rows = quads.map(q => (h(q.s), h(q.p), h(q.o), h(q.g)))
     val candidates = rows.toDF("s", "p", "o", "g")
-    val existing = graph.triples.join(candidates, Seq("s", "p", "o", "g"), "left_semi").count()
+    // ONE existence probe for the whole batch: triples semi-joined to the
+    // broadcast candidate keys (never a per-item job)
+    val existing = graph.triples.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count()
     if (existing > 0)
-      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")))
+      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
 
     // dictionary deltas: graph name only when non-default (query.py:566-567)
     val terms = quads.flatMap(q =>
@@ -59,14 +71,23 @@ object Mutations {
     }
     val newIris = newEntries(graph.iris, irisTerms).persist()
     val newLits = newEntries(graph.literals, lits).persist()
-    val nIris = newIris.count().toInt
-    val nLits = newLits.count().toInt
+    // independent counts → overlap their jobs
+    val (nIris, nLits) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fi = Future(newIris.count().toInt)
+      val fl = Future(newLits.count().toInt)
+      (Await.result(fi, Duration.Inf), Await.result(fl, Duration.Inf))
+    }
 
     val g2 = graph.copy(
       triples = graph.triples.union(candidates),
       iris = graph.iris.union(newIris),
       literals = graph.literals.union(newLits))
-    (g2, MutationResult(triplesInserted = quads.size, irisInserted = nIris, literalsInserted = nLits))
+    (g2,
+      MutationResult(triplesInserted = quads.size, irisInserted = nIris, literalsInserted = nLits),
+      newIris, newLits)
   }
 
   /** Delete by (s,p,o,g) or (s,p,g) with o wildcard (query.py:468-526).
@@ -81,14 +102,28 @@ object Mutations {
       if (areHashes) java.lang.Long.parseUnsignedLong(v) else h(v)
 
     if (!areHashes) {
-      // every exact-form triple must exist (query.py:478-482)
-      val missing = items.exists { case (s, p, o, g) =>
-        graph.triples.filter(
-          col("s") === h(s) && col("p") === h(p) && col("g") === h(g) &&
-            (o match { case Some(ov) => col("o") === h(ov); case None => lit(true) })
-        ).limit(1).count() == 0
-      }
-      if (missing)
+      // every exact-form triple must exist (query.py:478-482): ONE pass
+      // over triples for the whole batch — semi-join the batch keys
+      // against triples and compare distinct hit counts, instead of one
+      // driver-side count job per item
+      val exactKeys = items.collect { case (s, p, Some(o), g) => (h(s), h(p), h(o), h(g)) }
+      val wildKeys = items.collect { case (s, p, None, g) => (h(s), h(p), h(g)) }.distinct
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val missingExactF = Future(exactKeys.distinct match {
+        case Nil => false
+        case ks => graph.triples
+          .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
+          .select("s", "p", "o", "g").distinct().count() < ks.size
+      })
+      val missingWildF = Future(wildKeys match {
+        case Nil => false
+        case ks => graph.triples
+          .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
+          .select("s", "p", "g").distinct().count() < ks.size
+      })
+      if (Await.result(missingExactF, Duration.Inf) || Await.result(missingWildF, Duration.Inf))
         return (graph, MutationResult(error = Some("Triple does not exist, skipping delete")))
     }
 

@@ -9,16 +9,26 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.1 insert/delete rows): the base datasets written by
   * [[graft.ingest.Build.write]] plus
   *
-  *  - `triples_delta/` — appended insert parts,
+  *  - `triples_delta/` — appended insert parts (seq-stamped),
   *  - `iris_delta/`, `literals_delta/` — appended dictionary parts,
-  *  - `tombstones/` — exact (s,p,o,g) delete markers,
-  *  - `tombstones_spg/` — o-wildcard (s,p,g) delete markers.
+  *  - `tombstones/` — exact (s,p,o,g) delete markers (seq-stamped),
+  *  - `tombstones_spg/` — o-wildcard (s,p,g) delete markers (seq-stamped),
+  *  - `_seq` — the monotonic mutation sequence counter.
   *
   * `load()` composes base ∪ delta minus tombstones — O(1) mutations, no
   * rewrite of the base data; `compact()` folds everything back into a
   * fresh base. This is the standard delta/tombstone design for
   * append-only stores and scales to arbitrarily large bases (mutation
   * cost is proportional to the delta, not the base).
+  *
+  * Mutations are SEQUENCE-VERSIONED: every insert part and tombstone
+  * batch carries a monotonically increasing `seq`, and a tombstone only
+  * suppresses rows with a SMALLER seq (the base is seq 0). A triple
+  * re-inserted after its delete therefore reappears — matching the
+  * reference, where DELETE removes rows and a later INSERT adds them back
+  * (query.py:502-617) — while an o-wildcard (s,p,g) tombstone keeps
+  * suppressing the pre-delete objects without blocking future inserts on
+  * that (s,p,g).
   */
 final class Warehouse(val spark: SparkSession, val dir: String) {
 
@@ -34,17 +44,53 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     parts.reduce(_ union _)
   }
 
+  /** Next mutation sequence number (single-writer counter file; the
+    * reference's queue tier likewise serializes writers). Starts at 2 so
+    * pre-versioning deltas (legacy seq 1) and the base (seq 0) sort
+    * below every new mutation. */
+  private def nextSeq(): Long = synchronized {
+    val p = java.nio.file.Paths.get(dir, "_seq")
+    val cur =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+      else 1L
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (cur + 1).toString.getBytes)
+    cur + 1
+  }
+
+  /** Default `seq` for parts written before versioning: deltas sort as
+    * early inserts (1), tombstones as latest (MaxValue) — both reproduce
+    * the old unordered behavior. */
+  private def withSeq(df: DataFrame, default: Long): DataFrame =
+    if (df.columns.contains("seq")) df else df.withColumn("seq", lit(default))
+
   def load(): Graph = {
-    var triples = readOrUnion("triples", "triples_delta")
-    read("tombstones").foreach(ts =>
-      triples = triples.join(ts, Seq("s", "p", "o", "g"), "left_anti"))
-    read("tombstones_spg").foreach(ts =>
-      triples = triples.join(ts, Seq("s", "p", "g"), "left_anti"))
+    val baseT = read("triples").map(_.withColumn("seq", lit(0L)))
+    val deltaT = read("triples_delta").map(withSeq(_, 1L))
+    val parts = Seq(baseT, deltaT).flatten
+    require(parts.nonEmpty, s"warehouse $dir has no triples data")
+    var triples = parts.reduce(_ unionByName _)
+    read("tombstones").map(withSeq(_, Long.MaxValue)).foreach { ts =>
+      triples = triples.as("T").join(
+        ts.as("TS"),
+        col("T.s") === col("TS.s") && col("T.p") === col("TS.p") &&
+          col("T.o") === col("TS.o") && col("T.g") === col("TS.g") &&
+          col("T.seq") < col("TS.seq"),
+        "left_anti")
+    }
+    read("tombstones_spg").map(withSeq(_, Long.MaxValue)).foreach { ts =>
+      triples = triples.as("T").join(
+        ts.as("TS"),
+        col("T.s") === col("TS.s") && col("T.p") === col("TS.p") &&
+          col("T.g") === col("TS.g") && col("T.seq") < col("TS.seq"),
+        "left_anti")
+    }
     val iris = readOrUnion("iris", "iris_delta")
       .groupBy("hash").agg(first("value").as("value"))
     val literals = readOrUnion("literals", "literals_delta")
       .groupBy("hash").agg(first("value").as("value"))
-    Graph(spark, triples, iris, literals)
+    Graph(spark, triples.select("s", "p", "o", "g"), iris, literals)
   }
 
   /** Validated point insert: appends delta parts (query.py:529-617
@@ -52,15 +98,15 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def insert(quads: Seq[Quad]): MutationResult = {
     import spark.implicits._
     val graph = load()
-    val (g2, res) = Mutations.insert(graph, quads)
+    val (_, res, newIris, newLits) = Mutations.insertWithDeltas(graph, quads)
     if (res.error.isDefined) return res
+    val seq = nextSeq()
     quads.map(q => (Hash64.hashString(q.s), Hash64.hashString(q.p),
-        Hash64.hashString(q.o), Hash64.hashString(q.g)))
-      .toDF("s", "p", "o", "g")
+        Hash64.hashString(q.o), Hash64.hashString(q.g), seq))
+      .toDF("s", "p", "o", "g", "seq")
       .write.mode(SaveMode.Append).parquet(s"$dir/triples_delta")
-    // dictionary deltas were computed against the loaded graph
-    val newIris = g2.iris.exceptAll(graph.iris)
-    val newLits = g2.literals.exceptAll(graph.literals)
+    // dictionary delta frames come straight from the validation pass
+    // (persisted there) — no recomputation against the loaded graph
     if (res.irisInserted > 0)
       newIris.write.mode(SaveMode.Append).parquet(s"$dir/iris_delta")
     if (res.literalsInserted > 0)
@@ -68,7 +114,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     res
   }
 
-  /** Validated delete: appends tombstones. */
+  /** Validated delete: appends seq-stamped tombstones. */
   def delete(
       items: Seq[(String, String, Option[String], String)],
       areHashes: Boolean = false): MutationResult = {
@@ -76,22 +122,36 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val graph = load()
     def toHash(v: String): Long =
       if (areHashes) java.lang.Long.parseUnsignedLong(v) else Hash64.hashString(v)
-    if (!areHashes) {
-      val missing = items.exists { case (s, p, o, g) =>
-        graph.triples.filter(
-          col("s") === toHash(s) && col("p") === toHash(p) && col("g") === toHash(g) &&
-            (o match { case Some(ov) => col("o") === toHash(ov); case None => lit(true) })
-        ).limit(1).count() == 0
-      }
-      if (missing) return MutationResult(error = Some("Triple does not exist, skipping delete"))
-    }
     val exact = items.collect { case (s, p, Some(o), g) =>
       (toHash(s), toHash(p), toHash(o), toHash(g)) }
     val wild = items.collect { case (s, p, None, g) => (toHash(s), toHash(p), toHash(g)) }
+    if (!areHashes) {
+      // batch validation (query.py:478-482 refuses the whole batch): one
+      // semi-join per key shape, never a per-item count job
+      val missingExact = exact.distinct match {
+        case Nil => false
+        case ks => graph.triples
+          .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
+          .select("s", "p", "o", "g").distinct().count() < ks.size
+      }
+      val missingWild = wild.distinct match {
+        case Nil => false
+        case ks => graph.triples
+          .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
+          .select("s", "p", "g").distinct().count() < ks.size
+      }
+      if (missingExact || missingWild)
+        return MutationResult(error = Some("Triple does not exist, skipping delete"))
+    }
+    val seq = nextSeq()
     if (exact.nonEmpty)
-      exact.toDF("s", "p", "o", "g").write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+      exact.map { case (s, p, o, g) => (s, p, o, g, seq) }
+        .toDF("s", "p", "o", "g", "seq")
+        .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
     if (wild.nonEmpty)
-      wild.toDF("s", "p", "g").write.mode(SaveMode.Append).parquet(s"$dir/tombstones_spg")
+      wild.map { case (s, p, g) => (s, p, g, seq) }
+        .toDF("s", "p", "g", "seq")
+        .write.mode(SaveMode.Append).parquet(s"$dir/tombstones_spg")
     MutationResult(triplesDeleted = items.size)
   }
 
@@ -114,6 +174,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     }
     for (sub <- Seq("triples", "iris", "literals"))
       Files.move(Paths.get(tmp, sub), Paths.get(dir, sub), StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(Paths.get(dir, "_seq")) // compacted base restarts at seq 0
     Files.deleteIfExists(Paths.get(tmp))
   }
 }

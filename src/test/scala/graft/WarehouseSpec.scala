@@ -44,6 +44,50 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir, "triples_delta").exists())
   }
 
+  test("delete then re-insert brings the triple back (sequenced tombstones)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    val han = Quad("<http://ex/han>", Fixture.label, "\"Han Solo\"", "")
+    val hanHash = graft.functions.Hash64.hashString("<http://ex/han>")
+
+    // exact delete → re-insert: the tombstone must not suppress the new row
+    assert(wh.insert(Seq(han)).error.isEmpty)
+    assert(wh.delete(Seq((han.s, han.p, Some(han.o), han.g))).error.isEmpty)
+    assert(wh.load().triples.filter(col("s") === hanHash).count() === 0)
+    assert(wh.insert(Seq(han)).error.isEmpty,
+      "re-insert after delete must not be refused as existing")
+    assert(wh.load().triples.filter(col("s") === hanHash).count() === 1)
+
+    // wildcard delete of (s,p,g) must suppress pre-delete objects but not
+    // block a LATER insert of a different object on the same (s,p,g)
+    assert(wh.delete(Seq((han.s, han.p, None, han.g))).error.isEmpty)
+    assert(wh.load().triples.filter(col("s") === hanHash).count() === 0)
+    val solo = Quad("<http://ex/han>", Fixture.label, "\"Captain Solo\"", "")
+    assert(wh.insert(Seq(solo)).error.isEmpty)
+    val vals = wh.load().triples.filter(col("s") === hanHash).count()
+    assert(vals === 1, "new object visible, old objects stay tombstoned")
+
+    // compact preserves the final state
+    wh.compact()
+    assert(wh.load().triples.filter(col("s") === hanHash).count() === 1)
+  }
+
+  test("batch delete validation refuses when any item is missing") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    val present = Fixture.quads.head
+    val r = wh.delete(Seq(
+      (present.s, present.p, Some(present.o), present.g),
+      ("<http://ex/ghost>", Fixture.label, None, "")))
+    assert(r.error.contains("Triple does not exist, skipping delete"))
+    // nothing was applied
+    assert(wh.load().triples.count() === Fixture.quads.size)
+  }
+
   test("warehouse parquet layout clusters by predicate for row-group skipping") {
     import spark.implicits._
     val dir = freshDir()
