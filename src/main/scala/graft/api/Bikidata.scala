@@ -70,11 +70,19 @@ final class Bikidata(
   }
 
   /** Ingest N-Triples/TriG files into the warehouse (refuses if data
-    * already present, main.py:143-147). Returns the triple count. */
-  def build(paths: Seq[String]): Long = {
+    * already present, main.py:143-147). Returns the triple count.
+    * `stemmer` seeds the FTS analyzer settings exactly like the
+    * reference's `build(paths, stemmer)`; `BIKIDATA_FTS_SETTINGS`
+    * overrides wholesale (main.py:206-216). */
+  def build(paths: Seq[String], stemmer: String = "porter"): Long = {
     val g = Build.graphFromFiles(spark, paths)
     Build.write(g, warehouseDir)
     invalidate()
+    val settings = graft.fts.FtsSettings.resolve(stemmer)
+    val idx = FtsIndex.build(spark.read.parquet(s"$warehouseDir/literals"),
+      settings = settings)
+    try FtsIndex.write(idx, warehouseDir)
+    catch { case _: Exception => () } // read-only warehouse: next ctx rebuilds
     spark.read.parquet(s"$warehouseDir/triples").count()
   }
 

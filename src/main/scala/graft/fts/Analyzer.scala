@@ -38,4 +38,15 @@ object Analyzer {
     }
     out.toArray
   }
+
+  /** Settings-driven raw tokenization (DuckDB `tokenize` macro order:
+    * strip_accents → lower → ignore-regex → split). No stemming and no
+    * stopword filtering here — the index and query sides apply those
+    * differently ([[FtsSettings.indexTokens]] / [[FtsSettings.queryTokens]]). */
+  def tokenize(text: String, settings: FtsSettings): Array[String] = {
+    if (text == null) return Array.empty
+    var cleaned = if (settings.stripAccents) stripAccents(text) else text
+    if (settings.lower) cleaned = cleaned.toLowerCase
+    cleaned.split(settings.ignore).filter(_.nonEmpty)
+  }
 }

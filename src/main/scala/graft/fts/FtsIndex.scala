@@ -32,7 +32,8 @@ final case class FtsIndex(
     numDocs: Long,
     avgdl: Double,
     k1: Double = 1.2,
-    b: Double = 0.75) {
+    b: Double = 0.75,
+    settings: FtsSettings = FtsSettings()) {
 
   def persist(): FtsIndex = {
     postings.persist(StorageLevel.MEMORY_AND_DISK)
@@ -42,11 +43,13 @@ final case class FtsIndex(
 
   /** Conjunctive BM25 match: docs containing ALL query terms, scored.
     * Returns (hash: Long, score: Double). Unknown query terms make the
-    * match set empty (conjunctive semantics). */
+    * match set empty (conjunctive semantics) — including stopwords,
+    * which the indexer dropped but the query analyzer deliberately
+    * keeps, exactly like DuckDB's `match_bm25(conjunctive:=1)`. */
   def matchBm25(query: String): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = Analyzer.tokenize(query).distinct
+    val terms = settings.queryTokens(query)
     if (terms.isEmpty) return spark.emptyDataFrame
       .withColumn("hash", lit(0L)).withColumn("score", lit(0.0))
       .limit(0).select("hash", "score")
@@ -78,12 +81,14 @@ final case class FtsIndex(
 
 object FtsIndex {
 
-  private val tokenizeUdf = udf((s: String) => Analyzer.tokenize(s))
-
   /** Build the index over a (hash, value) document corpus. Triggers two
     * jobs for the corpus stats (count + avg); the postings/termstats
-    * DataFrames stay lazy. */
-  def build(docs: DataFrame, hashCol: String = "hash", valueCol: String = "value"): FtsIndex = {
+    * DataFrames stay lazy. Index-side analysis drops stopwords BEFORE
+    * stemming and computes doc length / df / avgdl on what remains —
+    * DuckDB's terms-table semantics, which the reference inherits. */
+  def build(docs: DataFrame, hashCol: String = "hash", valueCol: String = "value",
+      settings: FtsSettings = FtsSettings.resolve()): FtsIndex = {
+    val tokenizeUdf = udf((s: String) => settings.indexTokens(s))
     val tokens = docs.select(
       col(hashCol).as("hash"),
       tokenizeUdf(col(valueCol)).as("tokens"))
@@ -105,7 +110,7 @@ object FtsIndex {
       avg(col("len")).as("avgdl")).collect()(0)
     val n = stats.getLong(0)
     val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-    FtsIndex(postings, termstats, n, avgdl)
+    FtsIndex(postings, termstats, n, avgdl, settings = settings)
   }
 
   /** Persist the index into a warehouse directory (postings already
@@ -115,7 +120,7 @@ object FtsIndex {
   def write(index: FtsIndex, warehouseDir: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$warehouseDir/fts_postings")
     index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/fts_termstats")
-    val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b}}"""
+    val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(warehouseDir, "fts_meta.json"), meta)
   }
@@ -128,13 +133,22 @@ object FtsIndex {
       import org.json4s.jackson.JsonMethods
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       val j = JsonMethods.parse(java.nio.file.Files.readString(metaPath))
+      // settings persisted with the index so query-side analysis always
+      // matches how the postings were built (older metas → defaults)
+      val st = FtsSettings(
+        ignore = (j \ "ignore").extractOrElse[String](FtsSettings().ignore),
+        stripAccents = (j \ "strip_accents").extractOrElse[Boolean](true),
+        lower = (j \ "lower").extractOrElse[Boolean](true),
+        stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
+        stopwords = (j \ "stopwords").extractOrElse[String]("english"))
       Some(FtsIndex(
         spark.read.parquet(s"$warehouseDir/fts_postings"),
         spark.read.parquet(s"$warehouseDir/fts_termstats"),
         (j \ "numDocs").extract[Long],
         (j \ "avgdl").extract[Double],
         (j \ "k1").extract[Double],
-        (j \ "b").extract[Double]))
+        (j \ "b").extract[Double],
+        settings = st))
     }
   }
 

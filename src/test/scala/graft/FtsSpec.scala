@@ -42,23 +42,66 @@ class FtsSpec extends SparkSpec {
 
   test("BM25 scores match the hand-computed Okapi formula") {
     import spark.implicits._
-    // N=4 docs, avgdl=4; 'quick' and 'fox' both have df=2
-    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln 2
+    // stopwords 'the' (docs 1,2) and 'entirely' (doc 4) are dropped at
+    // index time (DuckDB stopwords='english' default), so doc lengths are
+    // 3,3,5,2 -> N=4, avgdl=3.25; 'quick'/'fox' both df=2 -> idf = ln 2
     val docs = Seq(
       (1L, "the quick brown fox"),
       (2L, "the lazy brown dog"),
       (3L, "quick quick fox fox fox"),
       (4L, "unrelated text entirely")).toDF("hash", "value")
     val idx = FtsIndex.build(docs)
-    assert(idx.numDocs === 4 && math.abs(idx.avgdl - 4.0) < 1e-9)
+    assert(idx.numDocs === 4 && math.abs(idx.avgdl - 3.25) < 1e-9)
     val m = idx.matchBm25("quick fox").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     val ln2 = math.log(2.0)
-    // doc1: tf=1, len=4 -> tfn = 2.2/2.2 = 1 per term -> 2*ln2
-    assert(math.abs(m(1L) - 2 * ln2) < 1e-9)
-    // doc3: len=5; quick tf=2 -> 4.4/3.425; fox tf=3 -> 6.6/4.425
-    val expected3 = ln2 * (4.4 / 3.425 + 6.6 / 4.425)
-    assert(math.abs(m(3L) - expected3) < 1e-9)
+    def tfn(tf: Double, len: Double): Double =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / 3.25))
+    // doc1: len=3, tf=1 each term
+    assert(math.abs(m(1L) - 2 * ln2 * tfn(1, 3)) < 1e-9)
+    // doc3: len=5; quick tf=2, fox tf=3
+    assert(math.abs(m(3L) - ln2 * (tfn(2, 5) + tfn(3, 5))) < 1e-9)
+  }
+
+  test("stopwords: dropped from the index, kept in conjunctive queries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick silver")).toDF("hash", "value")
+    val idx = FtsIndex.build(docs)
+    // index side: 'the' never entered the dict
+    assert(idx.termstats.filter(org.apache.spark.sql.functions.col("term") === "the")
+      .count() === 0)
+    // query side keeps the stopword -> conjunctive match finds nothing,
+    // exactly like DuckDB match_bm25(conjunctive:=1) over a stopped index
+    assert(idx.matchBm25("the quick").collect().isEmpty)
+    assert(idx.matchBm25("quick").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("settings: stemmer=none and custom separator via pragma syntax") {
+    import spark.implicits._
+    import graft.fts.FtsSettings
+    val st = FtsSettings.parse(
+      "ignore = '[^a-zA-Z0-9_]+', strip_accents = 1, lower=1, stemmer='none', stopwords='none'")
+    assert(st.stemmer === "none" && st.stopwords === "none" && st.ignore === "[^a-zA-Z0-9_]+")
+    val docs = Seq((1L, "the running RUNNER_X"), (2L, "runner_x walks")).toDF("hash", "value")
+    val idx = FtsIndex.build(docs, settings = st)
+    // no stemming: 'running' stays whole; '_' kept by the separator;
+    // no stopwords: 'the' is indexed
+    val terms = idx.termstats.collect().map(_.getString(0)).toSet
+    assert(terms.contains("running") && terms.contains("runner_x") && terms.contains("the"))
+    assert(idx.matchBm25("runner_x").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // and the query analyzer respects stemmer=none: 'walks' != 'walk'
+    assert(idx.matchBm25("walk").collect().isEmpty)
+  }
+
+  test("BIKIDATA_FTS_SETTINGS env override wins wholesale") {
+    import graft.fts.FtsSettings
+    val st = FtsSettings.resolve(stemmer = "porter",
+      env = Map("BIKIDATA_FTS_SETTINGS" -> "stemmer='none', lower=0"))
+    assert(st.stemmer === "none" && !st.lower && st.stripAccents)
+    val st2 = FtsSettings.resolve(stemmer = "none", env = Map.empty)
+    assert(st2.stemmer === "none" && st2.stopwords === "english")
   }
 
   test("ftss doc table aggregates 1-hop and 2-hop literals") {
