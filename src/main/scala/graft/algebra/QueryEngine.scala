@@ -16,6 +16,10 @@ final case class Entity(
     paths: Map[String, Seq[String]] = Map.empty)
 
 final case class QueryResult(
+    // insertion-ordered (ListMap): the envelope must iterate in page
+    // (pos) order like the reference's dict — a plain HashMap shuffles
+    // entries past 4 elements and paginated consumers would see
+    // reordered pages
     results: Map[String, Entity],
     total: Long,
     size: Int,
@@ -478,20 +482,25 @@ object QueryEngine {
                 .map { case (src, rows) =>
                   src -> rows.map { case (_, pad, path) => pad -> path }.toMap }
 
-            val results: Map[String, Entity] = order.toSeq.flatMap { case (sHash, props) =>
-              hv.get(sHash).map { sIri =>
-                val propMap = props.toSeq.flatMap { case (pHash, oHashes) =>
-                  hv.get(pHash).map { pIri =>
-                    pIri -> oHashes.toSeq.flatMap(hv.get)
+            // ListMap end-to-end: entities stay in page (pos) order and
+            // each property map in first-seen triple order, like the
+            // reference's insertion-ordered dicts
+            val results: Map[String, Entity] =
+              scala.collection.immutable.ListMap(order.toSeq.flatMap { case (sHash, props) =>
+                hv.get(sHash).map { sIri =>
+                  val propMap: Map[String, Seq[String]] =
+                    scala.collection.immutable.ListMap(props.toSeq.flatMap { case (pHash, oHashes) =>
+                      hv.get(pHash).map { pIri =>
+                        pIri -> oHashes.toSeq.flatMap(hv.get)
+                      }
+                    }: _*)
+                  val entPaths = pathsBySubject.getOrElse(sHash, Map.empty).map {
+                    case (pad, path) =>
+                      pad -> path.filter(_ != sHash).flatMap(hv.get)
                   }
-                }.toMap
-                val entPaths = pathsBySubject.getOrElse(sHash, Map.empty).map {
-                  case (pad, path) =>
-                    pad -> path.filter(_ != sHash).flatMap(hv.get)
+                  sIri -> Entity(sIri, propMap, Nil, entPaths)
                 }
-                sIri -> Entity(sIri, propMap, Nil, entPaths)
-              }
-            }.toMap
+              }: _*)
 
             QueryResult(results, total, opts.size, opts.start, aggregates)
           } finally wanted.unpersist()

@@ -64,7 +64,11 @@ object Build {
       .groupBy("hash").agg(first("value").as("value"))
 
     val literals = dict.filter(substring(col("value"), 1, 1) === "\"")
-    val iris = dict.filter(substring(col("value"), 1, 1) =!= "\"")
+    // the empty default-graph name is hashed into triples.g but NOT
+    // decodable: the reference's read_csv reads '' back as NULL and its
+    // substr filter drops it from iris (main.py:199-204), so e.g. the
+    // graphs facet silently omits default-graph triples — quirk preserved
+    val iris = dict.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
     Graph(spark, triples, iris, literals)
   }
 

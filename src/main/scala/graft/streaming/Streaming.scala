@@ -101,7 +101,8 @@ object Streaming {
           .select(Hash64(col("value")).as("hash"), col("value"))
         terms.filter(substring(col("value"), 1, 1) === "\"")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/literals_delta")
-        terms.filter(substring(col("value"), 1, 1) =!= "\"")
+        // empty default-graph name is not decodable (Build quirk parity)
+        terms.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/iris_delta")
         ()
       }

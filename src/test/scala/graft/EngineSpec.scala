@@ -246,6 +246,35 @@ class EngineSpec extends SparkSpec {
     assert(m("<http://ex/graph1>") === 3) // vader's three triples
   }
 
+  test("graphs aggregate silently drops default-graph triples (reference quirk)") {
+    // luke's triples live in the default graph '' — the reference's
+    // read_csv turns '' into NULL so it never reaches iris, and the
+    // facet's inner decode join drops the row (main.py:199-204)
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = "id", o = "<http://ex/luke>")),
+      aggregates = Seq("graphs"), size = 0))
+    assert(r.aggregates("graphs").isEmpty)
+    // and '' is not decodable at all
+    assert(ctx.graph.iris.filter(
+      org.apache.spark.sql.functions.col("value") === "").count() === 0)
+  }
+
+  test("envelope preserves page order for more than 4 entities") {
+    // >4 entries is where an unordered HashMap would visibly shuffle
+    val r = QueryEngine.query(ctx, QueryOpts(
+      filters = Seq(FilterQ(p = label)), size = 999))
+    assert(r.results.size > 4)
+    val ids = r.results.keys.toSeq
+    // default page order is ORDER BY s on the HASH column (signed long)
+    val expected = ids.sortBy(graft.functions.Hash64.hashString)
+    assert(ids === expected, "results must iterate in page (pos) order")
+    // toJson emits the same order
+    val json = r.toJson
+    val positions = ids.map(id => json.indexOf("\"" + id + "\":{"))
+    assert(positions.forall(_ >= 0))
+    assert(positions === positions.sorted, "JSON envelope must follow page order")
+  }
+
   test("order desc with nulls first") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = a, o = human)))).get
