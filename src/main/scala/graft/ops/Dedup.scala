@@ -196,16 +196,50 @@ object Dedup {
     labels
   }
 
-  /** Exact token-set Jaccard pairs via inverted-index self-join —
-    * (a, b, jaccard) for pairs ≥ threshold. */
+  /** Token streams (id, tok) for Jaccard: distinct whitespace tokens. */
+  private def jaccardToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+
+  /** Candidate pairs via POSITIONAL PREFIX FILTERING (the standard
+    * all-pairs guard against hot-token blowup): order every doc's tokens
+    * by global document frequency ascending, and only the first
+    * `|A| - ⌈t'·|A|⌉ + 1` rarest tokens of each doc generate join rows.
+    * If J(A,B) ≥ t then |A∩B| ≥ t·|A| and the prefixes must intersect, so
+    * the filter is LOSSLESS for the threshold — while a stopword shared
+    * by k docs no longer creates k² candidates, because a high-df token
+    * almost never lands in a prefix. `t'` is slackened by 1e-4 so pairs
+    * whose 4-dp-rounded Jaccard reaches t also survive. */
+  private[graft] def jaccardCandidates(toks: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tp = threshold - 1e-4
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tokdf"))
+    val ranked = toks.join(dfCounts, "tok")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("tokdf").asc, col("tok").asc)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ranked.filter(col("rank") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
+      .select("id", "tok")
+    prefix.as("A").join(prefix.as("B"),
+        col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
+      .select(col("A.id").as("a"), col("B.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥
+    * threshold. Candidates come from the prefix filter (lossless, see
+    * [[jaccardCandidates]]); the exact intersection is then computed only
+    * for candidate pairs, so cost scales with true near-duplicates, not
+    * with the square of the hottest token's document frequency. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val toks = jaccardToks(df, idCol, textCol)
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = toks.as("A").join(toks.as("B"),
-        col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
-      .groupBy(col("A.id").as("a"), col("B.id").as("b"))
+    val cands = jaccardCandidates(toks, threshold)
+    val inter = cands
+      .join(toks.as("TA"), col("a") === col("TA.id"))
+      .join(toks.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")

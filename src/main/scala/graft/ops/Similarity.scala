@@ -90,12 +90,29 @@ object Similarity {
       .limit(k)
   }
 
-  /** Top-n most similar pairs within a corpus slice (brute; used for
-    * embedding-near-dup verification at test scale). */
-  def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    a.join(b, col("a") < col("b"))
+  /** Top-n most similar pairs. Small inputs (≤ `maxBrute` rows) get the
+    * exact O(n²) nested-loop pass — the verification path. Larger inputs
+    * are routed through LSH buckets automatically: only same-bucket pairs
+    * are scored (the standard near-dup candidate contract — highly
+    * similar vectors share sign patterns), so cost stays near-linear
+    * instead of quadratic. Callers needing exact top pairs over a large
+    * corpus must slice it first; the old unguarded API would silently
+    * BroadcastNestedLoopJoin 10¹⁰ row pairs at corpus scale. */
+  def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,
+      maxBrute: Long = 10000L): DataFrame = {
+    val pairs =
+      if (emb.count() <= maxBrute) {
+        val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+        val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+        a.join(b, col("a") < col("b"))
+      } else {
+        val bucketed = buildLsh(emb, idCol, vecCol)
+        val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+        val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
+          col("bucket").as("bucket_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
+      }
+    pairs
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(n)

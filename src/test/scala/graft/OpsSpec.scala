@@ -49,6 +49,70 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("jaccard prefix filter bounds candidates on a hot-token corpus") {
+    // adversarial shape: 200 docs ALL sharing a hot token ('the'), but
+    // with otherwise disjoint vocabularies — the naive inverted-index
+    // self-join would generate 200·199/2 ≈ 20k candidate pairs off that
+    // one token; the prefix filter must keep only true near-dup pairs
+    val hot = (0 until 200).map(i =>
+      (i.toLong, s"the unique_${i}_a unique_${i}_b unique_${i}_c unique_${i}_d")) ++
+      Seq((500L, "the unique_7_a unique_7_b unique_7_c unique_7_x")) // near-dup of 7
+    val df = hot.toDF("id", "text")
+    val toks = df.select(col("id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val nCands = Dedup.jaccardCandidates(toks, 0.5).count()
+    assert(nCands < 50, s"prefix filter generated $nCands candidates (quadratic blowup)")
+    // and the exact result still finds the planted near-dup: 4 shared of
+    // 6 distinct-union = 0.6667
+    val pairs = Dedup.tokenJaccardPairs(df, "id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((7L, 500L)) === 0.6667)
+    assert(pairs.size === 1)
+  }
+
+  test("prefix-filtered jaccard equals the naive computation") {
+    // lossless-ness check on a mixed corpus: prefix filtering must not
+    // drop any pair that reaches the threshold
+    val naive = {
+      val toks = corpus.select(col("id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+      toks.as("A").join(toks.as("B"),
+          col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
+        .groupBy(col("A.id").as("a"), col("B.id").as("b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
+        .filter(col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    val filtered = Dedup.tokenJaccardPairs(corpus, "id", "text", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(filtered === naive)
+  }
+
+  test("topPairs routes large inputs through LSH buckets") {
+    def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
+      (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
+    val base = randVec("pair-center")
+    def perturb(k: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.02f * ((k + d) % 3 - 1) }
+    val vecs = ((0 until 300).map(i => (i.toLong, randVec(s"p$i"))) ++
+      Seq((900L, perturb(1)), (901L, perturb(2)))).toDF("vec_id", "embedding")
+    // maxBrute=100 forces the LSH route on this 302-row input; the
+    // planted near-identical pair must still win
+    val top = Similarity.topPairs(vecs, "vec_id", "embedding", 1, maxBrute = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.head === ((900L, 901L)))
+    // the brute route (default cap) agrees
+    val brute = Similarity.topPairs(vecs, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute.head === ((900L, 901L)))
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     // a 10-vector cluster of perturbations around vec 7 + 190 random
     // vectors: LSH must keep the cluster findable (sign patterns survive
