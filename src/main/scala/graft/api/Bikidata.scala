@@ -203,7 +203,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.api.Main <file.nt|dir> [warehouseDir] | query <warehouseDir> <optsJson>")
+      "usage: graft.api.Main <file.nt|dir> [warehouseDir] | query <warehouseDir> <optsJson> | worker <warehouseDir> [port] [numWorkers]")
     args(0) match {
       case "query" =>
         require(args.length >= 3, "usage: graft.api.Main query <warehouseDir> <optsJson>")
@@ -211,6 +211,17 @@ object Main {
         val bk = new Bikidata(spark, args(1))
         println(bk.queryJson(args(2)))
         spark.stop()
+      // `python -m bikidata worker N` equivalent (__main__.py:17-21): a
+      // long-running service loop in front of one warehouse session
+      case "worker" =>
+        require(args.length >= 2, "usage: graft.api.Main worker <warehouseDir> [port] [numWorkers]")
+        val port = if (args.length > 2) args(2).toInt else 7687
+        val n = if (args.length > 3) args(3).toInt else 1
+        val spark = session()
+        val bk = new Bikidata(spark, args(1))
+        val srv = new WorkerServer(bk, port, n)
+        println(s"""{"worker_port": ${srv.boundPort}, "workers": $n}""")
+        Thread.currentThread().join() // serve until killed
       case buildTarget =>
         val warehouseDir = if (args.length > 1) args(1)
           else sys.env.getOrElse("GRAFT_DB", "graft_warehouse")

@@ -1,0 +1,187 @@
+package graft.api
+
+import graft.ingest.Quad
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Single-writer queue tier mirroring the reference's Redis
+  * manager/worker processes (workers.py:27-108) without the Redis
+  * dependency:
+  *
+  *  - ONE manager thread drains the inbound queue and executes
+  *    insert/delete INLINE — the single-writer routing that serializes
+  *    all mutations (redis_manager, workers.py:39-70);
+  *  - N worker threads drain the ready queue and serve queries through
+  *    an md5-keyed result cache (redis_worker, workers.py:73-108);
+  *  - clients get a ticket future and block with a timeout
+  *    (query_async, workers.py:115-128).
+  *
+  * Spark jobs are already cluster-parallel, so "workers" are threads in
+  * the session JVM rather than forked OS processes; [[WorkerServer]]
+  * replaces the Redis transport with a line-delimited-JSON TCP socket
+  * for cross-process clients.
+  */
+final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024) {
+
+  private final case class Req(json: String,
+      promise: java.util.concurrent.CompletableFuture[String])
+
+  private val inQ = new java.util.concurrent.LinkedBlockingQueue[Req]()
+  private val readyQ = new java.util.concurrent.LinkedBlockingQueue[Req]()
+  @volatile private var running = true
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > cacheSize
+    })
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Submit a request (reference opts JSON: a query dict, or
+    * `{"action": "insert"|"delete", "data": [{s,p,o,g}], ...}`) and wait
+    * for its result envelope. */
+  def submit(optsJson: String, timeoutSeconds: Long = 60L): String = {
+    val p = new java.util.concurrent.CompletableFuture[String]()
+    inQ.put(Req(optsJson, p))
+    try p.get(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: java.util.concurrent.TimeoutException =>
+      throw new java.util.concurrent.TimeoutException(
+        s"query timed out after ${timeoutSeconds}s")
+    }
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def runMutation(parsed: JValue): String = {
+    implicit val fmts: Formats = DefaultFormats
+    val action = (parsed \ "action").extract[String]
+    val areHashes = (parsed \ "are_hashes").extractOrElse[Boolean](false)
+    val data = (parsed \ "data") match {
+      case JArray(items) => items.map { it =>
+        ((it \ "s").extractOrElse[String](""), (it \ "p").extractOrElse[String](""),
+          (it \ "o") match {
+            case JString(o) => Some(o)
+            case JNull | JNothing => None
+            case other => Some(other.extract[String])
+          },
+          (it \ "g").extractOrElse[String](""))
+      }
+      case _ => Nil
+    }
+    val res = action match {
+      case "insert" =>
+        bk.insert(data.map { case (s, p, o, g) => Quad(s, p, o.getOrElse(""), g) })
+      case "delete" =>
+        bk.delete(data, areHashes)
+      case other =>
+        graft.store.MutationResult(error = Some(s"unknown action: $other"))
+    }
+    val fields: List[JField] = List(
+      "triples_inserted" -> JInt(res.triplesInserted),
+      "iris_inserted" -> JInt(res.irisInserted),
+      "literals_inserted" -> JInt(res.literalsInserted),
+      "triples_deleted" -> JInt(res.triplesDeleted)) ++
+      res.error.map(e => JField("error", JString(e))).toList
+    JsonMethods.compact(JsonMethods.render(JObject(fields)))
+  }
+
+  private val manager = new Thread(() => {
+    while (running) {
+      val req = inQ.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (req != null) {
+        try {
+          val parsed = JsonMethods.parse(req.json)
+          (parsed \ "action") match {
+            case JString("insert") | JString("delete") =>
+              // inline in the manager: the single writer
+              req.promise.complete(runMutation(parsed))
+            case _ => readyQ.put(req)
+          }
+        } catch { case e: Exception =>
+          req.promise.complete(errorJson(e))
+        }
+      }
+    }
+  }, "graft-worker-manager")
+
+  private def errorJson(e: Exception): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "error" -> JString("Failed to process query"),
+      "trace" -> JString(String.valueOf(e))))))
+
+  private val workers = (1 to numWorkers).map { i =>
+    new Thread(() => {
+      while (running) {
+        val req = readyQ.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (req != null) {
+          try {
+            implicit val fmts: Formats = DefaultFormats
+            val useCache = (JsonMethods.parse(req.json) \ "use_cache")
+              .extractOrElse[Boolean](true)
+            val key = md5(req.json)
+            val hit = if (useCache) cache.get(key) else null
+            if (hit != null) {
+              cacheHits.incrementAndGet()
+              req.promise.complete(hit)
+            } else {
+              val res = bk.queryJson(req.json)
+              if (useCache) cache.put(key, res)
+              req.promise.complete(res)
+            }
+          } catch { case e: Exception =>
+            req.promise.complete(errorJson(e))
+          }
+        }
+      }
+    }, s"graft-worker-$i")
+  }
+
+  (manager +: workers).foreach { t => t.setDaemon(true); t.start() }
+
+  def shutdown(): Unit = running = false
+}
+
+/** TCP front end for [[WorkerPool]]: one line-delimited JSON request per
+  * line in, one response line out — the cross-process transport the
+  * reference gets from Redis lists. */
+final class WorkerServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1) {
+  val pool = new WorkerPool(bk, numWorkers)
+  private val server = new java.net.ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+          try {
+            var line = in.readLine()
+            while (line != null && running) {
+              if (line.trim.nonEmpty)
+                out.println(pool.submit(line).replace("\n", " "))
+              line = in.readLine()
+            }
+          } catch { case _: java.io.IOException => () }
+          finally sock.close()
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () } // closed during accept
+    }
+  }, "graft-worker-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    running = false
+    pool.shutdown()
+    server.close()
+  }
+}

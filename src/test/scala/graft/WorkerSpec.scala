@@ -1,0 +1,93 @@
+package graft
+
+import graft.api.{Bikidata, WorkerServer}
+
+/** The queue tier end to end: two concurrent TCP clients through the
+  * socket front end, single-writer mutation routing, md5 cache hits —
+  * the reference's manager/worker contract (workers.py:27-108) without
+  * Redis. */
+class WorkerSpec extends SparkSpec {
+
+  private def client(port: Int): (java.io.PrintWriter, java.io.BufferedReader, java.net.Socket) = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+    (out, in, sock)
+  }
+
+  test("two concurrent clients, mutations inline, queries cached") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-worker").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      """<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> "alpha thing" .
+        |<http://ex/b> <http://www.w3.org/2000/01/rdf-schema#label> "beta thing" .
+        |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    assert(bk.build(Seq(s"$dir/data.nt")) === 2)
+
+    val srv = new WorkerServer(bk, port = 0, numWorkers = 2)
+    try {
+      val q = """{"filters":[{"p":"fts","o":"alpha"}]}"""
+
+      // two clients issue the same query concurrently
+      val (out1, in1, s1) = client(srv.boundPort)
+      val (out2, in2, s2) = client(srv.boundPort)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f1 = Future { out1.println(q); in1.readLine() }
+      val f2 = Future { out2.println(q); in2.readLine() }
+      val (r1, r2) = (Await.result(f1, 60.seconds), Await.result(f2, 60.seconds))
+      assert(r1.contains("<http://ex/a>") && r2.contains("<http://ex/a>"))
+      assert(r1 === r2)
+
+      // a repeat of the same opts is a cache hit
+      val before = srv.pool.cacheHits.get()
+      out1.println(q)
+      assert(in1.readLine().contains("<http://ex/a>"))
+      assert(srv.pool.cacheHits.get() > before)
+
+      // mutation routed inline by the manager (single writer)
+      out2.println("""{"action":"insert","data":[{"s":"<http://ex/c>","p":"<http://www.w3.org/2000/01/rdf-schema#label>","o":"\"gamma thing\"","g":""}]}""")
+      val ins = in2.readLine()
+      assert(ins.contains("\"triples_inserted\":1"), ins)
+      assert(bk.total() === 3)
+
+      // new data visible to a fresh query through the pool
+      out1.println("""{"filters":[{"p":"fts","o":"gamma"}]}""")
+      assert(in1.readLine().contains("<http://ex/c>"))
+
+      // delete through the queue as well
+      out2.println("""{"action":"delete","data":[{"s":"<http://ex/c>","p":"<http://www.w3.org/2000/01/rdf-schema#label>","o":null,"g":""}]}""")
+      val del = in2.readLine()
+      assert(del.contains("\"triples_deleted\":1"), del)
+      assert(bk.total() === 2)
+
+      // unknown actions fall through to the query path (reference
+      // redis_manager only special-cases insert/delete, workers.py:48)
+      out1.println("""{"action":"explode","data":[]}""")
+      assert(in1.readLine().contains("\"results\":{}"))
+
+      s1.close(); s2.close()
+    } finally srv.close()
+  }
+
+  test("use_cache=false bypasses the result cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-worker2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha\" .\n")
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(s"$dir/data.nt"))
+    val srv = new WorkerServer(bk, port = 0, numWorkers = 1)
+    try {
+      val q = """{"filters":[{"p":"fts","o":"alpha"}],"use_cache":false}"""
+      val (out, in, sock) = client(srv.boundPort)
+      out.println(q); in.readLine()
+      val before = srv.pool.cacheHits.get()
+      out.println(q); in.readLine()
+      assert(srv.pool.cacheHits.get() === before)
+      sock.close()
+    } finally srv.close()
+  }
+}
