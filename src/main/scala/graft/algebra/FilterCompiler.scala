@@ -75,6 +75,48 @@ object FilterCompiler {
 
   def h(term: String): Long = Hash64.hashString(term)
 
+  /** Longest leading run of regex-literal characters in a pattern — the
+    * chars every match must start with. Stops at the first metacharacter
+    * (conservatively including one char BEFORE `*?{`-style quantifiers,
+    * which make their predecessor optional). A top-level alternation
+    * anywhere voids the prefix entirely (`abc|def` matches need not
+    * start with `abc`). */
+  private[graft] def staticRegexPrefix(pattern: String): String = {
+    // top-level '|' check: depth-0 outside character classes
+    var depth = 0
+    var inClass = false
+    var j = 0
+    while (j < pattern.length) {
+      val c = pattern.charAt(j)
+      if (c == '\\') j += 1
+      else if (inClass) { if (c == ']') inClass = false }
+      else c match {
+        case '[' => inClass = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 0 => return ""
+        case _ => ()
+      }
+      j += 1
+    }
+    val meta = ".^$|()[]{}\\*+?"
+    val out = new StringBuilder
+    var i = 0
+    var done = false
+    while (!done && i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (meta.indexOf(c.toInt) >= 0) done = true
+      else {
+        // a following quantifier makes this char optional — exclude it
+        if (i + 1 < pattern.length && "*?{".indexOf(pattern.charAt(i + 1).toInt) >= 0)
+          done = true
+        else out += c
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   /** n-hop ancestor walk: subjects that REFERENCE the current subject set,
     * repeated `hops` times (join_parents_sql, query.py:110-119). Each hop
     * is one hash equi-join on the o column; `extra` columns (score) ride
@@ -166,8 +208,15 @@ object FilterCompiler {
       }
     } else if (p.startsWith("regex")) {
       // DuckDB `SIMILAR TO` is full-string anchored; rlike is not →
-      // anchor explicitly (SURVEY §2.2)
-      val lits = ctx.graph.literals
+      // anchor explicitly (SURVEY §2.2). A static prefix of the pattern
+      // becomes a startsWith pre-filter: it reaches the columnar scan
+      // (min/max pruning) and short-circuits before the regex engine —
+      // the same prune DuckDB applies to SIMILAR TO.
+      val prefix = FilterCompiler.staticRegexPrefix(o)
+      val preFiltered =
+        if (prefix.nonEmpty) ctx.graph.literals.filter(col("value").startsWith(prefix))
+        else ctx.graph.literals
+      val lits = preFiltered
         .filter(col("value").rlike("^(?:" + o + ")$"))
         .select(col("hash").as("lhash"))
       val t0 = propFilter(withG(triples))

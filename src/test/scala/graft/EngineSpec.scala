@@ -275,6 +275,26 @@ class EngineSpec extends SparkSpec {
     assert(positions === positions.sorted, "JSON envelope must follow page order")
   }
 
+  test("static regex prefix extraction is conservative") {
+    import graft.algebra.FilterCompiler.staticRegexPrefix
+    assert(staticRegexPrefix("\"NATION_1.\"") === "\"NATION_1")
+    assert(staticRegexPrefix("\"red .*\"") === "\"red ")
+    assert(staticRegexPrefix("a+b") === "a")      // + keeps 'a' mandatory
+    assert(staticRegexPrefix("ab?c") === "a")     // ? makes 'b' optional
+    assert(staticRegexPrefix("ab{0,2}c") === "a") // {..} may make 'b' optional
+    assert(staticRegexPrefix("(red|blue)") === "")
+    assert(staticRegexPrefix("abc|def") === "")   // top-level alternation
+    assert(staticRegexPrefix("ab(c)|d") === "")   // later top-level |
+    assert(staticRegexPrefix("ab(c|d)e") === "ab") // nested | is fine
+    assert(staticRegexPrefix("\\d+x") === "")     // escape ends prefix
+  }
+
+  test("regex filter with alternation still matches both branches") {
+    val got = subjectsOf(QueryOpts(filters = Seq(
+      FilterQ(p = "regex", o = "\"Luke Skywalker\"|\"Leia Organa\""))))
+    assert(got === Set("<http://ex/luke>", "<http://ex/leia>"))
+  }
+
   test("order desc with nulls first") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = a, o = human)))).get
