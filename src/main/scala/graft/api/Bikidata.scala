@@ -58,15 +58,19 @@ final class Bikidata(
   private def invalidate(): Unit = {
     ctxOpt.foreach(_.graph.unpersist())
     ctxOpt = None
+    ftssIdx = None
     cache.clear()
     // mutations make the stored derived indexes stale — drop them so the
     // next session rebuilds (and re-persists) them
-    for (sub <- Seq("fts_postings", "fts_termstats", "literals_semantic", "semantic_ann")) {
+    for (sub <- Seq("fts_postings", "fts_termstats", "ftss_postings",
+        "ftss_termstats", "literals_semantic", "semantic_ann")) {
       val d = new java.io.File(warehouseDir, sub)
       if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
     }
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(warehouseDir, "fts_meta.json"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(warehouseDir, "ftss_meta.json"))
   }
 
   /** Ingest N-Triples/TriG files into the warehouse (refuses if data
@@ -86,11 +90,35 @@ final class Bikidata(
     spark.read.parquet(s"$warehouseDir/triples").count()
   }
 
-  /** Per-subject 2-hop FTS document table (main.py:229-272). */
+  /** Per-subject 2-hop FTS document table (main.py:229-272). Also builds
+    * and persists a BM25 index over it — the reference's `fts_main_fts`
+    * (main.py:267-269), created for parity even though the reference
+    * itself never queries it; here it is reachable via [[ftssIndex]]. */
   def buildFtss(): DataFrame = {
     val g = ctx.graph
-    FtsIndex.buildFtss(g.triples, g.literals)
+    val docs = FtsIndex.buildFtss(g.triples, g.literals)
+    if (ftssIdx.isEmpty) {
+      val settings = FtsIndex.load(spark, warehouseDir)
+        .map(_.settings).getOrElse(graft.fts.FtsSettings.resolve())
+      val idx = FtsIndex.build(docs, "s", "values", settings)
+      try FtsIndex.write(idx, warehouseDir, name = "ftss")
+      catch { case _: Exception => () } // read-only warehouse
+      ftssIdx = Some(idx)
+    }
+    docs
   }
+
+  @volatile private var ftssIdx: Option[FtsIndex] = None
+
+  /** The doc-table BM25 index (`fts_main_fts` parity), building it on
+    * first use if the warehouse has none persisted. */
+  def ftssIndex: FtsIndex =
+    ftssIdx.getOrElse {
+      val idx = FtsIndex.load(spark, warehouseDir, name = "ftss")
+        .getOrElse { buildFtss(); ftssIdx.get }
+      ftssIdx = Some(idx)
+      idx
+    }
 
   /** Subject-level embedding index (semantic.py:41-87): built once,
     * persisted into the warehouse as `literals_semantic` parquet (the

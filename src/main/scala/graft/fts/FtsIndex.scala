@@ -116,18 +116,21 @@ object FtsIndex {
   /** Persist the index into a warehouse directory (postings already
     * term-clustered → parquet row-group stats prune term lookups). The
     * reference likewise stores its FTS index inside the database file
-    * (main.py:218-220) rather than rebuilding per session. */
-  def write(index: FtsIndex, warehouseDir: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$warehouseDir/fts_postings")
-    index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/fts_termstats")
+    * (main.py:218-220) rather than rebuilding per session. `name`
+    * distinguishes the literals index ("fts") from the 2-hop doc-table
+    * index ("ftss" — the reference's `fts_main_fts`). */
+  def write(index: FtsIndex, warehouseDir: String, name: String = "fts"): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$warehouseDir/${name}_postings")
+    index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
     val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(warehouseDir, "fts_meta.json"), meta)
+      java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json"), meta)
   }
 
   /** Load a previously written index; None if absent. */
-  def load(spark: org.apache.spark.sql.SparkSession, warehouseDir: String): Option[FtsIndex] = {
-    val metaPath = java.nio.file.Paths.get(warehouseDir, "fts_meta.json")
+  def load(spark: org.apache.spark.sql.SparkSession, warehouseDir: String,
+      name: String = "fts"): Option[FtsIndex] = {
+    val metaPath = java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json")
     if (!java.nio.file.Files.exists(metaPath)) None
     else {
       import org.json4s.jackson.JsonMethods
@@ -142,8 +145,8 @@ object FtsIndex {
         stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
         stopwords = (j \ "stopwords").extractOrElse[String]("english"))
       Some(FtsIndex(
-        spark.read.parquet(s"$warehouseDir/fts_postings"),
-        spark.read.parquet(s"$warehouseDir/fts_termstats"),
+        spark.read.parquet(s"$warehouseDir/${name}_postings"),
+        spark.read.parquet(s"$warehouseDir/${name}_termstats"),
         (j \ "numDocs").extract[Long],
         (j \ "avgdl").extract[Double],
         (j \ "k1").extract[Double],

@@ -46,4 +46,21 @@ class BikidataApiSpec extends SparkSpec {
     assert(del.error.isEmpty)
     assert(bk.total() === 2)
   }
+
+  test("buildFtss persists the doc-table index (fts_main_fts parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ftss").toString
+    val nt = s"$dir/data.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
+      """<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> "alpha thing" .
+        |<http://ex/b> <http://ex/rel> <http://ex/a> .
+        |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(nt))
+    bk.buildFtss()
+    assert(new java.io.File(s"$dir/wh/ftss_meta.json").exists())
+    // 2-hop doc of b contains a's label → searchable through the index
+    val hits = bk.ftssIndex.matchBm25("alpha").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(graft.functions.Hash64.hashString("<http://ex/b>")))
+    assert(hits.contains(graft.functions.Hash64.hashString("<http://ex/a>")))
+  }
 }
