@@ -74,6 +74,25 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup by content fingerprint: only the FIRST
+    * occurrence of each normalized text passes through; later duplicates
+    * (same batch or later batches) are dropped by Structured Streaming's
+    * stateful `dropDuplicates`. With a watermark the dedup state is
+    * bounded to the lateness window — the standard shape for dedup at
+    * ingest on an unbounded corpus. Works identically on batch input
+    * (first occurrence in encounter order per fingerprint). */
+  def dedupStream(docs: DataFrame, textCol: String,
+      eventTimeCol: Option[String] = None, lateness: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("__fp",
+      md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+    val bounded = eventTimeCol match {
+      case Some(tc) if docs.isStreaming =>
+        keyed.withWatermark(tc, lateness).dropDuplicates("__fp", tc)
+      case _ => keyed.dropDuplicates("__fp")
+    }
+    bounded.drop("__fp")
+  }
+
   // ------------------------------------------------------------- streaming
 
   /** Streaming RDF ingest: watch a directory for N-Triples files, parse +

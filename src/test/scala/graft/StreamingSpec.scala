@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).endMs - sessions(0).startMs === 5 * 60 * 1000L)
   }
 
+  test("dedupStream drops duplicate texts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.dedupStream(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(Seq((1L, "alpha beta"), (2L, "gamma  delta"), (3L, "alpha beta")))
+    q.processAllAvailable()
+    // duplicate arrives again in a LATER batch — state must remember it
+    mem.addData(Seq((4L, "Alpha   Beta"), (5L, "epsilon")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).toSet
+    // 3 (same batch), 4 (later batch, differs only in case/whitespace) dropped
+    assert(ids === Set(1L, 2L, 5L))
+    // batch mode: same semantics, first occurrence kept
+    val batch = Streaming.dedupStream(
+      Seq((1L, "x y"), (2L, "x  Y"), (3L, "z")).toDF("doc_id", "text"), "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.size === 2 && batch.contains(3L))
+  }
+
   test("streamNt ingests micro-batches into warehouse deltas") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val watch = s"$dir/watch"; val wh = s"$dir/wh"; val ckpt = s"$dir/ckpt"
