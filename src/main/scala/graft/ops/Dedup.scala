@@ -183,13 +183,17 @@ object Dedup {
         .join(labels, edges("y") === labels("id"))
         .groupBy(col("x").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
+      // carry a `changed` flag through the checkpoint so convergence is a
+      // trivial scan of the materialized frame, not an extra join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("ncluster"),
+          col("cluster"))
+        .select(col("id"), col("ncluster").as("cluster"),
+          (col("ncluster") =!= col("cluster")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "cluster")
       round += 1
     }
     edges.unpersist()
