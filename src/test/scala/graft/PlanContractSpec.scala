@@ -1,0 +1,53 @@
+package graft
+
+import graft.algebra.{FilterQ, QueryEngine, QueryOpts}
+import org.apache.spark.sql.functions._
+
+/** Pins the physical-plan decisions the perf work depends on — if a
+  * refactor silently turns a broadcast into a two-sided shuffle or
+  * un-prunes a scan, these fail before a benchmark ever notices. */
+class PlanContractSpec extends SparkSpec {
+
+  private lazy val ctx = Fixture.ctx(spark)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("facet joins broadcast the filtered subject set") {
+    val sres = QueryEngine.subjects(ctx,
+      QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
+    val p = plan(QueryEngine.facet(ctx, "graphs", sres))
+    assert(p.contains("BroadcastExchange"), s"no broadcast in facet plan:\n$p")
+    // the triples side must not shuffle for the semi-join
+    assert(!p.contains("SortMergeJoin"), s"facet fell back to SMJ:\n$p")
+  }
+
+  test("hydration broadcasts the page side") {
+    val opts = QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))
+    val wanted = QueryEngine.wantedPage(ctx, opts,
+      QueryEngine.subjects(ctx, opts).get, None)
+    val p = plan(QueryEngine.hydrate(ctx, opts, wanted))
+    assert(p.contains("BroadcastExchange"), s"no broadcast in hydrate plan:\n$p")
+  }
+
+  test("relational scans prune columns and push filters") {
+    val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    // only the 6 needed lineitem columns reach the scan, not all 11
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("fts match prunes postings with an IN filter before the join") {
+    val idx = ctx.fts.get
+    val p = plan(idx.matchBm25("skywalker"))
+    assert(p.contains("BroadcastExchange"), s"query-term side not broadcast:\n$p")
+    assert(p.toLowerCase.contains("skywalk"), // stemmed IN literal visible in scan filter
+      s"postings scan not term-pruned:\n$p")
+  }
+}
