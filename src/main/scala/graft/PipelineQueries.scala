@@ -70,6 +70,12 @@ object PipelineQueries {
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("h")
     }),
 
+    // deduplicated-corpus materialization: keep min-id row per content
+    "q_doc_keep" -> ((s, dir) => {
+      Dedup.keepCanonical(docs(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // exact token-set Jaccard via inverted-index self-join
     "q_doc_jaccard" -> ((s, dir) => {
       Dedup.tokenJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
@@ -199,6 +205,10 @@ object PipelineQueries {
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_doc_keep" ->
+      """SELECT doc_id FROM documents
+        |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_jaccard" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),'\s+'))) AS tok
         |           FROM documents WHERE doc_id < 40),

@@ -209,6 +209,11 @@ final class Bikidata(
   /** Escape hatch (reference `raw()`): register temp views and hand back
     * the session for ad-hoc Spark SQL. */
   def raw(): SparkSession = { ctx.graph.registerViews(); spark }
+
+  /** Export the store back to N-Triples/N-Quads text (inverse of
+    * [[build]]) — backup / hand-off / engine-migration path. */
+  def export(path: String, singleFile: Boolean = false): Unit =
+    graft.ingest.Export.nt(ctx.graph, path, singleFile)
 }
 
 /** CLI mirroring `python -m bikidata <file|dir>` (__main__.py:6-29), plus

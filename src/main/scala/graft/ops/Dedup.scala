@@ -200,6 +200,19 @@ object Dedup {
     labels
   }
 
+  /** Materialize the deduplicated corpus: keep exactly the canonical
+    * (min-id) row of every exact-content group. One groupBy + one
+    * semi-join — the filter stage that follows [[exact]] in a real
+    * pipeline run. */
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = df
+      .select(md5(col(textCol)).as("__h"), col(idCol).as("__keep"))
+      .groupBy("__h").agg(min("__keep").as("__keep"))
+    df.join(canon,
+        md5(col(textCol)) === col("__h") && col(idCol) === col("__keep"),
+        "left_semi")
+  }
+
   /** Token streams (id, tok) for Jaccard: distinct whitespace tokens. */
   private def jaccardToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

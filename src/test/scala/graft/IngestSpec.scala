@@ -60,4 +60,30 @@ class IngestSpec extends SparkSpec {
     val iris = graph.iris.collect().map(_.getString(1)).toSet
     assert(iris.contains("<http://ex/g1>") && !iris.contains(""))
   }
+
+  test("export round-trips the graph through TriG text") {
+    import spark.implicits._
+    val g0 = graft.ingest.Build.graphFromQuads(spark, Fixture.quads.toDF())
+    val dir = Files.createTempDirectory("graft-export").toString + "/out"
+    val n = graft.ingest.Export.nt(g0, dir)
+    assert(n === Fixture.quads.size)
+    // named graphs exist → single ordered file with TriG blocks
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    val lines = Files.readAllLines(file.toPath)
+    assert(lines.stream().anyMatch(_ == "<http://ex/graph1> {"))
+    // default-graph triples come BEFORE any block (graph state never
+    // resets in the reference's read_nt, so order is load-bearing)
+    val openIdx = (0 until lines.size()).find(i => lines.get(i).endsWith(" {")).get
+    assert((0 until openIdx).forall(i => !lines.get(i).endsWith(" {")))
+    // re-ingest through the stateful TriG path: identical graph
+    val trig = file.toPath.getParent.resolve("roundtrip.trig")
+    Files.copy(file.toPath, trig)
+    val g1 = graft.ingest.Build.graphFromFiles(spark, Seq(trig.toString))
+    def tset(g: graft.store.Graph) =
+      g.triples.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tset(g1) === tset(g0))
+    assert(g1.dict.collect().map(_.getString(1)).toSet ===
+      g0.dict.collect().map(_.getString(1)).toSet)
+  }
 }

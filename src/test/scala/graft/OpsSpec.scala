@@ -21,6 +21,12 @@ class OpsSpec extends SparkSpec {
     assert(groups.length === 4)
   }
 
+  test("keepCanonical keeps exactly the min-id row per content group") {
+    val kept = Dedup.keepCanonical(corpus, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 5L)) // 4 is an exact dup of 1
+  }
+
   test("minhash LSH surfaces near-dup and exact-dup pairs") {
     val pairs = Dedup.minhashDedup(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
