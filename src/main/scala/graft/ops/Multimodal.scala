@@ -57,6 +57,43 @@ object Multimodal {
       case (frame, i) if i % everyN == 0 => frame
     }.toSeq
 
+  /** STUB resize: deterministic byte downsampling to a target "pixel"
+    * budget (a real impl decodes, scales, re-encodes). Output size is
+    * min(input, targetW*targetH) — monotone like a real downscale. */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val budget = targetW * targetH
+    if (bytes.length <= budget) bytes
+    else {
+      val out = new Array[Byte](budget)
+      var i = 0
+      while (i < budget) {
+        out(i) = bytes((i.toLong * bytes.length / budget).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  final case class ResizedRow(id: Long, bytes: Array[Byte], meta: MediaMeta)
+
+  /** Batch resize pipeline: binary rows → resized binary + target-dim
+    * metadata, partition-local, no shuffle — same batch contract as
+    * [[batchFeaturize]] so a GPU image pipeline slots in unchanged. */
+  def batchResize(media: Dataset[MediaRow], targetW: Int = 224, targetH: Int = 224,
+      batchSize: Int = 32): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val rb = resizeStub(r.bytes, targetW, targetH)
+          ResizedRow(r.id, rb,
+            decodeImageStub(r.bytes).copy(width = targetW, height = targetH,
+              sizeBytes = rb.length.toLong))
+        }
+      }
+    }
+  }
+
   /** The batch featurize pipeline: binary rows → (meta, features) in
     * partition-local batches of `batchSize` — the exact batch shape a
     * GPU-backed encoder wants. No shuffle: one pass over the data. */

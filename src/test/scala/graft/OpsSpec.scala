@@ -202,6 +202,25 @@ class OpsSpec extends SparkSpec {
     assert(j13 < 0.2)
   }
 
+  test("multimodal batch resize bounds size and stamps target dims") {
+    val media = Multimodal.syntheticMedia(corpus, "id", "text")
+    val resized = Multimodal.batchResize(media, targetW = 4, targetH = 4)
+      .collect().sortBy(_.id)
+    assert(resized.length === 5)
+    for (r <- resized) {
+      assert(r.bytes.length <= 16)
+      assert(r.meta.width === 4 && r.meta.height === 4)
+      assert(r.meta.sizeBytes === r.bytes.length.toLong)
+    }
+    // deterministic across runs
+    val again = Multimodal.batchResize(media, targetW = 4, targetH = 4)
+      .collect().sortBy(_.id)
+    assert(resized.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
+    // short inputs pass through whole
+    val tiny = resized.find(_.id == 5L).get // "unrelated short text" is 21 bytes > 16
+    assert(tiny.bytes.length === 16)
+  }
+
   test("multimodal batch featurize preserves schema and determinism") {
     val media = Multimodal.syntheticMedia(corpus, "id", "text")
     val feats = Multimodal.batchFeaturize(media, batchSize = 2).collect()
