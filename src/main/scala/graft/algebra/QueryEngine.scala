@@ -316,7 +316,9 @@ object QueryEngine {
       s: Option[String] = None, p: Option[String] = None,
       o: Option[String] = None, g: Option[String] = None,
       size: Int = 1000, start: Int = 0): DataFrame = {
-    var t = ctx.graph.triples
+    // an s-bound lookup uses the s-sorted copy (file/row-group pruning);
+    // p/o-bound lookups keep the (p,o,s)-clustered relation
+    var t = if (s.exists(_.nonEmpty)) ctx.graph.subjectAccess else ctx.graph.triples
     s.filter(_.nonEmpty).foreach(v => t = t.filter(col("s") === h(v)))
     p.filter(_.nonEmpty).foreach(v => t = t.filter(col("p") === h(v)))
     o.filter(_.nonEmpty).foreach(v => t = t.filter(col("o") === h(v)))
@@ -345,7 +347,7 @@ object QueryEngine {
   /** Batch subject+predicate lookup (query.py:38-57). */
   def sp(ctx: EngineContext, subjects: Seq[String], p: Option[String]): DataFrame = {
     val sHashes = subjects.map(h)
-    var t = ctx.graph.triples.filter(col("s").isin(sHashes: _*))
+    var t = ctx.graph.subjectAccess.filter(col("s").isin(sHashes: _*))
     p.foreach(v => t = t.filter(col("p") === h(v)))
     val iris = ctx.graph.iris
     val lits = ctx.graph.literals

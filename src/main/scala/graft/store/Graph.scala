@@ -26,10 +26,19 @@ final case class Graph(
     spark: SparkSession,
     triples: DataFrame,
     iris: DataFrame,
-    literals: DataFrame) {
+    literals: DataFrame,
+    // optional second copy of triples range-partitioned/sorted by `s`
+    // (SURVEY §4.2): subject-bounded access (hydration, spo, sp) prunes
+    // files/row groups by s min/max instead of scanning the whole
+    // (p,o,s)-clustered relation — the difference between a point lookup
+    // and a full pass at 100 TB. Identical rows; purely a layout copy.
+    byS: Option[DataFrame] = None) {
 
   /** Combined decode dictionary. */
   def dict: DataFrame = iris.union(literals)
+
+  /** Best source for s-equality/IN access paths. */
+  def subjectAccess: DataFrame = byS.getOrElse(triples)
 
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Graph = {
     triples.persist(level); iris.persist(level); literals.persist(level)
@@ -38,6 +47,7 @@ final case class Graph(
 
   def unpersist(): Graph = {
     triples.unpersist(); iris.unpersist(); literals.unpersist()
+    byS.foreach(_.unpersist())
     this
   }
 

@@ -65,11 +65,12 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   private def withSeq(df: DataFrame, default: Long): DataFrame =
     if (df.columns.contains("seq")) df else df.withColumn("seq", lit(default))
 
-  def load(): Graph = {
-    val baseT = read("triples").map(_.withColumn("seq", lit(0L)))
-    val deltaT = read("triples_delta").map(withSeq(_, 1L))
-    val parts = Seq(baseT, deltaT).flatten
-    require(parts.nonEmpty, s"warehouse $dir has no triples data")
+  /** base ∪ delta minus seq-aware tombstones, from the given base copy. */
+  private def composeTriples(baseSub: String): Option[DataFrame] = {
+    val base = read(baseSub).map(_.withColumn("seq", lit(0L)))
+    val delta = read("triples_delta").map(withSeq(_, 1L))
+    val parts = Seq(base, delta).flatten
+    if (parts.isEmpty) return None
     var triples = parts.reduce(_ unionByName _)
     read("tombstones").map(withSeq(_, Long.MaxValue)).foreach { ts =>
       triples = triples.as("T").join(
@@ -86,11 +87,21 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
           col("T.g") === col("TS.g") && col("T.seq") < col("TS.seq"),
         "left_anti")
     }
+    Some(triples.select("s", "p", "o", "g"))
+  }
+
+  def load(): Graph = {
+    val triples = composeTriples("triples")
+      .getOrElse(throw new IllegalStateException(s"warehouse $dir has no triples data"))
+    // the s-sorted copy composes through the same delta/tombstone logic;
+    // deltas are unsorted appends, so subject pruning degrades gracefully
+    // to the delta fraction until compact() resorts everything
+    val byS = if (exists("triples_by_s")) composeTriples("triples_by_s") else None
     val iris = readOrUnion("iris", "iris_delta")
       .groupBy("hash").agg(first("value").as("value"))
     val literals = readOrUnion("literals", "literals_delta")
       .groupBy("hash").agg(first("value").as("value"))
-    Graph(spark, triples.select("s", "p", "o", "g"), iris, literals)
+    Graph(spark, triples, iris, literals, byS = byS)
   }
 
   /** Validated point insert: appends delta parts (query.py:529-617
@@ -161,18 +172,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val tmp = s"$dir/_compact"
     g.triples.repartition(col("p")).sortWithinPartitions("p", "o", "s")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/triples")
+    g.triples.repartitionByRange(col("s")).sortWithinPartitions("s")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/triples_by_s")
     g.iris.write.mode(SaveMode.Overwrite).parquet(s"$tmp/iris")
     g.literals.write.mode(SaveMode.Overwrite).parquet(s"$tmp/literals")
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    for (sub <- Seq("triples", "iris", "literals", "triples_delta", "iris_delta",
-        "literals_delta", "tombstones", "tombstones_spg")) {
+    for (sub <- Seq("triples", "triples_by_s", "iris", "literals", "triples_delta",
+        "iris_delta", "literals_delta", "tombstones", "tombstones_spg")) {
       val p = Paths.get(dir, sub)
       if (Files.exists(p)) {
         val del = new scala.reflect.io.Directory(new java.io.File(dir, sub))
         del.deleteRecursively()
       }
     }
-    for (sub <- Seq("triples", "iris", "literals"))
+    for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
       Files.move(Paths.get(tmp, sub), Paths.get(dir, sub), StandardCopyOption.ATOMIC_MOVE)
     Files.deleteIfExists(Paths.get(dir, "_seq")) // compacted base restarts at seq 0
     Files.deleteIfExists(Paths.get(tmp))

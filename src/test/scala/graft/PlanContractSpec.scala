@@ -43,6 +43,20 @@ class PlanContractSpec extends SparkSpec {
       s"shipdate filter not pushed:\n$p")
   }
 
+  test("s-bound spo lookups push the subject filter into the s-sorted copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString + "/wh"
+    graft.ingest.Build.write(
+      graft.ingest.Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val g = graft.ingest.Build.load(spark, dir)
+    assert(g.byS.nonEmpty, "warehouse must carry the triples_by_s copy")
+    val dctx = graft.algebra.EngineContext(g)
+    val p = plan(QueryEngine.spo(dctx, s = Some("<http://ex/luke>")))
+    assert(p.contains("triples_by_s"), s"spo not reading the s-sorted copy:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(s), EqualTo(s,"),
+      s"subject filter not pushed:\n$p")
+  }
+
   test("fts match prunes postings with an IN filter before the join") {
     val idx = ctx.fts.get
     val p = plan(idx.matchBm25("skywalker"))
