@@ -83,6 +83,13 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // word-3-gram Jaccard: order-sensitive phrasing similarity
+    "q_doc_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
+          "doc_id", "text", 3, 0.01)
+        .orderBy("a", "b")
+    }),
+
     // whole-document fingerprint (md5 over normalized text)
     "q_doc_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -223,6 +230,20 @@ object PipelineQueries {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents WHERE doc_id < 40),
+        |t AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, len(ws) - 1)])) AS tok
+        |      FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id),
+        |inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+        |          FROM t ta JOIN t tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 4) >= 0.01
+        |ORDER BY a, b""".stripMargin,
     "q_emb_knn" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round($cosSql, 4) AS sim

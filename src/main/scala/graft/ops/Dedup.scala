@@ -243,14 +243,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥
-    * threshold. Candidates come from the prefix filter (lossless, see
-    * [[jaccardCandidates]]); the exact intersection is then computed only
-    * for candidate pairs, so cost scales with true near-duplicates, not
-    * with the square of the hottest token's document frequency. */
-  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = jaccardToks(df, idCol, textCol)
+  /** Shared Jaccard tail over any (id, tok) element stream: prefix-filter
+    * candidates, exact intersection on candidates only, similarity ≥
+    * threshold. */
+  private def jaccardPairsFromToks(toks: DataFrame, threshold: Double): DataFrame = {
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val cands = jaccardCandidates(toks, threshold)
     val inter = cands
@@ -265,5 +261,32 @@ object Dedup {
         round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥
+    * threshold. Candidates come from the prefix filter (lossless, see
+    * [[jaccardCandidates]]); the exact intersection is then computed only
+    * for candidate pairs, so cost scales with true near-duplicates, not
+    * with the square of the hottest token's document frequency. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    jaccardPairsFromToks(jaccardToks(df, idCol, textCol), threshold)
+
+  /** Exact word-n-gram Jaccard pairs: the element set is the distinct
+    * n-word shingles, so ORDER matters — documents sharing vocabulary but
+    * not phrasing score near zero, unlike [[tokenJaccardPairs]]. Docs
+    * shorter than n words have no shingles and join no pairs. Same
+    * prefix-filtered machinery. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val toks = df.select(col(idCol).as("id"), explode(grams).as("tok"))
+    jaccardPairsFromToks(toks, threshold)
   }
 }

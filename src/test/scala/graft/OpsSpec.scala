@@ -55,6 +55,26 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ngram jaccard is order-sensitive where token jaccard is not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "high jumps fox brown quick the"), // same tokens, reversed order
+      (3L, "the quick brown fox jumps far")).toDF("id", "text")
+    val tok = Dedup.tokenJaccardPairs(docs, "id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(tok((1L, 2L)) === 1.0) // identical token sets
+    val tri = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!tri.contains((1L, 2L)), "reversed doc shares no 3-gram")
+    // docs 1 and 3 share 3 of 5 distinct trigrams: 3/5 = 0.6... wait,
+    // each doc has 4 trigrams, shares 3, union 5 -> 0.6
+    assert(tri((1L, 3L)) === 0.6)
+    // a 2-word doc has no trigrams and never pairs
+    val short = Seq((1L, "only two"), (2L, "only two")).toDF("id", "text")
+    assert(Dedup.ngramJaccardPairs(short, "id", "text", 3, 0.1).collect().isEmpty)
+  }
+
   test("jaccard prefix filter bounds candidates on a hot-token corpus") {
     // adversarial shape: 200 docs ALL sharing a hot token ('the'), but
     // with otherwise disjoint vocabularies — the naive inverted-index
