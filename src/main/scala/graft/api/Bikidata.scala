@@ -90,6 +90,22 @@ final class Bikidata(
     spark.read.parquet(s"$warehouseDir/triples").count()
   }
 
+  /** Build from an arbitrary quad relation instead of files — the
+    * reference's `build_from_iterator` (main.py:122-141; exported in
+    * __init__.py). Columns (s, p, o, g) in N3 surface form; the same
+    * non-empty-warehouse refusal applies. */
+  def buildFromQuads(quads: DataFrame, stemmer: String = "porter"): Long = {
+    val g = Build.graphFromQuads(spark, quads)
+    Build.write(g, warehouseDir)
+    invalidate()
+    val settings = graft.fts.FtsSettings.resolve(stemmer)
+    val idx = FtsIndex.build(spark.read.parquet(s"$warehouseDir/literals"),
+      settings = settings)
+    try FtsIndex.write(idx, warehouseDir)
+    catch { case _: Exception => () }
+    spark.read.parquet(s"$warehouseDir/triples").count()
+  }
+
   /** Per-subject 2-hop FTS document table (main.py:229-272). Also builds
     * and persists a BM25 index over it — the reference's `fts_main_fts`
     * (main.py:267-269), created for parity even though the reference
@@ -177,6 +193,34 @@ final class Bikidata(
     val timeout = Future {
       Thread.sleep(timeoutSeconds * 1000L)
       throw new java.util.concurrent.TimeoutException(s"query timed out after ${timeoutSeconds}s")
+    }
+    Future.firstCompletedOf(Seq(f, timeout))
+  }
+
+  /** Async mutations mirroring the reference's `insert_async` /
+    * `delete_async` (workers.py:131-160): a future that completes with
+    * the mutation result or times out. */
+  def insertAsync(quads: Seq[Quad], timeoutSeconds: Int = 60)
+      : scala.concurrent.Future[MutationResult] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    val f = Future(insert(quads))
+    val timeout = Future {
+      Thread.sleep(timeoutSeconds * 1000L)
+      throw new java.util.concurrent.TimeoutException(s"insert timed out after ${timeoutSeconds}s")
+    }
+    Future.firstCompletedOf(Seq(f, timeout))
+  }
+
+  def deleteAsync(items: Seq[(String, String, Option[String], String)],
+      areHashes: Boolean = false, timeoutSeconds: Int = 60)
+      : scala.concurrent.Future[MutationResult] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    val f = Future(delete(items, areHashes))
+    val timeout = Future {
+      Thread.sleep(timeoutSeconds * 1000L)
+      throw new java.util.concurrent.TimeoutException(s"delete timed out after ${timeoutSeconds}s")
     }
     Future.firstCompletedOf(Seq(f, timeout))
   }

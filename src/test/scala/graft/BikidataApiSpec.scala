@@ -47,6 +47,27 @@ class BikidataApiSpec extends SparkSpec {
     assert(bk.total() === 2)
   }
 
+  test("buildFromQuads + async mutations round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfq").toString
+    val bk = new Bikidata(spark, s"$dir/wh")
+    val quads = Seq(
+      ("<http://ex/a>", "<http://www.w3.org/2000/01/rdf-schema#label>", "\"alpha\"", ""),
+      ("<http://ex/b>", "<http://ex/rel>", "<http://ex/a>", "<http://ex/g1>"))
+      .toDF("s", "p", "o", "g")
+    assert(bk.buildFromQuads(quads) === 2)
+    assert(bk.total() === 2)
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val ins = Await.result(bk.insertAsync(Seq(Quad("<http://ex/c>",
+      "<http://www.w3.org/2000/01/rdf-schema#label>", "\"gamma\"", ""))), 60.seconds)
+    assert(ins.error.isEmpty && ins.triplesInserted === 1)
+    val del = Await.result(bk.deleteAsync(Seq(("<http://ex/c>",
+      "<http://www.w3.org/2000/01/rdf-schema#label>", None, ""))), 60.seconds)
+    assert(del.error.isEmpty && del.triplesDeleted === 1)
+    assert(bk.total() === 2)
+  }
+
   test("buildFtss persists the doc-table index (fts_main_fts parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ftss").toString
     val nt = s"$dir/data.nt"
