@@ -16,22 +16,29 @@ object Bench {
     try SparkEntry.warmup(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    // steady-state latency: run twice, report the second — the first run
-    // pays whole-stage-codegen compilation, which a serving session (the
-    // reference's long-lived workers, workers.py) pays once per plan shape
+    // steady-state latency: one untimed run pays whole-stage-codegen
+    // compilation (a serving session — the reference's long-lived
+    // workers, workers.py — pays it once per plan shape), then the
+    // MEDIAN of 3 timed runs so single-run scheduler/GC noise (±20-30%
+    // on this box) can't masquerade as a regression between rounds.
     val results = SparkEntry.queries.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val note = "steady-state (2nd run per query); warmup_build_sec = one-time " +
-      "RDF-ization + dictionary broadcast + FTS/semantic index build, the " +
-      "ingest phase a DuckDB baseline performs before its own timings"
+    val note = "median of 3 steady-state runs per query (1 untimed codegen " +
+      "warm run first); warmup_build_sec = one-time RDF-ization + dictionary " +
+      "broadcast + FTS/semantic index build, the ingest phase a DuckDB " +
+      "baseline performs before its own timings"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"notes":"$note","sf":"$sfDir"}""")
+    PipelineQueries.clearCaches()
     spark.stop()
   }
 }

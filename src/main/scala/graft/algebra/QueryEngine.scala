@@ -222,18 +222,32 @@ object QueryEngine {
 
   // ---------------------------------------------------------------- facets
 
+  /** Subject sets up to this many rows (~32 MB of longs) are
+    * broadcast-hinted in [[facet]]; larger sets degrade to a shuffle
+    * semi-join instead of failing the broadcast/driver limit. */
+  private val maxBroadcastFacetSubjects = 4000000L
+
   /** Facet aggregate over the full filtered set (query.py:744-753).
     * `agg` is "graphs", "properties", or a property IRI. Counts are
     * triple counts (not distinct subjects), per the reference SQL.
-    * Returns (count: Long, val: String). */
-  def facet(ctx: EngineContext, agg: String, sResults: DataFrame): DataFrame = {
+    * `sCount` is the subject-set size when the caller already knows it
+    * (query() computes it for `total` anyway). Returns
+    * (count: Long, val: String). */
+  def facet(ctx: EngineContext, agg: String, sResults: DataFrame,
+      sCount: Option[Long] = None): DataFrame = {
     val t = ctx.graph.triples
     val iris = ctx.graph.iris
-    // the filtered subject set is the small side (bounded by filter
-    // selectivity) but carries no size stats after persist/set-ops, so
-    // Spark would otherwise plan a two-sided shuffle — hint it broadcast
-    // and keep the full triples scan shuffle-free
-    val joined = t.join(broadcast(sResults.select("s").as("S")), Seq("s"), "left_semi")
+    // the filtered subject set is usually the small side (bounded by
+    // filter selectivity) but carries no size stats after
+    // persist/set-ops, so Spark would otherwise plan a two-sided shuffle
+    // — hint it broadcast and keep the full triples scan shuffle-free.
+    // A low-selectivity filter (a property every subject has) can exceed
+    // the broadcast limit, so the hint is size-conditional, like the
+    // decode path's broadcast-dictionary cap.
+    val sSide = sResults.select("s").as("S")
+    val hinted =
+      if (sCount.forall(_ <= maxBroadcastFacetSubjects)) broadcast(sSide) else sSide
+    val joined = t.join(hinted, Seq("s"), "left_semi")
     agg match {
       case "graphs" | "properties" =>
         val keyCol = if (agg == "graphs") "g" else "p"
@@ -263,13 +277,45 @@ object QueryEngine {
 
   // ----------------------------------------------------------------- paths
 
+  /** Levels walked per Spark job in [[paths]]: each job chains this many
+    * broadcast joins, dividing the per-job scheduling floor by k. */
+  private val pathLevelsPerJob = 4
+
+  /** Chains kept on the driver before [[paths]] falls back to the
+    * distributed frontier — a branchy graph (multi-parent fanout) can
+    * multiply chains per hop, and past this the driver must not hold
+    * them. */
+  private val maxDriverChains = 65536
+
+  /** One k-level walk step as a DataFrame transform: left-join `cur`
+    * (source, path, head) against the edge set `levels` times inside ONE
+    * plan; a finished chain (null head) no longer matches and rides
+    * through unchanged. */
+  private def walkLevels(cur0: DataFrame, edges: DataFrame, levels: Int): DataFrame = {
+    var cur = cur0
+    for (l <- 0 until levels) {
+      val e = edges.select(col("part").as(s"part$l"), col("parent").as(s"parent$l"))
+      cur = cur.join(e, col("head") === col(s"part$l"), "left")
+        .select(col("source"),
+          when(col(s"parent$l").isNull, col("path"))
+            .otherwise(concat(col("path"), array(col(s"parent$l")))).as("path"),
+          col(s"parent$l").as("head"))
+    }
+    cur
+  }
+
   /** Ancestor paths under a parent-pointer property for the page subjects
     * (reference recursive CTE, query.py:802-822). Iterative fixpoint:
-    * frontier starts at the page (≤size rows, broadcast side), each step
-    * one hash equi-join against the property's edge set; `localCheckpoint`
-    * cuts lineage per step. Nodes on a parentless chain finish with
-    * path = [self, parent, …, root]; cyclic chains are dropped after
-    * `maxPathIterations` (the reference's root-seeded recursion never
+    * frontier starts at the page (≤size rows, broadcast side) and lives
+    * on the driver while small — each round is then exactly ONE Spark job
+    * chaining [[pathLevelsPerJob]] broadcast joins against the property's
+    * edge set (the per-level scheduling floor was the whole cost of this
+    * operator). A branchy graph whose fanout multiplies chains past
+    * [[maxDriverChains]] switches to a distributed frontier
+    * (join + localCheckpoint per round) instead of growing the driver.
+    * Nodes on a parentless chain finish with path = [self, parent, …,
+    * root]; chains still active after `maxPathIterations` levels are
+    * cycles and are dropped (the reference's root-seeded recursion never
     * reaches them either). Returns (source: Long, path: Array[Long]). */
   def paths(ctx: EngineContext, propIri: String, wanted: DataFrame): DataFrame = {
     val spark = ctx.graph.spark
@@ -278,33 +324,50 @@ object QueryEngine {
     // distinct is one shuffle total instead of one per level
     val edges = ctx.graph.triples.filter(col("p") === h(propIri))
       .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
-    // The frontier lives on the driver: it is page-bounded (≤ opts.size
-    // subjects, each on one chain) so each level is exactly ONE Spark job
-    // — broadcast(local frontier) ⋈ edges — instead of the
-    // checkpoint+emptiness-probe pair per level a distributed frontier
-    // needs. The reference's recursive CTE materializes each level the
-    // same way. Distributed-frontier variants only pay off when the
-    // frontier can outgrow the driver, which a paged query's cannot.
     var frontier: Array[(Long, Seq[Long], Long)] = wanted
       .select(col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
       .as[(Long, Seq[Long], Long)].collect()
     val finished = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    var distributed: Option[DataFrame] = None
     try {
       var i = 0
-      while (frontier.nonEmpty && i < ctx.maxPathIterations) {
-        val fdf = frontier.toSeq.toDF("source", "path", "head")
-        val joined = broadcast(fdf)
-          .join(edges, col("head") === col("part"), "left")
-          .select(col("source"), col("path"), col("parent"))
-          .as[(Long, Seq[Long], Option[Long])].collect()
-        finished ++= joined.collect { case (src, p, None) => (src, p) }
-        frontier = joined.collect { case (src, p, Some(par)) => (src, p :+ par, par) }
-        i += 1
+      while (frontier.nonEmpty && i < ctx.maxPathIterations && distributed.isEmpty) {
+        if (frontier.length > maxDriverChains) {
+          distributed = Some(pathsDistributed(
+            frontier.toSeq.toDF("source", "path", "head"), edges,
+            ctx.maxPathIterations - i))
+        } else {
+          val k = math.min(pathLevelsPerJob, ctx.maxPathIterations - i)
+          val fdf = frontier.toSeq.toDF("source", "path", "head")
+          val joined = walkLevels(broadcast(fdf), edges, k)
+            .as[(Long, Seq[Long], Option[Long])].collect()
+          finished ++= joined.collect { case (src, p, None) => (src, p) }
+          frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
+          i += k
+        }
       }
     } finally edges.unpersist(false)
-    // chains still active at the iteration cap are cycles — dropped, as
-    // the reference's root-seeded recursion never reaches them either
-    finished.toSeq.toDF("source", "path")
+    val local = finished.toSeq.toDF("source", "path")
+    distributed.fold(local)(local.unionByName(_))
+  }
+
+  /** Distributed-frontier fallback for branchy graphs: the frontier stays
+    * an executor-side DataFrame, one k-level walk + localCheckpoint per
+    * round, finished chains accumulated as a union. Only entered when the
+    * driver-side chain count exceeds [[maxDriverChains]]. */
+  private def pathsDistributed(frontier0: DataFrame, edges: DataFrame,
+      maxLevels: Int): DataFrame = {
+    var frontier = frontier0.localCheckpoint()
+    var finishedParts: List[DataFrame] = Nil
+    var i = 0
+    while (i < maxLevels && !frontier.isEmpty) {
+      val k = math.min(pathLevelsPerJob, maxLevels - i)
+      val stepped = walkLevels(frontier, edges, k).localCheckpoint()
+      finishedParts ::= stepped.filter(col("head").isNull).select("source", "path")
+      frontier = stepped.filter(col("head").isNotNull)
+      i += k
+    }
+    finishedParts.foldLeft(frontier0.select("source", "path").limit(0))(_ unionByName _)
   }
 
   // ----------------------------------------------------- convenience lookups
@@ -436,8 +499,12 @@ object QueryEngine {
             .persist()
           try {
             val aggF = Future {
+              // total is already being counted concurrently — reuse it to
+              // decide whether the subject set is broadcast-safe
+              val n = Await.result(totalF, Duration.Inf)
               opts.aggregates.map(agg =>
-                agg -> facet(ctx, agg, sResults).as[(Long, String)].collect().toSeq)
+                agg -> facet(ctx, agg, sResults, sCount = Some(n))
+                  .as[(Long, String)].collect().toSeq)
             }
             val pageF = Future {
               hydrate(ctx, opts, wanted)

@@ -24,16 +24,28 @@ final class Bikidata(
     val spark: SparkSession,
     val warehouseDir: String,
     embedder: Embedder = HashingEmbedder(),
-    cacheSize: Int = 1024) {
+    cacheSize: Int = 1024,
+    cacheTtlMillis: Long = Bikidata.DefaultCacheTtlMillis,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private val warehouse = new Warehouse(spark, warehouseDir)
   @volatile private var ctxOpt: Option[EngineContext] = None
 
+  // size-bounded LRU with the reference's 7-day expiry
+  // (workers.py:104-107: `cache.set(key, ..., ex=604800)`); the clock is
+  // injectable so expiry is testable without waiting a week
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+    new java.util.LinkedHashMap[String, (Long, String)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (Long, String)]): Boolean =
         size() > cacheSize
     })
+
+  private def cacheGet(key: String): Option[String] =
+    Option(cache.get(key)).flatMap { case (at, v) =>
+      if (clock() - at >= cacheTtlMillis) { cache.remove(key); None } else Some(v)
+    }
+
+  private def cachePut(key: String, v: String): Unit = { cache.put(key, (clock(), v)); () }
 
   def ctx: EngineContext = ctxOpt.getOrElse {
     val graph = warehouse.load().persist()
@@ -173,11 +185,9 @@ final class Bikidata(
   def queryJson(optsJson: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(optsJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
+    cacheGet(key).getOrElse {
       val res = QueryEngine.query(ctx, QueryOpts.fromJson(optsJson)).toJson
-      cache.put(key, res)
+      cachePut(key, res)
       res
     }
   }
@@ -185,31 +195,31 @@ final class Bikidata(
   /** Async variant mirroring the reference's queue tier
     * (workers.py:115-128): same md5-keyed cache, 60 s default timeout.
     * Spark jobs are already cluster-parallel, so the "worker pool" is the
-    * session's scheduler rather than forked OS processes. */
+    * session's scheduler rather than forked OS processes. As in the
+    * reference (a blpop wait that gives up while the worker keeps
+    * processing), a timeout abandons the WAIT, not the job. */
   def queryAsync(optsJson: String, timeoutSeconds: Int = 60): scala.concurrent.Future[String] = {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.Future
-    val f = Future(queryJson(optsJson))
-    val timeout = Future {
-      Thread.sleep(timeoutSeconds * 1000L)
-      throw new java.util.concurrent.TimeoutException(s"query timed out after ${timeoutSeconds}s")
-    }
-    Future.firstCompletedOf(Seq(f, timeout))
+    Future.firstCompletedOf(Seq(
+      Future(queryJson(optsJson)),
+      Bikidata.timeoutAfter[String](timeoutSeconds, "query")))
   }
 
   /** Async mutations mirroring the reference's `insert_async` /
     * `delete_async` (workers.py:131-160): a future that completes with
-    * the mutation result or times out. */
+    * the mutation result or times out. Mutations run on a SINGLE-THREAD
+    * executor ([[Bikidata.mutationEc]]) — the reference routes mutations
+    * through its single queue manager (workers.py:38-60), which is what
+    * makes concurrent inserts of the same quad safe: validation + append
+    * are atomic per mutation because only one can run at a time. */
   def insertAsync(quads: Seq[Quad], timeoutSeconds: Int = 60)
       : scala.concurrent.Future[MutationResult] = {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.Future
-    val f = Future(insert(quads))
-    val timeout = Future {
-      Thread.sleep(timeoutSeconds * 1000L)
-      throw new java.util.concurrent.TimeoutException(s"insert timed out after ${timeoutSeconds}s")
-    }
-    Future.firstCompletedOf(Seq(f, timeout))
+    Future.firstCompletedOf(Seq(
+      Future(insert(quads))(Bikidata.mutationEc),
+      Bikidata.timeoutAfter[MutationResult](timeoutSeconds, "insert")))
   }
 
   def deleteAsync(items: Seq[(String, String, Option[String], String)],
@@ -217,12 +227,9 @@ final class Bikidata(
       : scala.concurrent.Future[MutationResult] = {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.Future
-    val f = Future(delete(items, areHashes))
-    val timeout = Future {
-      Thread.sleep(timeoutSeconds * 1000L)
-      throw new java.util.concurrent.TimeoutException(s"delete timed out after ${timeoutSeconds}s")
-    }
-    Future.firstCompletedOf(Seq(f, timeout))
+    Future.firstCompletedOf(Seq(
+      Future(delete(items, areHashes))(Bikidata.mutationEc),
+      Bikidata.timeoutAfter[MutationResult](timeoutSeconds, "delete")))
   }
 
   def spo(s: Option[String] = None, p: Option[String] = None,
@@ -237,14 +244,20 @@ final class Bikidata(
   def properties(): DataFrame = QueryEngine.properties(ctx)
   def countByProperty(p: String): DataFrame = QueryEngine.countByProperty(ctx, p)
 
-  def insert(quads: Seq[Quad]): MutationResult = {
+  // validation + append must be atomic per mutation (two concurrent
+  // inserts of the same quad could otherwise both pass the exists-check
+  // before either appends) — one writer at a time per facade, matching
+  // the reference's single queue manager
+  private val mutationLock = new Object
+
+  def insert(quads: Seq[Quad]): MutationResult = mutationLock.synchronized {
     val r = warehouse.insert(quads)
     if (r.error.isEmpty) invalidate()
     r
   }
 
   def delete(items: Seq[(String, String, Option[String], String)],
-      areHashes: Boolean = false): MutationResult = {
+      areHashes: Boolean = false): MutationResult = mutationLock.synchronized {
     val r = warehouse.delete(items, areHashes)
     if (r.error.isEmpty) invalidate()
     r
@@ -258,6 +271,35 @@ final class Bikidata(
     * [[build]]) — backup / hand-off / engine-migration path. */
   def export(path: String, singleFile: Boolean = false): Unit =
     graft.ingest.Export.nt(ctx.graph, path, singleFile)
+}
+
+object Bikidata {
+  /** 7 days — the reference's Redis result-cache expiry (workers.py:104-107). */
+  val DefaultCacheTtlMillis: Long = 7L * 24 * 3600 * 1000
+
+  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
+    r => { val t = new Thread(r, name); t.setDaemon(true); t }
+
+  /** Single-writer executor for mutations (all facades in the JVM share
+    * it, like the reference's one queue manager per deployment). */
+  private[api] val mutationEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor(daemonFactory("graft-mutations")))
+
+  private val timeoutScheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(daemonFactory("graft-timeouts"))
+
+  /** A future that fails after `seconds` — a scheduled timer, not a
+    * blocked thread (the old Thread.sleep pinned a global-pool thread
+    * per in-flight call). */
+  private[api] def timeoutAfter[T](seconds: Int, what: String): scala.concurrent.Future[T] = {
+    val p = scala.concurrent.Promise[T]()
+    timeoutScheduler.schedule(new Runnable {
+      def run(): Unit = { p.tryFailure(new java.util.concurrent.TimeoutException(
+        s"$what timed out after ${seconds}s")); () }
+    }, seconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    p.future
+  }
 }
 
 /** CLI mirroring `python -m bikidata <file|dir>` (__main__.py:6-29), plus

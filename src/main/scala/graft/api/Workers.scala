@@ -21,7 +21,9 @@ import org.json4s.jackson.JsonMethods
   * replaces the Redis transport with a line-delimited-JSON TCP socket
   * for cross-process clients.
   */
-final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024) {
+final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
+    cacheTtlMillis: Long = Bikidata.DefaultCacheTtlMillis,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private final case class Req(json: String,
       promise: java.util.concurrent.CompletableFuture[String])
@@ -30,11 +32,17 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024)
   private val readyQ = new java.util.concurrent.LinkedBlockingQueue[Req]()
   @volatile private var running = true
 
+  // LRU + the reference's 7-day result expiry (workers.py:104-107);
+  // injectable clock so the TTL is testable
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+    new java.util.LinkedHashMap[String, (Long, String)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (Long, String)]): Boolean =
         size() > cacheSize
     })
+  private def cacheGet(key: String): Option[String] =
+    Option(cache.get(key)).flatMap { case (at, v) =>
+      if (clock() - at >= cacheTtlMillis) { cache.remove(key); None } else Some(v)
+    }
   val cacheHits = new java.util.concurrent.atomic.AtomicLong()
 
   /** Submit a request (reference opts JSON: a query dict, or
@@ -121,14 +129,15 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024)
             val useCache = (JsonMethods.parse(req.json) \ "use_cache")
               .extractOrElse[Boolean](true)
             val key = md5(req.json)
-            val hit = if (useCache) cache.get(key) else null
-            if (hit != null) {
-              cacheHits.incrementAndGet()
-              req.promise.complete(hit)
-            } else {
-              val res = bk.queryJson(req.json)
-              if (useCache) cache.put(key, res)
-              req.promise.complete(res)
+            val hit = if (useCache) cacheGet(key) else None
+            hit match {
+              case Some(v) =>
+                cacheHits.incrementAndGet()
+                req.promise.complete(v)
+              case None =>
+                val res = bk.queryJson(req.json)
+                if (useCache) cache.put(key, (clock(), res))
+                req.promise.complete(res)
             }
           } catch { case e: Exception =>
             req.promise.complete(errorJson(e))
@@ -164,8 +173,20 @@ final class WorkerServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1) {
           try {
             var line = in.readLine()
             while (line != null && running) {
-              if (line.trim.nonEmpty)
-                out.println(pool.submit(line).replace("\n", " "))
+              if (line.trim.nonEmpty) {
+                // a slow query (pool.submit TimeoutException) or any other
+                // per-request failure gets an error ENVELOPE on the wire —
+                // it must not kill the connection thread mid-protocol
+                val resp =
+                  try pool.submit(line)
+                  catch {
+                    case e: java.io.IOException => throw e // socket itself broke
+                    case scala.util.control.NonFatal(e) =>
+                      """{"error": "Failed to process query", "trace": """ +
+                        JsonMethods.compact(JsonMethods.render(JString(String.valueOf(e)))) + "}"
+                  }
+                out.println(resp.replace("\n", " "))
+              }
               line = in.readLine()
             }
           } catch { case _: java.io.IOException => () }

@@ -113,12 +113,17 @@ object Dedup {
       val union = sa.length + sb.length - inter
       if (union == 0) 0.0 else inter.toDouble / union
     }
-    val withSets = cands
-      .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("sh", "sa"), "a")
-      .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("sh", "sb"), "b")
-    withSets.withColumn("jaccard", jacc(col("sa"), col("sb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      val withSets = cands
+        .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("sh", "sa"), "a")
+        .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("sh", "sb"), "b")
+      withSets.withColumn("jaccard", jacc(col("sa"), col("sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        // materialize the (near-dup-bounded) pair list eagerly so the
+        // shingle persist can be released before returning
+        .localCheckpoint()
+    } finally { docs.unpersist(); () }
   }
 
   /** 64-bit SimHash of the token multiset. */
@@ -235,32 +240,49 @@ object Dedup {
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("tokdf").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    // the prefix feeds BOTH sides of the self-join: persist it, and
+    // materialize the (small) candidate set eagerly so the persist can be
+    // released before returning. localCheckpoint also truncates the
+    // window-function lineage — candidates are bounded by true near-dups,
+    // so executor-local storage is safe even at scale.
     val prefix = ranked.filter(col("rank") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
-      .select("id", "tok")
-    prefix.as("A").join(prefix.as("B"),
-        col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
-      .select(col("A.id").as("a"), col("B.id").as("b"))
-      .distinct()
+      .select("id", "tok").persist()
+    try {
+      prefix.as("A").join(prefix.as("B"),
+          col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
+        .select(col("A.id").as("a"), col("B.id").as("b"))
+        .distinct()
+        .localCheckpoint()
+    } finally { prefix.unpersist(); () }
   }
 
   /** Shared Jaccard tail over any (id, tok) element stream: prefix-filter
     * candidates, exact intersection on candidates only, similarity ≥
     * threshold. */
-  private def jaccardPairsFromToks(toks: DataFrame, threshold: Double): DataFrame = {
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    val cands = jaccardCandidates(toks, threshold)
-    val inter = cands
-      .join(toks.as("TA"), col("a") === col("TA.id"))
-      .join(toks.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+  private def jaccardPairsFromToks(toksRaw: DataFrame, threshold: Double): DataFrame = {
+    // the token stream feeds FOUR consumers (df-counts + candidate window,
+    // sizes, and both sides of the intersection join) — persist it once
+    // instead of re-tokenizing/re-shingling the corpus four times, and
+    // materialize the (near-dup-bounded) result eagerly so the persist is
+    // released before returning.
+    val toks = toksRaw.persist()
+    try {
+      val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+      val cands = jaccardCandidates(toks, threshold)
+      val inter = cands
+        .join(toks.as("TA"), col("a") === col("TA.id"))
+        .join(toks.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .localCheckpoint()
+    } finally { toks.unpersist(); () }
   }
 
   /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥

@@ -6,35 +6,85 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The Spark side — schema, partitioning, batch shape, UDF signatures —
-  * is real and tested. The actual media decoding is STUBBED with
-  * deterministic fakes (`decodeImageStub`, `featuresStub`,
-  * `frameSampleStub`): this container has no image/audio libraries, and
-  * a production deployment swaps the stub lambdas for real codec calls
-  * without touching the plumbing (same `mapPartitions` batch loop a
-  * Python pipeline would express with `mapInPandas`).
+  * Image decode and resize are REAL — the JDK's headless-safe
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) parses the codec header for
+  * metadata and re-rasters for resize; byte streams no installed reader
+  * recognizes (exotic codecs, audio, video) fall back to the
+  * deterministic stubs, which is the production swap-in point for
+  * additional codec libraries. Feature extraction stays a STUB
+  * (`featuresStub`): a real encoder is a model forward pass this
+  * container cannot run — the batch shape around it is exactly what a
+  * GPU encoder wants.
   */
 object Multimodal {
+
+  // ImageIO must never touch a display; executors set this once per JVM
+  System.setProperty("java.awt.headless", "true")
 
   final case class MediaMeta(format: String, width: Int, height: Int, sizeBytes: Long)
   final case class MediaRow(id: Long, bytes: Array[Byte])
   final case class FeatureRow(id: Long, meta: MediaMeta, features: Array[Float])
 
-  /** STUB decode: deterministic fake metadata derived from the byte
-    * content (a real impl parses the codec header). */
+  /** Real decode via ImageIO: header-only read (no full raster) for
+    * format + dimensions. Falls back to [[decodeImageStub]] when no
+    * installed reader recognizes the bytes. */
+  def decodeImage(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.isEmpty) return decodeImageStub(bytes)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeImageStub(bytes)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          MediaMeta(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+            bytes.length.toLong)
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => decodeImageStub(bytes) }
+    finally if (iis != null) iis.close()
+  }
+
+  /** Real resize: full decode, bilinear re-raster to (targetW, targetH),
+    * PNG re-encode. Non-image bytes fall back to [[resizeStub]]. */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) resizeStub(bytes, targetW, targetH)
+    else {
+      val out = new java.awt.image.BufferedImage(targetW, targetH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB decode fallback: deterministic fake metadata derived from the
+    * byte content, for byte streams no installed codec recognizes. */
   def decodeImageStub(bytes: Array[Byte]): MediaMeta = {
-    val h = if (bytes.isEmpty) 0L
+    val h = if (bytes == null || bytes.isEmpty) 0L
       else graft.functions.Hash64.hashString(java.util.Base64.getEncoder.encodeToString(bytes))
     val fmts = Array("png", "jpeg", "webp")
     MediaMeta(
       format = fmts(java.lang.Math.floorMod(h, 3L).toInt),
       width = 64 + java.lang.Math.floorMod(h >>> 8, 1024L).toInt,
       height = 64 + java.lang.Math.floorMod(h >>> 24, 1024L).toInt,
-      sizeBytes = bytes.length.toLong)
+      sizeBytes = if (bytes == null) 0L else bytes.length.toLong)
   }
 
   /** STUB feature extractor: hash bytes into a dim-bucket histogram,
-    * L2-normalized (a real impl runs a vision/audio encoder). */
+    * L2-normalized (a real impl runs a vision/audio encoder — this is
+    * the one genuinely un-runnable step in this container). */
   def featuresStub(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
     val v = new Array[Float](dim)
     var i = 0
@@ -57,8 +107,8 @@ object Multimodal {
       case (frame, i) if i % everyN == 0 => frame
     }.toSeq
 
-  /** STUB resize: deterministic byte downsampling to a target "pixel"
-    * budget (a real impl decodes, scales, re-encodes). Output size is
+  /** STUB resize fallback for non-image bytes: deterministic byte
+    * downsampling to a target "pixel" budget. Output size is
     * min(input, targetW*targetH) — monotone like a real downscale. */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val budget = targetW * targetH
@@ -85,9 +135,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val rb = resizeStub(r.bytes, targetW, targetH)
+          val rb = resizeImage(r.bytes, targetW, targetH)
           ResizedRow(r.id, rb,
-            decodeImageStub(r.bytes).copy(width = targetW, height = targetH,
+            decodeImage(r.bytes).copy(width = targetW, height = targetH,
               sizeBytes = rb.length.toLong))
         }
       }
@@ -103,17 +153,43 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real encoder would run one forward pass
-        batch.map(r => FeatureRow(r.id, decodeImageStub(r.bytes), featuresStub(r.bytes, dim)))
+        batch.map(r => FeatureRow(r.id, decodeImage(r.bytes), featuresStub(r.bytes, dim)))
       }
     }
   }
 
-  /** Demo source: derive a deterministic binary column from any string
-    * column (stands in for reading real media files). */
+  /** Deterministic tiny PNG derived from a text: dimensions and pixels
+    * both come from the text's hash (same text ⇒ byte-identical image),
+    * so the demo source feeds the pipeline REAL decodable images. */
+  def syntheticPng(text: String): Array[Byte] = {
+    val h0 = graft.functions.Hash64.hashString(if (text == null) "" else text)
+    val w = 8 + java.lang.Math.floorMod(h0, 24L).toInt
+    val ht = 8 + java.lang.Math.floorMod(h0 >>> 8, 24L).toInt
+    val img = new java.awt.image.BufferedImage(w, ht,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var seed = h0
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((seed >>> 40) & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Demo source: a deterministic REAL PNG per row, derived from a string
+    * column (stands in for reading real media files — and exercises the
+    * true ImageIO decode path end to end). */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
-        col(textCol).cast("binary").as("bytes"))
-      .as[MediaRow]
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => MediaRow(id, syntheticPng(text)) })
   }
 }

@@ -9,10 +9,11 @@ import org.json4s.jackson.JsonMethods
   * and float embeddings of `dim` dimensions, and refuses to start without
   * the API key environment variable (the reference logs the same guard).
   *
-  * Singleton calls are sent as `search_query`, larger batches as
-  * `search_document` — exactly how the reference splits `get_embedding`
-  * (the per-query path) from `get_buf_embeddings` (the index build path),
-  * and how the engine calls this trait (queries arrive via `embedOne`).
+  * Intent is EXPLICIT, never inferred from batch size: [[embed]] always
+  * sends `search_document` (the reference's `get_buf_embeddings` index
+  * build path — including a trailing 1-document chunk), [[embedQuery]]
+  * always sends `search_query` (`get_embedding`, the per-query path the
+  * engine reaches via `embedOne`).
   *
   * The HTTP client is @transient: executors deserializing the embedder
   * inside `mapPartitions` each build their own.
@@ -39,10 +40,15 @@ final case class HttpEmbedder(
       .connectTimeout(java.time.Duration.ofSeconds(requestTimeoutSeconds))
       .build()
 
-  def embed(texts: Seq[String]): Seq[Array[Float]] = {
+  def embed(texts: Seq[String]): Seq[Array[Float]] =
+    send(texts, "search_document")
+
+  override def embedQuery(text: String): Array[Float] =
+    send(Seq(text), "search_query").head
+
+  private def send(texts: Seq[String], inputType: String): Seq[Array[Float]] = {
     val key = apiKey // fail before any network call when unconfigured
     texts.grouped(batchSize).flatMap { chunk =>
-      val inputType = if (chunk.size == 1) "search_query" else "search_document"
       val body = JsonMethods.compact(JsonMethods.render(
         JObject(
           "model" -> JString(model),

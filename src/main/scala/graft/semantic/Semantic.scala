@@ -14,8 +14,16 @@ trait Embedder extends Serializable {
   def dim: Int
   /** Batch size the provider accepts (the reference's API max is 96). */
   def batchSize: Int = 96
+  /** Embed DOCUMENTS (the index-build path — the reference's
+    * `get_buf_embeddings`). */
   def embed(texts: Seq[String]): Seq[Array[Float]]
-  final def embedOne(text: String): Array[Float] = embed(Seq(text)).head
+  /** Embed a QUERY (the reference's `get_embedding`). Intent is explicit —
+    * never inferred from batch size, so a 1-document trailing chunk of an
+    * index build still lands in the document embedding space. Providers
+    * with asymmetric spaces (query vs document input types) override this;
+    * the default is symmetric. */
+  def embedQuery(text: String): Array[Float] = embed(Seq(text)).head
+  final def embedOne(text: String): Array[Float] = embedQuery(text)
 }
 
 /** Deterministic offline embedder: feature-hash the token multiset into

@@ -55,31 +55,54 @@ object Mutations {
     }
     val rows = quads.map(q => (h(q.s), h(q.p), h(q.o), h(q.g)))
     val candidates = rows.toDF("s", "p", "o", "g")
-    // ONE existence probe for the whole batch: triples semi-joined to the
-    // broadcast candidate keys (never a per-item job)
-    val existing = graph.triples.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count()
-    if (existing > 0)
-      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
 
     // dictionary deltas: graph name only when non-default (query.py:566-567)
     val terms = quads.flatMap(q =>
       Seq(q.s, q.p, q.o) ++ (if (q.g.nonEmpty) Seq(q.g) else Nil)).distinct
     val (lits, irisTerms) = terms.partition(Term.isLiteral)
-    def newEntries(existingDict: org.apache.spark.sql.DataFrame, ts: Seq[String]) = {
-      val df = ts.map(t => (h(t), t)).toDF("hash", "value")
-      df.join(existingDict, Seq("hash"), "left_anti")
-    }
-    val newIris = newEntries(graph.iris, irisTerms).persist()
-    val newLits = newEntries(graph.literals, lits).persist()
-    // independent counts → overlap their jobs
-    val (nIris, nLits) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fi = Future(newIris.count().toInt)
-      val fl = Future(newLits.count().toInt)
-      (Await.result(fi, Duration.Inf), Await.result(fl, Duration.Inf))
-    }
+
+    // For point/small-batch inserts (the reference's mutation API shape)
+    // the which-terms-already-exist probe is an `isin`-filtered dictionary
+    // SCAN — the predicate reaches the columnar scan, no join, no shuffle.
+    // Past `batchJoinThreshold` terms, an IN list stops being a scan
+    // predicate, so large bulk loads keep the anti-join plan instead.
+    val batchJoinThreshold = 10000
+    def existingHashes(dict: org.apache.spark.sql.DataFrame, ts: Seq[String]): Set[Long] =
+      if (ts.isEmpty) Set.empty
+      else dict.filter(col("hash").isin(ts.map(h): _*))
+        .select("hash").collect().map(_.getLong(0)).toSet
+
+    // the batch existence probe and the two dictionary probes are
+    // independent — overlap their jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val existsF = Future(
+      graph.triples.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count())
+
+    val (newIris, newLits, nIris, nLits) =
+      if (terms.size <= batchJoinThreshold) {
+        val fIris = Future(existingHashes(graph.iris, irisTerms))
+        val fLits = Future(existingHashes(graph.literals, lits))
+        val haveIris = Await.result(fIris, Duration.Inf)
+        val haveLits = Await.result(fLits, Duration.Inf)
+        val ni = irisTerms.map(t => (h(t), t)).filterNot(e => haveIris(e._1))
+        val nl = lits.map(t => (h(t), t)).filterNot(e => haveLits(e._1))
+        (ni.toDF("hash", "value"), nl.toDF("hash", "value"), ni.size, nl.size)
+      } else {
+        def newEntries(existingDict: org.apache.spark.sql.DataFrame, ts: Seq[String]) = {
+          val df = ts.map(t => (h(t), t)).toDF("hash", "value")
+          df.join(existingDict, Seq("hash"), "left_anti").localCheckpoint()
+        }
+        val fi = Future(newEntries(graph.iris, irisTerms))
+        val fl = Future(newEntries(graph.literals, lits))
+        val ni = Await.result(fi, Duration.Inf)
+        val nl = Await.result(fl, Duration.Inf)
+        (ni, nl, ni.count().toInt, nl.count().toInt)
+      }
+
+    if (Await.result(existsF, Duration.Inf) > 0)
+      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
 
     val g2 = graph.copy(
       triples = graph.triples.union(candidates),

@@ -90,6 +90,21 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     Some(triples.select("s", "p", "o", "g"))
   }
 
+  /** base ∪ dedup(delta): the base dictionary is deduped at build time
+    * and `insert()` appends only entries proven absent from the
+    * then-composed dictionary (single-writer contract, [[nextSeq]]), so
+    * only delta-INTERNAL repeats are possible (e.g. a torn earlier
+    * append). Deduping just the delta keeps the per-load cost
+    * proportional to the delta — never a full-dictionary shuffle. */
+  private def composeDict(base: String, delta: String): DataFrame =
+    (read(base), read(delta)) match {
+      case (Some(b), Some(d)) =>
+        b.unionByName(d.groupBy("hash").agg(first("value").as("value")))
+      case (Some(b), None) => b
+      case (None, Some(d)) => d.groupBy("hash").agg(first("value").as("value"))
+      case _ => throw new IllegalStateException(s"warehouse $dir has no $base data")
+    }
+
   def load(): Graph = {
     val triples = composeTriples("triples")
       .getOrElse(throw new IllegalStateException(s"warehouse $dir has no triples data"))
@@ -97,11 +112,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // deltas are unsorted appends, so subject pruning degrades gracefully
     // to the delta fraction until compact() resorts everything
     val byS = if (exists("triples_by_s")) composeTriples("triples_by_s") else None
-    val iris = readOrUnion("iris", "iris_delta")
-      .groupBy("hash").agg(first("value").as("value"))
-    val literals = readOrUnion("literals", "literals_delta")
-      .groupBy("hash").agg(first("value").as("value"))
-    Graph(spark, triples, iris, literals, byS = byS)
+    Graph(spark, triples, composeDict("iris", "iris_delta"),
+      composeDict("literals", "literals_delta"), byS = byS)
   }
 
   /** Validated point insert: appends delta parts (query.py:529-617

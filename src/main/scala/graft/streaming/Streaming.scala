@@ -20,20 +20,26 @@ object Streaming {
   // ------------------------------------------------------------- transforms
 
   /** Hourly tumbling-window counts per event type with a 2-hour
-    * watermark when streaming. Works identically on batch input. */
+    * watermark when streaming. Works identically on batch input.
+    *
+    * `value` is a 2-decimal quantity stored as double, so summing
+    * integer cents (`round(value*100)` — exact in any engine under any
+    * rounding mode) keeps the result hash-stable across engines; a
+    * DECIMAL sum of thousands of per-row double casts is where
+    * cross-version rounding/rendering differences live. */
   def hourlyEventStats(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
     val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(
         // epoch seconds, not date_format: rendering a wall-clock string
         // would depend on spark.sql.session.timeZone, which the gate's
         // harness may set differently from ours. Hour windows align to
         // the epoch, so `window.start` → long is TZ-invariant.
         col("window.start").cast("long").as("window_start_s"),
-        col("event_type"), col("cnt"), col("sum_value"))
+        col("event_type"), col("cnt"), col("sum_value_cents"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

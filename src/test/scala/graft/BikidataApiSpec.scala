@@ -68,6 +68,25 @@ class BikidataApiSpec extends SparkSpec {
     assert(bk.total() === 2)
   }
 
+  test("result cache expires after the 7-day TTL (workers.py:104-107 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val nt = s"$dir/data.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha\" .\n")
+    var now = 1000L
+    val bk = new Bikidata(spark, s"$dir/wh", clock = () => now)
+    bk.build(Seq(nt))
+    val opts = """{"filters":[{"p":"fts","o":"alpha"}]}"""
+    val r1 = bk.queryJson(opts)
+    // within the TTL: same cached instance
+    now += Bikidata.DefaultCacheTtlMillis - 1
+    assert(bk.queryJson(opts) eq r1)
+    // at/past the TTL: entry evicted, result recomputed (equal, not same)
+    now += 2
+    val r3 = bk.queryJson(opts)
+    assert(!(r3 eq r1) && r3 === r1)
+  }
+
   test("buildFtss persists the doc-table index (fts_main_fts parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ftss").toString
     val nt = s"$dir/data.nt"

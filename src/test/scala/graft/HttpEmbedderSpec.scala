@@ -81,6 +81,23 @@ class HttpEmbedderSpec extends AnyFunSuite {
     }
   }
 
+  test("a 1-document index-build chunk stays search_document (intent, not size)") {
+    withStub { (endpoint, recorded) =>
+      val e = HttpEmbedder(endpoint = endpoint, dim = 4,
+        apiKeyOverride = Some("k"))
+      // a 97-text build: the trailing chunk has exactly 1 text, and the
+      // reference's get_buf_embeddings keeps it in the document space
+      e.embed((0 until 97).map(i => s"doc $i"))
+      val reqs = recorded()
+      assert(reqs.size === 2)
+      assert(reqs.forall(r => (r \ "body" \ "input_type") === JString("search_document")))
+      // a singleton embed() call is STILL a document — only embedQuery
+      // selects the query space
+      e.embed(Seq("lonely doc"))
+      assert((recorded().last \ "body" \ "input_type") === JString("search_document"))
+    }
+  }
+
   test("missing API key fails before any network call") {
     val e = HttpEmbedder(endpoint = "http://127.0.0.1:1/embed",
       apiKeyEnv = "GRAFT_TEST_NO_SUCH_KEY")

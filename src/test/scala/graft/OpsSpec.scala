@@ -222,33 +222,55 @@ class OpsSpec extends SparkSpec {
     assert(j13 < 0.2)
   }
 
-  test("multimodal batch resize bounds size and stamps target dims") {
+  test("real ImageIO decode: PNG and JPEG headers, stub fallback for garbage") {
+    // a real 10×7 PNG, encoded by the JDK itself
+    val img = new java.awt.image.BufferedImage(10, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val png = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b); b.toByteArray }
+    val mPng = Multimodal.decodeImage(png)
+    assert(mPng.format === "png" && mPng.width === 10 && mPng.height === 7)
+    assert(mPng.sizeBytes === png.length.toLong)
+    val jpg = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", b); b.toByteArray }
+    val mJpg = Multimodal.decodeImage(jpg)
+    assert(mJpg.format === "jpeg" && mJpg.width === 10 && mJpg.height === 7)
+    // unrecognized bytes fall back to the deterministic stub
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(garbage) === Multimodal.decodeImageStub(garbage))
+  }
+
+  test("multimodal batch resize re-rasters to target dims (real PNG out)") {
     val media = Multimodal.syntheticMedia(corpus, "id", "text")
     val resized = Multimodal.batchResize(media, targetW = 4, targetH = 4)
       .collect().sortBy(_.id)
     assert(resized.length === 5)
     for (r <- resized) {
-      assert(r.bytes.length <= 16)
       assert(r.meta.width === 4 && r.meta.height === 4)
       assert(r.meta.sizeBytes === r.bytes.length.toLong)
+      // the resized bytes ARE a 4×4 image — round-trip through ImageIO
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(back.getWidth === 4 && back.getHeight === 4)
     }
     // deterministic across runs
     val again = Multimodal.batchResize(media, targetW = 4, targetH = 4)
       .collect().sortBy(_.id)
     assert(resized.map(_.bytes.toSeq).toSeq === again.map(_.bytes.toSeq).toSeq)
-    // short inputs pass through whole
-    val tiny = resized.find(_.id == 5L).get // "unrelated short text" is 21 bytes > 16
-    assert(tiny.bytes.length === 16)
   }
 
-  test("multimodal batch featurize preserves schema and determinism") {
+  test("multimodal batch featurize reports true decoded metadata") {
     val media = Multimodal.syntheticMedia(corpus, "id", "text")
     val feats = Multimodal.batchFeaturize(media, batchSize = 2).collect()
     assert(feats.length === 5)
     val f1 = feats.find(_.id == 1L).get
     val f4 = feats.find(_.id == 4L).get
-    assert(f1.features.toSeq === f4.features.toSeq) // same bytes -> same features
-    assert(f1.meta.sizeBytes > 0 && Set("png", "jpeg", "webp").contains(f1.meta.format))
+    assert(f1.features.toSeq === f4.features.toSeq) // same text -> same image -> same features
+    assert(f1.meta === f4.meta)
+    assert(f1.meta.format === "png" && f1.meta.sizeBytes > 0)
+    // dimensions are the REAL decoded ones, which syntheticPng derives
+    // from the text hash in [8, 32)
+    assert(f1.meta.width >= 8 && f1.meta.width < 32)
+    assert(f1.meta.height >= 8 && f1.meta.height < 32)
     assert(f1.features.length === 64)
   }
 }
