@@ -28,6 +28,9 @@ final case class EngineContext(
     embedder: Embedder = HashingEmbedder(),
     sampleSeed: Long = 42L,
     maxPathIterations: Int = 50,
+    // chains kept on the driver before paths() switches to the
+    // distributed frontier (branchy multi-parent graphs)
+    maxDriverChains: Int = 65536,
     dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None) {
 
   /** Decode column via the broadcast map (None => use the join path). */

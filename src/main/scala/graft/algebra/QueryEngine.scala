@@ -281,12 +281,6 @@ object QueryEngine {
     * broadcast joins, dividing the per-job scheduling floor by k. */
   private val pathLevelsPerJob = 4
 
-  /** Chains kept on the driver before [[paths]] falls back to the
-    * distributed frontier — a branchy graph (multi-parent fanout) can
-    * multiply chains per hop, and past this the driver must not hold
-    * them. */
-  private val maxDriverChains = 65536
-
   /** One k-level walk step as a DataFrame transform: left-join `cur`
     * (source, path, head) against the edge set `levels` times inside ONE
     * plan; a finished chain (null head) no longer matches and rides
@@ -311,7 +305,7 @@ object QueryEngine {
     * chaining [[pathLevelsPerJob]] broadcast joins against the property's
     * edge set (the per-level scheduling floor was the whole cost of this
     * operator). A branchy graph whose fanout multiplies chains past
-    * [[maxDriverChains]] switches to a distributed frontier
+    * [[EngineContext.maxDriverChains]] switches to a distributed frontier
     * (join + localCheckpoint per round) instead of growing the driver.
     * Nodes on a parentless chain finish with path = [self, parent, …,
     * root]; chains still active after `maxPathIterations` levels are
@@ -332,7 +326,7 @@ object QueryEngine {
     try {
       var i = 0
       while (frontier.nonEmpty && i < ctx.maxPathIterations && distributed.isEmpty) {
-        if (frontier.length > maxDriverChains) {
+        if (frontier.length > ctx.maxDriverChains) {
           distributed = Some(pathsDistributed(
             frontier.toSeq.toDF("source", "path", "head"), edges,
             ctx.maxPathIterations - i))

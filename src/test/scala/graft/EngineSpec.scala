@@ -163,6 +163,16 @@ class EngineSpec extends SparkSpec {
     assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
   }
 
+  test("paths distributed-frontier fallback returns the same chains") {
+    // force the fallback by capping driver-side chains at 0: the first
+    // round immediately switches to the distributed walk
+    val r = QueryEngine.query(ctx.copy(maxDriverChains = 0), QueryOpts(
+      filters = Seq(FilterQ(p = "id", o = "<http://ex/mos_eisley>")),
+      paths = Seq(broader)))
+    val e = r.results("<http://ex/mos_eisley>")
+    assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
+  }
+
   test("spo lookup decodes with literal fallback") {
     val rows = QueryEngine.spo(ctx, s = Some("<http://ex/leia>"), p = Some(label))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
