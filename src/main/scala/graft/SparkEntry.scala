@@ -34,7 +34,7 @@ object SparkEntry {
     * this before timing so per-query numbers are steady-state. */
   def warmup(spark: SparkSession, sfDir: String): Unit = {
     val ctx = graft.rdfize.Rdfize.ctx(spark, sfDir)
-    ctx.fts.foreach(_.postings.count()) // materialize the persisted postings
+    ctx.fts.foreach(_.postingLists.count()) // materialize the persisted inverted lists
     graft.rdfize.Rdfize.semantic(spark, sfDir)
   }
 

@@ -35,9 +35,21 @@ final case class FtsIndex(
     b: Double = 0.75,
     settings: FtsSettings = FtsSettings()) {
 
+  /** Query-path layout: true inverted lists, one row per (term, chunk)
+    * holding a packed array of (hash, tf, len) entries. A match scans
+    * vocab-scale rows (term-IN pruned against batch min/max stats)
+    * instead of the corpus-scale flat postings. Chunking by doc hash
+    * (`pmod(hash, chunks)`) caps a hot term's list at ~1/chunks of its
+    * docs, so one row can never hold an unbounded list at 100 TB and the
+    * explode parallelizes across tasks. */
+  lazy val postingLists: DataFrame = postings
+    .groupBy(col("term"), pmod(col("hash"), lit(FtsIndex.postingChunks)).as("chunk"))
+    .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
+    .repartition(col("term"))
+    .sortWithinPartitions("term")
+
   def persist(): FtsIndex = {
-    postings.persist(StorageLevel.MEMORY_AND_DISK)
-    termstats.persist(StorageLevel.MEMORY_AND_DISK)
+    postingLists.persist(StorageLevel.MEMORY_AND_DISK)
     this
   }
 
@@ -54,18 +66,24 @@ final case class FtsIndex(
       .withColumn("hash", lit(0L)).withColumn("score", lit(0.0))
       .limit(0).select("hash", "score")
     val nTerms = terms.length
-    val qterms = terms.toSeq.toDF("term")
-    // df per query term (termstats is corpus-wide; restrict first)
-    val qstats = termstats.filter(col("term").isin(terms.toIndexedSeq: _*))
-      .join(broadcast(qterms), "term")
-    // explicit IN filter BEFORE the join: cached batches carry term
-    // min/max stats, and the term-clustered layout (see build) lets the
-    // in-memory scan skip batches instead of streaming all postings
-    val prunedPostings = postings.filter(col("term").isin(terms.toIndexedSeq: _*))
+    // explicit IN filter BEFORE the explode: the term-clustered inverted
+    // lists carry term min/max stats per cached batch, so the scan skips
+    // every batch without a query term — vocab-scale work, not
+    // corpus-scale — and only the matching lists are unpacked.
+    // df per term = Σ list sizes over the term's chunks, computed with a
+    // window over the ≤ terms×chunks pruned rows: no termstats scan, no
+    // broadcast-exchange job at query time.
+    val pruned = postingLists.filter(col("term").isin(terms.toIndexedSeq: _*))
     val n = numDocs.toDouble
+    val dfCol = sum(size(col("plist")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val scored = prunedPostings
-      .join(broadcast(qstats.withColumn("idf", idf)), "term")
+    val scored = pruned
+      .withColumn("df", dfCol)
+      .withColumn("idf", idf)
+      .select(col("term"), col("idf"), explode(col("plist")).as("e"))
+      .select(col("term"), col("idf"), col("e.hash").as("hash"),
+        col("e.tf").as("tf"), col("e.len").as("len"))
       .withColumn("subscore",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
@@ -80,6 +98,11 @@ final case class FtsIndex(
 }
 
 object FtsIndex {
+
+  /** Doc-hash chunks per term in [[FtsIndex.postingLists]] — bounds the
+    * largest single posting-list row and spreads a hot term's explode
+    * over this many tasks. */
+  val postingChunks = 32
 
   /** Build the index over a (hash, value) document corpus. Triggers two
     * jobs for the corpus stats (count + avg); the postings/termstats

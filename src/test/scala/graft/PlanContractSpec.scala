@@ -57,11 +57,13 @@ class PlanContractSpec extends SparkSpec {
       s"subject filter not pushed:\n$p")
   }
 
-  test("fts match prunes postings with an IN filter before the join") {
+  test("fts match prunes the inverted lists with an IN filter, no join") {
     val idx = ctx.fts.get
     val p = plan(idx.matchBm25("skywalker"))
-    assert(p.contains("BroadcastExchange"), s"query-term side not broadcast:\n$p")
     assert(p.toLowerCase.contains("skywalk"), // stemmed IN literal visible in scan filter
-      s"postings scan not term-pruned:\n$p")
+      s"posting-list scan not term-pruned:\n$p")
+    // df comes from a window over the pruned lists — the match plan must
+    // not join (or broadcast) a corpus-scale side at query time
+    assert(!p.contains("Join"), s"fts match should be join-free:\n$p")
   }
 }
