@@ -55,15 +55,22 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Multimodal.MediaRow]]()
   private def syntheticMedia(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
     mediaCache.computeIfAbsent(dir, { _ =>
-      import s.implicits._
       Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+        .localCheckpoint(eager = true)
+    })
+
+  private val audioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Multimodal.MediaRow]]()
+  private def syntheticAudio(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    audioCache.computeIfAbsent(dir, { _ =>
+      Multimodal.syntheticAudio(docs(s, dir), "doc_id", "text")
         .localCheckpoint(eager = true)
     })
 
   /** Drop cached intermediate frames (their checkpoint blocks are freed
     * once unreferenced). Harness lifecycle hook — not needed between
     * queries. */
-  def clearCaches(): Unit = { pairsCache.clear(); mediaCache.clear() }
+  def clearCaches(): Unit = { pairsCache.clear(); mediaCache.clear(); audioCache.clear() }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -198,6 +205,19 @@ object PipelineQueries {
         .select(col("id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"))
+        .orderBy("id")
+    }),
+
+    // audio plumbing: binary column -> batched REAL WAV decode (true
+    // sample rate / frames / duration from the header) + REAL per-window
+    // RMS energy over the PCM stream (rows-only: DuckDB has no codec)
+    "q_mm_audio" -> ((s, dir) => {
+      val media = syntheticAudio(s, dir)
+      Multimodal.batchAudioFeaturize(media)
+        .select(col("id"), col("meta.format").as("format"),
+          col("meta.sampleRate").as("sample_rate"),
+          col("meta.channels").as("channels"), col("meta.frames").as("frames"),
+          col("meta.durationMs").as("duration_ms"), size(col("rms")).as("dim"))
         .orderBy("id")
     }),
   )

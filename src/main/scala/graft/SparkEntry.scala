@@ -92,6 +92,20 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // Diagnostic twin of q1_agg: identical filter + grouping, counts
+    // only. If a driver-side hash mismatch ever reappears, this pair
+    // localizes it — counts red ⇒ the timestamp bound/row set diverged;
+    // counts green but q1_agg red ⇒ the aggregate value channel did.
+    "q1_agg_counts" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val (ship, bound) = tsVs(li, "l_shipdate", "1995-09-02")
+      li.filter(ship <= bound)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // SURVEY §2.3 joins: broadcast dim (customer) + shuffle join (orders ⋈
     // lineitem on orderkey), agg + top-k. TPC-H Q3 shape.
     "q3_join" -> ((s, dir) => {
@@ -142,6 +156,13 @@ object RelationalQueries {
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
         |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_agg_counts" ->
+      """SELECT l_returnflag, l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1995-09-02'

@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decode and resize are REAL — the JDK's headless-safe
   * `javax.imageio` (PNG/JPEG/GIF/BMP) parses the codec header for
-  * metadata and re-rasters for resize; byte streams no installed reader
-  * recognizes (exotic codecs, audio, video) fall back to the
-  * deterministic stubs, which is the production swap-in point for
-  * additional codec libraries. Feature extraction stays a STUB
-  * (`featuresStub`): a real encoder is a model forward pass this
-  * container cannot run — the batch shape around it is exactly what a
-  * GPU encoder wants.
+  * metadata and re-rasters for resize. Audio decode and RMS energy are
+  * REAL — `javax.sound.sampled` (WAV/AIFF/AU) parses the header and the
+  * PCM stream. Byte streams no installed reader recognizes (exotic
+  * codecs, video) fall back to the deterministic stubs, which is the
+  * production swap-in point for additional codec libraries. Learned
+  * feature extraction stays a STUB (`featuresStub`): a real encoder is
+  * a model forward pass this container cannot run — the batch shape
+  * around it is exactly what a GPU encoder wants.
   */
 object Multimodal {
 
@@ -98,6 +99,153 @@ object Multimodal {
     if (norm > 0) { val inv = (1.0 / math.sqrt(norm)).toFloat
       i = 0; while (i < dim) { v(i) *= inv; i += 1 } }
     v
+  }
+
+  // ------------------------------------------------------------- audio
+
+  final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
+      frames: Long, durationMs: Long, sizeBytes: Long)
+  final case class AudioFeatureRow(id: Long, meta: AudioMeta, rms: Array[Float])
+
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU readers
+    * ship with the JDK): container + PCM format from the header, no
+    * sample data read. Unrecognized byte streams fall back to
+    * [[decodeAudioStub]] — the swap-in point for mp3/ogg codec libs. */
+  def decodeAudio(bytes: Array[Byte]): AudioMeta = {
+    if (bytes == null || bytes.isEmpty) return decodeAudioStub(bytes)
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val durMs =
+        if (fmt.getFrameRate > 0 && frames >= 0)
+          (frames * 1000.0 / fmt.getFrameRate).toLong
+        else 0L
+      AudioMeta(aff.getType.getExtension.toLowerCase, fmt.getSampleRate.toInt,
+        fmt.getChannels, frames, durMs, bytes.length.toLong)
+    } catch { case _: Exception => decodeAudioStub(bytes) }
+  }
+
+  /** STUB audio decode fallback: deterministic fake metadata for byte
+    * streams no installed reader recognizes. */
+  def decodeAudioStub(bytes: Array[Byte]): AudioMeta = {
+    val h = if (bytes == null || bytes.isEmpty) 0L
+      else graft.functions.Hash64.hashString(java.util.Base64.getEncoder.encodeToString(bytes))
+    val fmts = Array("mp3", "ogg", "flac")
+    val rates = Array(8000, 16000, 44100)
+    AudioMeta(
+      format = fmts(java.lang.Math.floorMod(h, 3L).toInt),
+      sampleRate = rates(java.lang.Math.floorMod(h >>> 8, 3L).toInt),
+      channels = 1 + java.lang.Math.floorMod(h >>> 16, 2L).toInt,
+      frames = 1000 + java.lang.Math.floorMod(h >>> 24, 100000L),
+      durationMs = 0L,
+      sizeBytes = if (bytes == null) 0L else bytes.length.toLong)
+  }
+
+  /** REAL audio feature: per-window root-mean-square energy over the
+    * decoded PCM stream (signed 16-bit; other sample layouts fall back
+    * to a byte-histogram via [[featuresStub]]). Channels are averaged to
+    * mono before windowing. A pure sine of amplitude A yields ≈ A/√2
+    * per covered window — pinned in OpsSpec. */
+  def audioRms(bytes: Array[Byte], windows: Int = 16): Array[Float] = {
+    val samples = try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) null
+        else {
+          val raw = in.readAllBytes()
+          val ch = fmt.getChannels
+          val be = fmt.isBigEndian
+          val n = raw.length / 2 / ch
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val s = if (be) ((raw(o) << 8) | (raw(o + 1) & 0xFF)).toShort
+                      else ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          out
+        }
+      } finally in.close()
+    } catch { case _: Exception => null }
+    if (samples == null || samples.length == 0)
+      return featuresStub(if (bytes == null) Array.emptyByteArray else bytes, windows)
+    val v = new Array[Float](windows)
+    val per = math.max(1, (samples.length + windows - 1) / windows)
+    var w = 0
+    while (w < windows) {
+      val from = w * per
+      val to = math.min(samples.length, from + per)
+      if (from < to) {
+        var acc = 0.0
+        var i = from
+        while (i < to) { acc += samples(i) * samples(i); i += 1 }
+        v(w) = math.sqrt(acc / (to - from)).toFloat
+      }
+      w += 1
+    }
+    v
+  }
+
+  /** Batch audio pipeline: binary rows → (typed meta, per-window RMS),
+    * partition-local batches, no shuffle — the same batch contract as
+    * [[batchFeaturize]] so a learned audio encoder slots in unchanged. */
+  def batchAudioFeaturize(media: Dataset[MediaRow], batchSize: Int = 32,
+      windows: Int = 16): Dataset[AudioFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(r => AudioFeatureRow(r.id, decodeAudio(r.bytes), audioRms(r.bytes, windows)))
+      }
+    }
+  }
+
+  /** Deterministic tiny WAV derived from a text: 16-bit PCM mono sine
+    * whose frequency, amplitude, and length come from the text's hash
+    * (same text ⇒ byte-identical file) — the demo source feeds the
+    * pipeline REAL decodable audio, like [[syntheticPng]] for images. */
+  def syntheticWav(text: String): Array[Byte] = {
+    val h0 = graft.functions.Hash64.hashString(if (text == null) "" else text)
+    val rate = 8000f
+    val n = 400 + java.lang.Math.floorMod(h0, 800L).toInt
+    val freq = 200.0 + java.lang.Math.floorMod(h0 >>> 8, 1800L)
+    val amp = 0.2 + java.lang.Math.floorMod(h0 >>> 16, 60L) / 100.0
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767.0).toInt
+      raw(i * 2) = (s & 0xFF).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Demo source: a deterministic REAL WAV per row, derived from a
+    * string column. */
+  def syntheticAudio(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => MediaRow(id, syntheticWav(text)) })
   }
 
   /** STUB frame sampler: every-nth 16-byte slice stands in for video

@@ -273,4 +273,53 @@ class OpsSpec extends SparkSpec {
     assert(f1.meta.height >= 8 && f1.meta.height < 32)
     assert(f1.features.length === 64)
   }
+
+  test("real audio decode: WAV header metadata, stub fallback for garbage") {
+    val wav = Multimodal.syntheticWav("hello audio")
+    val m = Multimodal.decodeAudio(wav)
+    assert(m.format === "wav" && m.sampleRate === 8000 && m.channels === 1)
+    assert(m.frames >= 400 && m.frames < 1200) // syntheticWav length range
+    // duration from the real frame count at 8 kHz
+    assert(m.durationMs === m.frames * 1000 / 8000)
+    assert(m.sizeBytes === wav.length.toLong)
+    val garbage = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(garbage) === Multimodal.decodeAudioStub(garbage))
+  }
+
+  test("audio RMS of a known sine is amplitude over sqrt(2)") {
+    // hand-build a 16-bit PCM mono WAV: 1 s of a 440 Hz sine, amp 0.5
+    val rate = 8000f
+    val n = 8000
+    val amp = 0.5
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767.0).toInt
+      raw(i * 2) = (s & 0xFF).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rms = Multimodal.audioRms(bos.toByteArray, windows = 4)
+    assert(rms.length === 4)
+    val expected = amp / math.sqrt(2)
+    for (w <- rms) assert(math.abs(w - expected) < 0.01, s"window rms $w vs $expected")
+  }
+
+  test("multimodal batch audio featurize reports true decoded metadata") {
+    val media = Multimodal.syntheticAudio(corpus, "id", "text")
+    val feats = Multimodal.batchAudioFeaturize(media, batchSize = 2).collect()
+    assert(feats.length === 5)
+    val f1 = feats.find(_.id == 1L).get
+    val f4 = feats.find(_.id == 4L).get
+    assert(f1.rms.toSeq === f4.rms.toSeq) // same text -> same wave -> same energy
+    assert(f1.meta === f4.meta)
+    assert(f1.meta.format === "wav" && f1.meta.sampleRate === 8000)
+    assert(f1.rms.length === 16)
+    // the sine's per-window energy is amp/√2 and the amp range is [0.2, 0.8)
+    assert(f1.rms.forall(w => w > 0.1f && w < 0.6f))
+  }
 }

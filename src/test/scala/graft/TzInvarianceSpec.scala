@@ -31,7 +31,7 @@ class TzInvarianceSpec extends SparkSpec {
   // one zone west of UTC (shifts dates backward at midnight) and one east
   private val zones = Seq("UTC", "America/New_York", "Asia/Tokyo")
 
-  for (q <- Seq("q1_agg", "q3_join", "q_events_window", "q_events_sessions")) {
+  for (q <- Seq("q1_agg", "q1_agg_counts", "q3_join", "q_events_window", "q_events_sessions")) {
     test(s"$q is session-timezone-invariant in both parquet read modes") {
       // reference result: NTZ read under UTC
       val base = collectUnder("UTC", ntz = true, q)
