@@ -57,6 +57,20 @@ class PlanContractSpec extends SparkSpec {
       s"subject filter not pushed:\n$p")
   }
 
+  test("regex static prefix reaches the literals scan as StartsWith") {
+    val compiled = graft.algebra.FilterCompiler.compile(ctx,
+      FilterQ(p = "regex", o = "\"Luke .*\"")).get
+    val p = plan(compiled)
+    // the anchored pattern's static prefix must land as a scan-level
+    // StartsWith BEFORE the regex engine runs — batch min/max pruning
+    // plus short-circuit, the same prune DuckDB applies to SIMILAR TO.
+    // The matched surface form is the quoted N3 literal, so the prefix
+    // includes the opening quote: StartsWith(value#NN, "Luke …
+    assert("""StartsWith\(value#\d+, "Luke """.r.findFirstIn(p).isDefined,
+      s"prefix prune not in scan filters:\n$p")
+    assert(p.contains("RLIKE"), s"regex filter missing:\n$p")
+  }
+
   test("fts match prunes the inverted lists with an IN filter, no join") {
     val idx = ctx.fts.get
     val p = plan(idx.matchBm25("skywalker"))
