@@ -103,6 +103,18 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // corpus curation: the composed pipeline a training-data run
+    // actually executes — quality-gate first (row-local, shrinks the
+    // shuffle input), THEN canonical exact-dedup over the survivors.
+    // Fully oracle-checked end to end.
+    "q_doc_curate" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      Dedup.keepCanonical(scored, "doc_id", "text")
+        .select(col("doc_id"), col("quality")).orderBy("doc_id")
+    }),
+
     // exact token-set Jaccard via inverted-index self-join
     "q_doc_jaccard" -> ((s, dir) => {
       Dedup.tokenJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
@@ -257,6 +269,24 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_curate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text,
+         |    round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) AS quality
+         |  FROM t)
+         |SELECT doc_id, quality FROM q WHERE quality >= 0.5
+         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+         |ORDER BY doc_id""".stripMargin,
     "q_doc_jaccard" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),'\s+'))) AS tok
         |           FROM documents WHERE doc_id < 40),
