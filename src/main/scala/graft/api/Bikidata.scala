@@ -74,8 +74,9 @@ final class Bikidata(
     cache.clear()
     // mutations make the stored derived indexes stale — drop them so the
     // next session rebuilds (and re-persists) them
-    for (sub <- Seq("fts_postings", "fts_termstats", "ftss_postings",
-        "ftss_termstats", "literals_semantic", "semantic_ann")) {
+    for (sub <- Seq("fts_postings", "fts_termstats", "fts_lists",
+        "ftss_postings", "ftss_termstats", "ftss_lists",
+        "literals_semantic", "semantic_ann")) {
       val d = new java.io.File(warehouseDir, sub)
       if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
     }

@@ -33,7 +33,8 @@ final case class FtsIndex(
     avgdl: Double,
     k1: Double = 1.2,
     b: Double = 0.75,
-    settings: FtsSettings = FtsSettings()) {
+    settings: FtsSettings = FtsSettings(),
+    listsStored: Option[DataFrame] = None) {
 
   /** Query-path layout: true inverted lists, one row per (term, chunk)
     * holding a packed array of (hash, tf, len) entries. A match scans
@@ -41,12 +42,16 @@ final case class FtsIndex(
     * instead of the corpus-scale flat postings. Chunking by doc hash
     * (`pmod(hash, chunks)`) caps a hot term's list at ~1/chunks of its
     * docs, so one row can never hold an unbounded list at 100 TB and the
-    * explode parallelizes across tasks. */
-  lazy val postingLists: DataFrame = postings
-    .groupBy(col("term"), pmod(col("hash"), lit(FtsIndex.postingChunks)).as("chunk"))
-    .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
-    .repartition(col("term"))
-    .sortWithinPartitions("term")
+    * explode parallelizes across tasks. [[FtsIndex.write]] persists this
+    * layout; a loaded index reads it back ([[listsStored]]) instead of
+    * re-aggregating the flat postings every session. */
+  lazy val postingLists: DataFrame = listsStored.getOrElse {
+    postings
+      .groupBy(col("term"), pmod(col("hash"), lit(FtsIndex.postingChunks)).as("chunk"))
+      .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+  }
 
   def persist(): FtsIndex = {
     postingLists.persist(StorageLevel.MEMORY_AND_DISK)
@@ -145,6 +150,9 @@ object FtsIndex {
   def write(index: FtsIndex, warehouseDir: String, name: String = "fts"): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$warehouseDir/${name}_postings")
     index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
+    // the query-path layout: term-clustered files → parquet row-group
+    // stats prune term-IN lookups without touching the flat postings
+    index.postingLists.write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
     val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json"), meta)
@@ -167,6 +175,9 @@ object FtsIndex {
         lower = (j \ "lower").extractOrElse[Boolean](true),
         stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
         stopwords = (j \ "stopwords").extractOrElse[String]("english"))
+      val listsDir = new java.io.File(warehouseDir, s"${name}_lists")
+      val lists =
+        if (listsDir.exists()) Some(spark.read.parquet(listsDir.getPath)) else None
       Some(FtsIndex(
         spark.read.parquet(s"$warehouseDir/${name}_postings"),
         spark.read.parquet(s"$warehouseDir/${name}_termstats"),
@@ -174,7 +185,8 @@ object FtsIndex {
         (j \ "avgdl").extract[Double],
         (j \ "k1").extract[Double],
         (j \ "b").extract[Double],
-        settings = st))
+        settings = st,
+        listsStored = lists))
     }
   }
 
