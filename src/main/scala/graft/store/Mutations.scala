@@ -77,8 +77,17 @@ object Mutations {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val existsF = Future(
-      graph.triples.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count())
+    val existsF = Future {
+      // same isin-pruned probe as delete validation: a point insert's
+      // duplicate check touches only the subject's batches of the
+      // s-sorted copy, not the whole corpus
+      val sHashes = rows.map(_._1).distinct
+      val base =
+        if (sHashes.size <= batchJoinThreshold)
+          graph.subjectAccess.filter(col("s").isin(sHashes: _*))
+        else graph.triples
+      base.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count()
+    }
 
     val (newIris, newLits, nIris, nLits) =
       if (terms.size <= batchJoinThreshold) {
@@ -131,18 +140,30 @@ object Mutations {
       // driver-side count job per item
       val exactKeys = items.collect { case (s, p, Some(o), g) => (h(s), h(p), h(o), h(g)) }
       val wildKeys = items.collect { case (s, p, None, g) => (h(s), h(p), h(g)) }.distinct
+      // point/small-batch deletes (the reference's mutation API shape)
+      // probe the s-sorted copy with an `isin` subject filter first: the
+      // predicate reaches the columnar scan's min/max stats and skips
+      // almost every batch, instead of streaming the whole corpus into
+      // the semi-join. Past the threshold an IN list stops being a scan
+      // predicate, so bulk deletes keep the full-scan semi-join.
+      val subjectHashes = (exactKeys.map(_._1) ++
+        items.collect { case (s, p, None, _) => h(s) }).distinct
+      val probeBase =
+        if (subjectHashes.nonEmpty && subjectHashes.size <= 10000)
+          graph.subjectAccess.filter(col("s").isin(subjectHashes: _*))
+        else graph.triples
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val missingExactF = Future(exactKeys.distinct match {
         case Nil => false
-        case ks => graph.triples
+        case ks => probeBase
           .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
           .select("s", "p", "o", "g").distinct().count() < ks.size
       })
       val missingWildF = Future(wildKeys match {
         case Nil => false
-        case ks => graph.triples
+        case ks => probeBase
           .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
           .select("s", "p", "g").distinct().count() < ks.size
       })
