@@ -31,6 +31,9 @@ final case class EngineContext(
     // chains kept on the driver before paths() switches to the
     // distributed frontier (branchy multi-parent graphs)
     maxDriverChains: Int = 65536,
+    // regex-matched literal hashes at or under this become an o-IN scan
+    // predicate on the triples probe; above it, a broadcast join
+    regexIsinCap: Int = 1000,
     dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None) {
 
   /** Decode column via the broadcast map (None => use the join path). */
@@ -222,9 +225,23 @@ object FilterCompiler {
       val lits = preFiltered
         .filter(col("value").rlike("^(?:" + o + ")$"))
         .select(col("hash").as("lhash"))
-      val t0 = propFilter(withG(triples))
-        .join(broadcast(lits), col("o") === col("lhash"))
-        .select("s")
+      // size-conditional probe (same policy as decode): a selective
+      // pattern yields few literal hashes → an o-IN predicate reaches
+      // the (p,o,s)-sorted scan's batch stats and skips most of the
+      // corpus; past the cap, fall back to the broadcast join (whose
+      // build would have collected the same rows anyway)
+      val cap = ctx.regexIsinCap
+      val litHashes =
+        if (cap <= 0) Array.emptyLongArray
+        else lits.limit(cap + 1).collect().map(_.getLong(0))
+      val t0 =
+        if (cap > 0 && litHashes.length <= cap)
+          propFilter(withG(triples))
+            .filter(col("o").isin(litHashes.toIndexedSeq: _*)).select("s")
+        else
+          propFilter(withG(triples))
+            .join(broadcast(lits), col("o") === col("lhash"))
+            .select("s")
       Some(hopUp(ctx, t0, hops, Nil).distinct())
     } else if (p.startsWith("fts")) {
       ctx.fts.map { idx =>

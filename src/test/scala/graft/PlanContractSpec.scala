@@ -57,8 +57,21 @@ class PlanContractSpec extends SparkSpec {
       s"subject filter not pushed:\n$p")
   }
 
-  test("regex static prefix reaches the literals scan as StartsWith") {
+  test("regex: selective matches become an o-IN predicate on the triples probe") {
     val compiled = graft.algebra.FilterCompiler.compile(ctx,
+      FilterQ(p = "regex", o = "\"Luke .*\"")).get
+    val p = plan(compiled)
+    // few matched literal hashes → the probe is a scan-level IN filter
+    // (batch min/max pruning on the (p,o,s)-sorted layout), not a join
+    assert("""o#\d+L? (IN|=)""".r.findFirstIn(p).isDefined || p.contains("INSET"),
+      s"o-IN predicate not on the triples probe:\n$p")
+    assert(!p.contains("Join"), s"selective regex should be join-free:\n$p")
+  }
+
+  test("regex fallback path: static prefix reaches the literals scan as StartsWith") {
+    // cap 0 forces the broadcast-join fallback (the >cap shape), where
+    // the literal side stays lazy — pin its scan-level prune there
+    val compiled = graft.algebra.FilterCompiler.compile(ctx.copy(regexIsinCap = 0),
       FilterQ(p = "regex", o = "\"Luke .*\"")).get
     val p = plan(compiled)
     // the anchored pattern's static prefix must land as a scan-level
@@ -69,6 +82,7 @@ class PlanContractSpec extends SparkSpec {
     assert("""StartsWith\(value#\d+, "Luke """.r.findFirstIn(p).isDefined,
       s"prefix prune not in scan filters:\n$p")
     assert(p.contains("RLIKE"), s"regex filter missing:\n$p")
+    assert(p.contains("BroadcastExchange"), s"fallback should broadcast the literal side:\n$p")
   }
 
   test("fts match prunes the inverted lists with an IN filter, no join") {
