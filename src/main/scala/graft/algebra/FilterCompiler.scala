@@ -31,9 +31,10 @@ final case class EngineContext(
     // chains kept on the driver before paths() switches to the
     // distributed frontier (branchy multi-parent graphs)
     maxDriverChains: Int = 65536,
-    // regex-matched literal hashes at or under this become an o-IN scan
-    // predicate on the triples probe; above it, a broadcast join
-    regexIsinCap: Int = 1000,
+    // probe sets (regex-matched literal hashes, hop frontiers) at or
+    // under this become an o-IN scan predicate on the triples probe —
+    // batch min/max pruning instead of a join; above it, broadcast join
+    isinProbeCap: Int = 1000,
     dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None) {
 
   /** Decode column via the broadcast map (None => use the join path). */
@@ -131,10 +132,23 @@ object FilterCompiler {
     var acc = t0
     for (i <- 1 to hops) {
       val t = ctx.graph.triples.as(s"T$i")
-      // the accumulated subject set is the filtered (small) side — hint it
-      // broadcast so the full triples relation never shuffles per hop
-      acc = t.join(broadcast(acc.as(s"A$i")), col(s"T$i.o") === col(s"A$i.s"))
-        .select(col(s"T$i.s").as("s") +: extra.map(c => col(s"A$i.$c")): _*)
+      // size-conditional probe: a small frontier (no score ride-along)
+      // becomes an o-IN scan predicate, pruned by the (p,o,s)-sorted
+      // batch stats; otherwise the frontier is the broadcast side so the
+      // full triples relation never shuffles per hop
+      val cap = ctx.isinProbeCap
+      val small: Option[Array[Long]] =
+        if (extra.isEmpty && cap > 0) {
+          val hs = acc.select("s").distinct().limit(cap + 1).collect().map(_.getLong(0))
+          if (hs.length <= cap) Some(hs) else None
+        } else None
+      acc = small match {
+        case Some(hs) =>
+          ctx.graph.triples.filter(col("o").isin(hs.toIndexedSeq: _*)).select(col("s"))
+        case None =>
+          t.join(broadcast(acc.as(s"A$i")), col(s"T$i.o") === col(s"A$i.s"))
+            .select(col(s"T$i.s").as("s") +: extra.map(c => col(s"A$i.$c")): _*)
+      }
     }
     acc
   }
@@ -230,7 +244,7 @@ object FilterCompiler {
       // the (p,o,s)-sorted scan's batch stats and skips most of the
       // corpus; past the cap, fall back to the broadcast join (whose
       // build would have collected the same rows anyway)
-      val cap = ctx.regexIsinCap
+      val cap = ctx.isinProbeCap
       val litHashes =
         if (cap <= 0) Array.emptyLongArray
         else lits.limit(cap + 1).collect().map(_.getLong(0))

@@ -71,7 +71,7 @@ class PlanContractSpec extends SparkSpec {
   test("regex fallback path: static prefix reaches the literals scan as StartsWith") {
     // cap 0 forces the broadcast-join fallback (the >cap shape), where
     // the literal side stays lazy — pin its scan-level prune there
-    val compiled = graft.algebra.FilterCompiler.compile(ctx.copy(regexIsinCap = 0),
+    val compiled = graft.algebra.FilterCompiler.compile(ctx.copy(isinProbeCap = 0),
       FilterQ(p = "regex", o = "\"Luke .*\"")).get
     val p = plan(compiled)
     // the anchored pattern's static prefix must land as a scan-level
