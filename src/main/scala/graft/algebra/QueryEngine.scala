@@ -69,37 +69,14 @@ object QueryEngine {
     * left; EXCEPT terms always evaluated last (reference query.py:629-668
     * emits one concatenated SQL string — precedence is DuckDB's).
     * `items` is (op, df) with the first op ignored (seed). */
-  def combineSets(items: Seq[(String, DataFrame)], isinCap: Int = 0): Option[DataFrame] = {
+  def combineSets(items: Seq[(String, DataFrame)]): Option[DataFrame] = {
     if (items.isEmpty) return None
-    // size-conditional set algebra: a small single-column operand of
-    // INTERSECT/EXCEPT becomes an s-IN(/NOT IN) filter on the left side
-    // — no shuffle, no join, and the scan predicate prunes batches. The
-    // trailing distinct() makes the filter form set-equivalent to the
-    // relational op (filters keep multiplicity, set ops don't). Compiled
-    // filter frames are already distinct, so limit(cap+1) bounds the
-    // probe without a second aggregate. Frames with a score column keep
-    // the positional set op (pairs compare on both columns).
-    def smallSet(df: DataFrame): Option[Array[Long]] =
-      if (isinCap > 0 && df.columns.sameElements(Array("s"))) {
-        val hs = df.limit(isinCap + 1).collect().map(_.getLong(0))
-        if (hs.length <= isinCap) Some(hs) else None
-      } else None
-    def intersectOp(a: DataFrame, b: DataFrame): DataFrame = smallSet(b) match {
-      case Some(hs) if a.columns.sameElements(Array("s")) =>
-        a.filter(col("s").isin(hs.toIndexedSeq: _*))
-      case _ => a.intersect(b)
-    }
-    def exceptOp(a: DataFrame, b: DataFrame): DataFrame = smallSet(b) match {
-      case Some(hs) if a.columns.sameElements(Array("s")) =>
-        a.filter(!col("s").isin(hs.toIndexedSeq: _*))
-      case _ => a.except(b)
-    }
     // collapse INTERSECT runs onto their left operand
     val collapsed = items.foldLeft(List.empty[(String, DataFrame)]) {
       case (acc, (op, df)) =>
         if (op == "intersect" && acc.nonEmpty) {
           val (prevOp, prevDf) = acc.head
-          (prevOp, intersectOp(prevDf, df)) :: acc.tail
+          (prevOp, prevDf.intersect(df)) :: acc.tail
         } else (op, df) :: acc
     }.reverse
     // left-fold UNION / EXCEPT in order
@@ -107,7 +84,7 @@ object QueryEngine {
     Some(collapsed.tail.foldLeft(seed) { case (acc, (op, df)) =>
       op match {
         case "union" => acc.union(df)
-        case "except" => exceptOp(acc, df)
+        case "except" => acc.except(df)
         case _ => acc
       }
     }.distinct())
@@ -127,8 +104,7 @@ object QueryEngine {
   /** Combine the compiled filters into the s_results subject set.
     * Unrecognized filters and unknown ops are silently dropped
     * (query.py:659-669). */
-  def subjectsFromCompiled(compiled: Seq[(FilterQ, DataFrame)],
-      isinCap: Int = 0): Option[DataFrame] = {
+  def subjectsFromCompiled(compiled: Seq[(FilterQ, DataFrame)]): Option[DataFrame] = {
     var items = Vector.empty[(String, DataFrame)]
     var excepts = Vector.empty[(String, DataFrame)]
     for ((f, dfRaw) <- compiled) {
@@ -140,11 +116,11 @@ object QueryEngine {
       else if (op == "not") excepts :+= ("except" -> df)
       // other op values: filter contributes nothing (reference parity)
     }
-    combineSets(items ++ excepts, isinCap)
+    combineSets(items ++ excepts)
   }
 
   def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
-    subjectsFromCompiled(compileAll(ctx, opts), ctx.isinProbeCap)
+    subjectsFromCompiled(compileAll(ctx, opts))
 
   /** Parallel score chain over the scoring (fts/semantic) filters —
     * UNION/INTERSECT only, first scoring filter seeds regardless of its op
@@ -487,7 +463,7 @@ object QueryEngine {
     // scan feeds both the subject set and the score chain
     val compiled = compileAll(ctx, opts)
     val persistedScoring = compiled.collect { case (f, df) if isScoring(f) => df.persist() }
-    val sResultsOpt = subjectsFromCompiled(compiled, ctx.isinProbeCap)
+    val sResultsOpt = subjectsFromCompiled(compiled)
     var aggregates = Map.empty[String, Seq[(Long, String)]]
 
     try sResultsOpt match {
