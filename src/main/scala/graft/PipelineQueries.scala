@@ -220,6 +220,27 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // decontamination: corpus docs sharing word 3-grams with a
+    // "benchmark" slice (every 50th doc) — broadcast bench grams,
+    // one per-doc hit count; oracle-checked exactly
+    "q_doc_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      graft.ops.Decontam.contaminated(d, bench, "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // sequence packing: concat-and-chunk documents into fixed-budget
+    // training sequences, sharded (id % 8) so the pack parallelizes —
+    // pure integer window arithmetic, oracle-checked exactly
+    "q_doc_pack" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      graft.ops.Packing.packChunks(toks, "doc_id", "toks", budget = 512L)
+        .orderBy("shard", "bin", "doc_id")
+    }),
+
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
     // RMS energy over the PCM stream (rows-only: DuckDB has no codec)
@@ -269,6 +290,34 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, len(ws) - 1)])) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM g JOIN b ON g.gram = b.gram
+        |GROUP BY g.doc_id HAVING count(*) >= 1 ORDER BY g.doc_id""".stripMargin,
+    "q_doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM t WHERE toks > 0),
+        |e AS (
+        |  SELECT doc_id, shard, toks, cum_end, cum_end - toks AS cum_start,
+        |    unnest(range((cum_end - toks) // 512, (cum_end - 1) // 512 + 1)) AS bin
+        |  FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin, doc_id,
+        |  CAST(least((bin + 1) * 512, cum_end) - greatest(bin * 512, cum_start) AS BIGINT) AS tok_in_bin,
+        |  CAST(greatest(bin * 512, cum_start) - cum_start AS BIGINT) AS tok_offset
+        |FROM e ORDER BY shard, bin, doc_id""".stripMargin,
     "q_doc_curate" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -34,8 +34,15 @@ object SparkEntry {
     * this before timing so per-query numbers are steady-state. */
   def warmup(spark: SparkSession, sfDir: String): Unit = {
     val ctx = graft.rdfize.Rdfize.ctx(spark, sfDir)
-    ctx.fts.foreach(_.postingLists.count()) // materialize the persisted inverted lists
-    graft.rdfize.Rdfize.semantic(spark, sfDir)
+    // the inverted-list materialization and the semantic index build are
+    // independent of each other (both need only ctx) — overlap their jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ftsF = Future(ctx.fts.foreach(_.postingLists.count()))
+    val semF = Future(graft.rdfize.Rdfize.semantic(spark, sfDir))
+    Await.result(ftsF, Duration.Inf)
+    Await.result(semF, Duration.Inf)
   }
 
   def oracleSql: Map[String, String] =

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share word
+  * n-grams with an evaluation set — the standard leakage check a
+  * pre-training pipeline runs before a corpus ships.
+  *
+  * The benchmark side is distinct n-grams of a (small) eval suite and
+  * is broadcast; the corpus side explodes its distinct n-grams once and
+  * semi-aggregates hits per document. One shuffle (the per-doc count);
+  * the n-gram explode is row-local. At 100 TB the corpus side stays
+  * partition-parallel and the broadcast side is bounded by the eval
+  * suite's size — if an eval set ever outgrew the broadcast threshold,
+  * dropping the `broadcast` hint degrades gracefully to a shuffle join.
+  */
+object Decontam {
+
+  /** Distinct word n-grams per row: (id, gram). Rows shorter than `n`
+    * words contribute nothing. */
+  private[ops] def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val g = when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(g).as("gram"))
+  }
+
+  /** (id, hits) for every corpus document sharing at least `minHits`
+    * distinct n-grams with the benchmark set. `hits` counts distinct
+    * contaminated n-grams, the usual reporting unit. */
+  def contaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minHits: Long = 1L): DataFrame = {
+    val benchGrams = grams(bench, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    grams(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits")) // grams are distinct per id already
+      .filter(col("hits") >= minHits)
+  }
+}

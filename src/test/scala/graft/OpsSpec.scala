@@ -274,6 +274,53 @@ class OpsSpec extends SparkSpec {
     assert(f1.features.length === 64)
   }
 
+  test("decontamination flags docs sharing n-grams with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap here at all"),
+      (3L, "we ask what is the capital of france in this prompt"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "what is the capital of france"),
+      (101L, "the quick brown fox")).toDF("doc_id", "text")
+    val hits = graft.ops.Decontam.contaminated(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 contains "the quick brown fox" → exactly one distinct 4-gram
+    assert(hits(1L) === 1L)
+    // doc 3 contains "what is the capital of france" → three 4-grams
+    assert(hits(3L) === 3L)
+    assert(!hits.contains(2L) && !hits.contains(4L))
+  }
+
+  test("sequence packing: chunk laws hold and layout is deterministic") {
+    import spark.implicits._
+    val toks = Seq((0L, 100L), (1L, 300L), (2L, 250L), (3L, 700L), (4L, 64L),
+      (5L, 0L), (6L, 512L), (7L, 1L)).toDF("doc_id", "toks")
+    val packed = graft.ops.Packing.packChunks(toks, "doc_id", "toks",
+      budget = 512L, shards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // law 1: every doc's slices sum to its token count (zero-token docs absent)
+    val perDoc = packed.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc === Map(0L -> 100L, 1L -> 300L, 2L -> 250L, 3L -> 700L,
+      4L -> 64L, 6L -> 512L, 7L -> 1L))
+    // law 2: every non-last bin per shard is exactly full
+    val perBin = packed.groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = perBin.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for (((sh, b), tot) <- perBin if b != lastBin(sh))
+      assert(tot === 512L, s"bin ($sh,$b) not full: $tot")
+    // law 3: slice offsets are consistent — a doc spanning bins restarts
+    // where the previous slice ended
+    for ((_, slices) <- packed.groupBy(_._3)) {
+      val sorted = slices.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._5 === a._5 + a._4, s"discontinuous slices for doc ${a._3}")
+      }
+    }
+    // doc 3 (700 tokens, shard 1) must span two sequences
+    assert(packed.count(_._3 == 3L) === 2)
+  }
+
   test("real audio decode: WAV header metadata, stub fallback for garbage") {
     val wav = Multimodal.syntheticWav("hello audio")
     val m = Multimodal.decodeAudio(wav)
