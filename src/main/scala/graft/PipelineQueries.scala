@@ -55,7 +55,10 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Multimodal.MediaRow]]()
   private def syntheticMedia(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
     mediaCache.computeIfAbsent(dir, { _ =>
-      Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+      // repartition: the single-file source would otherwise encode AND
+      // decode every image on one task (file count provides this at scale)
+      Multimodal.syntheticMedia(
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
         .localCheckpoint(eager = true)
     })
 
@@ -63,7 +66,8 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Multimodal.MediaRow]]()
   private def syntheticAudio(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
     audioCache.computeIfAbsent(dir, { _ =>
-      Multimodal.syntheticAudio(docs(s, dir), "doc_id", "text")
+      Multimodal.syntheticAudio(
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
         .localCheckpoint(eager = true)
     })
 
@@ -108,7 +112,8 @@ object PipelineQueries {
     // shuffle input), THEN canonical exact-dedup over the survivors.
     // Fully oracle-checked end to end.
     "q_doc_curate" -> ((s, dir) => {
-      val scored = docs(s, dir)
+      // repartition: single-file source, regex-heavy row-local scoring
+      val scored = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
       Dedup.keepCanonical(scored, "doc_id", "text")
@@ -220,13 +225,16 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
-    // decontamination: corpus docs sharing word 3-grams with a
+    // decontamination: corpus docs sharing word 8-grams with a
     // "benchmark" slice (every 50th doc) — broadcast bench grams,
     // one per-doc hit count; oracle-checked exactly
     "q_doc_decontam" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // the sf dir stores documents as ONE small parquet file — without
+      // a repartition the whole n-gram explode runs on a single task.
+      // At corpus scale the file count parallelizes this for free.
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
       val bench = d.filter(col("doc_id") % 50 === 0)
-      graft.ops.Decontam.contaminated(d, bench, "doc_id", "text", n = 3)
+      graft.ops.Decontam.contaminated(d, bench, "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -293,9 +301,9 @@ object PipelineQueries {
     "q_doc_decontam" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |           FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
-        |          for i in range(1, len(ws) - 1)])) AS gram
-        |      FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+        |          for i in range(1, len(ws) - 6)])) AS gram
+        |      FROM w WHERE len(ws) >= 8),
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM g JOIN b ON g.gram = b.gram
