@@ -40,6 +40,24 @@ class FtsSpec extends SparkSpec {
     assert(idx.matchBm25("nosuchterm quick").collect().isEmpty)
   }
 
+  test("inverted-list df spans chunks: 64-doc term scores like a 64-df corpus") {
+    import spark.implicits._
+    // 64 docs sharing one term land in many pmod(hash, 32) chunks — the
+    // window-summed df must still count all 64, exactly like the flat
+    // postings would. idf is the sensitive factor: with N=64 docs and
+    // df=64, idf = ln(1 + 0.5/64.5); any chunk-local df inflates it.
+    val docs = (1L to 64L).map(i => (i, "sharedterm")).toDF("hash", "value")
+    val idx = FtsIndex.build(docs)
+    val chunks = idx.postingLists.select("chunk").distinct().count()
+    assert(chunks > 1, "fixture must actually span multiple chunks")
+    val scores = idx.matchBm25("sharedterm").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(scores.length === 64)
+    val expIdf = math.log(1.0 + (64.0 - 64.0 + 0.5) / (64.0 + 0.5))
+    // tf=1, len=1=avgdl → tf term = (1*2.2)/(1+1.2) = 1 → score == idf
+    for ((h, s) <- scores)
+      assert(math.abs(s - expIdf) < 1e-12, s"doc $h score $s != idf $expIdf")
+  }
+
   test("BM25 scores match the hand-computed Okapi formula") {
     import spark.implicits._
     // stopwords 'the' (docs 1,2) and 'entirely' (doc 4) are dropped at
