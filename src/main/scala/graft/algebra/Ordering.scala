@@ -2,13 +2,12 @@ package graft.algebra
 
 import graft.functions.Hash64
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Subject ordering (reference `_order_build_sorted_table`,
   * query.py:316-465): resolve a per-subject sort label via
   * label / arbitrary property / label-of-referenced-object, pick the best
-  * label by language preference with a window rank, clean it, optionally
+  * label by language preference with a min_by hash aggregate, clean it, optionally
   * extract a numeric prefix for natural sort, and emit the total order.
   */
 object Ordering {
@@ -77,11 +76,14 @@ object Ordering {
     val labeled = labelSource
       .withColumn("lang_rank", langRank(col("lbl_val"), rule.lang))
       .withColumn("sort_label", cleanExpr(rawText, rule.cleanOrDefault, rule.mode))
-    val w = Window.partitionBy(col("s")).orderBy(col("lang_rank").asc, col("sort_label").asc)
+    // best label per subject = min by (lang_rank, sort_label): a hash
+    // aggregate with map-side combine (struct ordering is lexicographic),
+    // where the reference's row_number window would sort every partition.
+    // Ties are exact duplicates of the pair, so the pick is identical.
     val pref = labeled
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("s"), col("sort_label"))
+      .groupBy(col("s"))
+      .agg(min_by(col("sort_label"),
+        struct(col("lang_rank"), col("sort_label"))).as("sort_label"))
 
     val dirCol: Column => Column =
       if (rule.dir == "desc") (c: Column) => c.desc_nulls_last else (c: Column) => c.asc_nulls_last
