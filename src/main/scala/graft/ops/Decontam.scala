@@ -42,4 +42,13 @@ object Decontam {
       .agg(count(lit(1)).as("hits")) // grams are distinct per id already
       .filter(col("hits") >= minHits)
   }
+
+  /** The corpus minus its contaminated documents — the step a curation
+    * run actually ships. One anti-join against the (small) flagged set. */
+  def clean(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minHits: Long = 1L): DataFrame = {
+    val flagged = contaminated(corpus, bench, idCol, textCol, n, minHits)
+      .select(col("id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -291,6 +291,10 @@ class OpsSpec extends SparkSpec {
     // doc 3 contains "what is the capital of france" → three 4-grams
     assert(hits(3L) === 3L)
     assert(!hits.contains(2L) && !hits.contains(4L))
+    // clean() ships the complement
+    val kept = graft.ops.Decontam.clean(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
   }
 
   test("sequence packing: chunk laws hold and layout is deterministic") {
