@@ -149,10 +149,19 @@ object FtsIndex {
     * index ("ftss" — the reference's `fts_main_fts`). */
   def write(index: FtsIndex, warehouseDir: String, name: String = "fts"): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$warehouseDir/${name}_postings")
-    index.termstats.write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
-    // the query-path layout: term-clustered files → parquet row-group
-    // stats prune term-IN lookups without touching the flat postings
-    index.postingLists.write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
+    // termstats and the inverted lists are pure postings derivations —
+    // compute them from the just-written parquet so the corpus-wide
+    // tokenize+groupBy plan executes ONCE, not three times
+    val stored = index.postings.sparkSession.read
+      .parquet(s"$warehouseDir/${name}_postings")
+    stored.groupBy("term").agg(countDistinct("hash").as("df"))
+      .write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
+    stored
+      .groupBy(col("term"), pmod(col("hash"), lit(postingChunks)).as("chunk"))
+      .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
     val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json"), meta)
