@@ -249,6 +249,15 @@ object PipelineQueries {
         .orderBy("shard", "bin", "doc_id")
     }),
 
+    // whole-document (SFT-style) packing: next-fit per shard, docs never
+    // split (rows-only: the iterative accumulator isn't SQL; laws in OpsSpec)
+    "q_doc_pack_whole" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      graft.ops.Packing.packWhole(toks, "doc_id", "toks", budget = 512L)
+        .orderBy("shard", "bin", "id")
+    }),
+
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
     // RMS energy over the PCM stream (rows-only: DuckDB has no codec)

@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  final case class WholePack(shard: Long, bin: Long, id: Long, toks: Long)
+
+  /** Next-fit packing that keeps documents WHOLE (the SFT-style layout —
+    * a sample must not be split across sequences): walk each shard in id
+    * order, open a new bin whenever the next document no longer fits.
+    * A document longer than the budget gets a bin of its own. Runs as
+    * one `mapPartitions` pass over shard-clustered, id-sorted rows —
+    * per-partition imperative state is exactly what the next-fit
+    * accumulator is, and the shard guarantees bounded, deterministic
+    * per-task work. */
+  def packWhole(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shards: Int = 8): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("toks"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .filter(col("toks") > 0)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curShard = -1L
+        var bin = -1L
+        var used = 0L
+        rows.map { case (id, toks, shard) =>
+          if (shard != curShard) { curShard = shard; bin = -1L; used = 0L }
+          if (bin < 0 || used + toks > budget) { bin += 1; used = 0L }
+          used += toks
+          WholePack(shard, bin, id, toks)
+        }
+      }
+      .toDF()
+  }
+
   /** (shard, bin, id, tok_in_bin, tok_offset): which documents feed
     * which training sequence, how many of their tokens land there, and
     * where the slice starts inside the document. Zero-token documents

@@ -325,6 +325,29 @@ class OpsSpec extends SparkSpec {
     assert(packed.count(_._3 == 3L) === 2)
   }
 
+  test("whole-document packing: next-fit keeps docs intact within budget") {
+    import spark.implicits._
+    val toks = Seq((0L, 100L), (2L, 300L), (4L, 250L), (6L, 700L), (8L, 64L),
+      (10L, 0L), (12L, 512L), (14L, 1L)).toDF("doc_id", "toks") // all shard 0 (mod 2)
+    val packed = graft.ops.Packing.packWhole(toks, "doc_id", "toks",
+      budget = 512L, shards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each doc appears exactly once (never split); zero-token doc absent
+    assert(packed.map(_._3).sorted.toSeq === Seq(0L, 2L, 4L, 6L, 8L, 12L, 14L))
+    // next-fit walk in id order at budget 512:
+    // 100+300 fit (400); 250 opens bin 1; 700 opens bin 2 (oversize alone);
+    // 64 opens bin 3; 512 no longer fits bin 3 → bin 4; 1 fits nothing left → bin 5? no:
+    // after 512 fills bin 4 exactly, 1 opens bin 5
+    val byDoc = packed.map(p => p._3 -> p._2).toMap
+    assert(byDoc === Map(0L -> 0L, 2L -> 0L, 4L -> 1L, 6L -> 2L, 8L -> 3L,
+      12L -> 4L, 14L -> 5L))
+    // no bin over budget unless it holds a single oversize doc
+    for ((bin, docs) <- packed.groupBy(_._2)) {
+      val tot = docs.map(_._4).sum
+      assert(tot <= 512L || docs.length == 1, s"bin $bin over budget: $tot")
+    }
+  }
+
   test("real audio decode: WAV header metadata, stub fallback for garbage") {
     val wav = Multimodal.syntheticWav("hello audio")
     val m = Multimodal.decodeAudio(wav)
