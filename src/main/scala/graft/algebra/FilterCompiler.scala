@@ -260,11 +260,30 @@ object FilterCompiler {
     } else if (p.startsWith("fts")) {
       ctx.fts.map { idx =>
         val scored = idx.matchBm25(o).withColumnRenamed("hash", "mhash")
-        val t0 = propFilter(withG(triples))
-          .join(broadcast(scored), col("o") === col("mhash"))
-        val base = t0.select(col("s"), col("score"))
-        val walked = hopUp(ctx, base, hops, Seq("score"))
-        (if (withScore) walked.select("s", "score") else walked.select("s")).distinct()
+        if (withScore) {
+          val t0 = propFilter(withG(triples))
+            .join(broadcast(scored), col("o") === col("mhash"))
+          hopUp(ctx, t0.select(col("s"), col("score")), hops, Seq("score"))
+            .select("s", "score").distinct()
+        } else {
+          // set-only contract: no score ride-along → a small match set
+          // becomes an o-IN scan predicate (the collect mirrors the
+          // broadcast build it replaces), and hop frontiers stay
+          // isin-eligible
+          val cap = ctx.isinProbeCap
+          val hs =
+            if (cap > 0) scored.select("mhash").limit(cap + 1).collect().map(_.getLong(0))
+            else Array.emptyLongArray
+          val t0 =
+            if (cap > 0 && hs.length <= cap)
+              propFilter(withG(triples))
+                .filter(col("o").isin(hs.toIndexedSeq: _*)).select("s")
+            else
+              propFilter(withG(triples))
+                .join(broadcast(scored), col("o") === col("mhash"))
+                .select("s")
+          hopUp(ctx, t0, hops, Nil).distinct()
+        }
       }
     } else if (p.startsWith("<")) {
       val t0 = withG(triples).filter(col("p") === h(pHead))

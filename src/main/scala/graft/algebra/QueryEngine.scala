@@ -95,10 +95,14 @@ object QueryEngine {
 
   /** Compile each filter exactly once. Scoring filters compile WITH their
     * score column (persisted by [[query]] so the expensive FTS/vector scan
-    * runs once and feeds both the subject set and the score chain). */
-  private[algebra] def compileAll(ctx: EngineContext, opts: QueryOpts): Seq[(FilterQ, DataFrame)] =
+    * runs once and feeds both the subject set and the score chain).
+    * `withScores = false` is the set-only contract ([[subjects]]): fts
+    * filters then drop the score ride-along, which unlocks the
+    * size-conditional o-IN probe in the compiler. */
+  private[algebra] def compileAll(ctx: EngineContext, opts: QueryOpts,
+      withScores: Boolean = true): Seq[(FilterQ, DataFrame)] =
     opts.filters.flatMap { f =>
-      FilterCompiler.compile(ctx, f, withScore = isScoring(f)).map(f -> _)
+      FilterCompiler.compile(ctx, f, withScore = withScores && isScoring(f)).map(f -> _)
     }
 
   /** Combine the compiled filters into the s_results subject set.
@@ -120,7 +124,7 @@ object QueryEngine {
   }
 
   def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
-    subjectsFromCompiled(compileAll(ctx, opts))
+    subjectsFromCompiled(compileAll(ctx, opts, withScores = false))
 
   /** Parallel score chain over the scoring (fts/semantic) filters —
     * UNION/INTERSECT only, first scoring filter seeds regardless of its op
