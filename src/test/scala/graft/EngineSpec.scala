@@ -97,6 +97,25 @@ class EngineSpec extends SparkSpec {
     assert(r.contains("<http://ex/luke>") && r.contains("<http://ex/vader>"))
   }
 
+  test("isin probe and join fallback compile to the same sets") {
+    // the size-conditional o-IN paths (regex / fts / hop) must be
+    // result-identical to the cap-0 broadcast-join fallback — the same
+    // differential the property suite runs for the set algebra
+    val joinCtx = ctx.copy(isinProbeCap = 0)
+    for (f <- Seq(
+        FilterQ(p = "regex", o = "\"Tato.*"),
+        FilterQ(p = "regex 1", o = "\"Tatooine\""),
+        FilterQ(p = "fts", o = "skywalker"),
+        FilterQ(p = "fts 1", o = "tatooine"),
+        FilterQ(p = Fixture.a + " 1", o = Fixture.human))) {
+      val viaIsin = QueryEngine.subjects(ctx, QueryOpts(filters = Seq(f)))
+        .get.collect().map(_.getLong(0)).toSet
+      val viaJoin = QueryEngine.subjects(joinCtx, QueryOpts(filters = Seq(f)))
+        .get.collect().map(_.getLong(0)).toSet
+      assert(viaIsin === viaJoin, s"paths diverge for $f")
+    }
+  }
+
   test("semantic filter returns scored subjects") {
     // near-identical token multiset to luke's 2-hop fts doc → distance ≈ 0
     val r = QueryEngine.query(ctx, QueryOpts(filters = Seq(
