@@ -22,6 +22,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"facet fell back to SMJ:\n$p")
   }
 
+  test("facet past the broadcast cap drops the broadcast hint") {
+    val sres = QueryEngine.subjects(ctx,
+      QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
+    // a claimed huge subject count must not FORCE the broadcast (the
+    // low-selectivity-filter case that would blow the driver limit);
+    // AQE may still choose to broadcast small actual data — the
+    // contract is on the hint in the analyzed plan, not the runtime pick
+    val hinted = QueryEngine.facet(ctx, "graphs", sres, sCount = Some(1L))
+      .queryExecution.analyzed.toString
+    val unhinted = QueryEngine.facet(ctx, "graphs", sres, sCount = Some(Long.MaxValue))
+      .queryExecution.analyzed.toString
+    assert(hinted.toLowerCase.contains("hint"), s"small set not hinted:\n$hinted")
+    assert(!unhinted.toLowerCase.contains("hint"),
+      s"oversized facet subject set still force-broadcast:\n$unhinted")
+  }
+
   test("hydration broadcasts the page side") {
     val opts = QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))
     val wanted = QueryEngine.wantedPage(ctx, opts,

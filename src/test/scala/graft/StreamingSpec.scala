@@ -70,6 +70,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size === 2 && batch.contains(3L))
   }
 
+  test("text-pipeline transforms run identically under streaming") {
+    // the quality/token/langid columns are pure row-local expressions, so
+    // the SAME transform function must produce the SAME rows whether the
+    // source is a stream or a batch — the streaming=batch claim for the
+    // curation pipeline
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextAnalysis
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.languageId(col("text")).as("lang"))
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "!!! ??? ###"),
+      (3L, "der Hund und die Katze sind nicht im Haus mit den Kindern"))
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("textpipe")
+      .outputMode("append").start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("textpipe").collect().map(_.toSeq).toSet
+    val batch = score(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
+
   test("streamNt ingests micro-batches into warehouse deltas") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val watch = s"$dir/watch"; val wh = s"$dir/wh"; val ckpt = s"$dir/ckpt"
