@@ -225,6 +225,13 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // tf-idf top-terms: the 3 most distinctive terms per document —
+    // corpus exploration / weak labeling; oracle-checked exactly
+    "q_doc_tfidf" -> ((s, dir) => {
+      TextAnalysis.topTfidfTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
     // decontamination: corpus docs sharing word 8-grams with a
     // "benchmark" slice (every 50th doc) — broadcast bench grams,
     // one per-doc hit count; oracle-checked exactly
@@ -307,6 +314,18 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |t2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM t2 GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |s AS (SELECT doc_id, t2.term AS term, round(tf * ln(n.nd / dfreq), 4) AS tfidf
+        |      FROM t2, d, n WHERE t2.term = d.term)
+        |SELECT doc_id, term, tfidf FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
     "q_doc_decontam" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |           FROM documents),

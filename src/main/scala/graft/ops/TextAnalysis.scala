@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -71,6 +71,30 @@ object TextAnalysis {
           when(h > bestHits, h).otherwise(bestHits))
     }._1
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(best)
+  }
+
+  /** Top-k distinctive terms per document by tf·idf — the corpus
+    * exploration / weak-labeling primitive. Lower-cased whitespace
+    * tokens (no stemming: the oracle must reproduce the token stream
+    * verbatim); idf = ln(N / df). Two shuffles: the per-(doc, term) tf
+    * aggregate and the vocab-wide df aggregate; the rank window runs
+    * per document over its ≤ vocab-of-doc rows. Ranking compares the
+    * ROUNDED score (with a term tie-break) so the cut is deterministic
+    * across engines. */
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = df.count().toDouble
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n) / col("dfreq")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"))
   }
 
   /** Whole-document fingerprint over whitespace-normalized text —

@@ -274,6 +274,22 @@ class OpsSpec extends SparkSpec {
     assert(f1.features.length === 64)
   }
 
+  test("tf-idf top terms rank the distinctive word first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common common"),
+      (3L, "common word word")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTfidfTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'zebra' and 'word' appear in one doc each (idf ln(3)), 'common' in
+    // all three (idf 0) — the distinctive term must win despite lower tf
+    assert(top(1L) === "zebra")
+    assert(top(3L) === "word")
+    // doc 2 has only zero-idf terms; tie-break keeps it deterministic
+    assert(top(2L) === "common")
+  }
+
   test("decontamination flags docs sharing n-grams with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
