@@ -152,6 +152,24 @@ object PipelineQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // embedding-cosine near-dup pairs (exact brute path at this scale;
+    // the LSH-routed approximate path above maxBrute is recall-tested in
+    // OpsSpec) — oracle-checked exactly
+    "q_emb_near_dup" -> ((s, dir) => {
+      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("a", "b")
+    }),
+
+    // embedding near-dup KEEP: connected components over the cosine pair
+    // graph, keep the min-id member of each component — the oracle
+    // (recursive CTE) verifies the clusters() component logic exactly
+    "q_emb_dedup_keep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", threshold = 0.45)
+      Dedup.keepFromPairs(e.select("vec_id", "label"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
     // MinHash+LSH near-dup: planted duplicate must surface (rows-only —
     // the oracle can't run banded LSH; exactness covered by q_doc_jaccard)
     "q_doc_minhash" -> ((s, dir) => {
@@ -422,6 +440,29 @@ object PipelineQueries {
         |SELECT user_id, min(t) AS startMs, max(t) AS endMs,
         |  CAST(count(*) AS INTEGER) AS events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, startMs""".stripMargin,
+    "q_emb_near_dup" ->
+      s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) ea
+         |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) eb
+         |  ON ea.vec_id < eb.vec_id
+         |WHERE round($cosSql, 4) >= 0.45
+         |ORDER BY a, b""".stripMargin,
+    "q_emb_dedup_keep" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT ea.vec_id AS a, eb.vec_id AS b
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) ea
+         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) eb
+         |    ON ea.vec_id < eb.vec_id
+         |  WHERE round($cosSql, 4) >= 0.45),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT x, x FROM edges
+         |  UNION
+         |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT e3.vec_id, e3.label FROM embeddings e3 LEFT JOIN comp ON e3.vec_id = comp.id
+         |WHERE comp.id IS NULL OR comp.cluster = comp.id
+         |ORDER BY vec_id""".stripMargin,
     "q_emb_top_pairs" ->
       s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings WHERE vec_id < 100) ea

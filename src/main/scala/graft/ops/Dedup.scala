@@ -165,17 +165,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Near-dup clusters from a pair list: connected components by
-    * iterative min-label propagation (each doc adopts the smallest id
-    * reachable through dup edges; converges in O(diameter) rounds, every
-    * round one join + one groupBy — the standard DataFrame-native
-    * union-find for web-scale dedup). Returns (id, cluster) where
-    * cluster = min id of the component; the cluster id doubles as the
-    * canonical (kept) document. */
+  /** Near-dup clusters from a pair list: connected components, returning
+    * (id, cluster) where cluster = min id of the component; the cluster
+    * id doubles as the canonical (kept) document.
+    *
+    * Size-conditional execution (the same bounded-driver-materialization
+    * pattern as the engine's isin probes and paths walk): a pair list of
+    * ≤ `maxDriverEdges` Long-id edges — the common case, since near-dup
+    * edges are a vanishing fraction of any corpus — is collected and
+    * solved with union-find in microseconds, replacing an O(diameter)
+    * sequence of Spark jobs. Larger (or non-Long-keyed) inputs take the
+    * distributed iterative min-label propagation (every round one join +
+    * one groupBy, lineage cut per round — the standard DataFrame-native
+    * union-find for web-scale dedup). */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      maxRounds: Int = 20, maxDriverEdges: Long = 200000L): DataFrame = {
+    // materialize the pair list ONCE before mirroring it — the input may
+    // be an expensive plan (an O(candidates) similarity scan), and the
+    // both-directions union would otherwise evaluate it twice
+    val p0 = pairs.select(col(aCol).as("x"), col(bCol).as("y")).localCheckpoint()
+    val isLongKeyed =
+      p0.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongKeyed && p0.count() <= maxDriverEdges) {
+      val es = p0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx < ry) parent(ry) = rx else if (ry < rx) parent(rx) = ry
+      }
+      val ids = es.iterator.flatMap { case (x, y) => Iterator(x, y) }.toSet
+      val out = ids.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "cluster")
+    }
+    val edges = p0
+      .union(p0.select(col("y").as("x"), col("x").as("y")))
       .distinct().persist()
     var labels = edges.select(col("x").as("id"))
       .union(edges.select(col("y").as("id"))).distinct()
@@ -216,6 +248,32 @@ object Dedup {
     df.join(canon,
         md5(col(textCol)) === col("__h") && col(idCol) === col("__keep"),
         "left_semi")
+  }
+
+  /** Embedding-cosine near-dup pairs: every (a, b, sim) with
+    * cosine(a, b) ≥ threshold, a < b. Small corpora (≤ `maxBrute` rows)
+    * take the exact all-pairs pass; larger inputs route through
+    * sign-projection LSH buckets ([[Similarity.candidatePairs]]) so only
+    * same-bucket pairs are scored — approximate above the cap (recall
+    * property-tested in OpsSpec), near-linear instead of quadratic. The
+    * similarity is rounded to 4 dp BEFORE thresholding so the kept set is
+    * reproducible across engines. */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxBrute: Long = 10000L): DataFrame =
+    Similarity.candidatePairs(emb, idCol, vecCol, maxBrute)
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+
+  /** Materialize the near-dup-deduplicated corpus from ANY pair list
+    * (MinHash, SimHash, Jaccard, or embedding cosine): connected
+    * components over the pair graph ([[clusters]]), then keep exactly the
+    * min-id member of each component — rows never paired survive
+    * untouched via the anti-join. */
+  def keepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("cluster") =!= col("id"))
+      .select(col("id").as("__drop"))
+    df.join(drop, df(idCol) === col("__drop"), "left_anti")
   }
 
   /** Token streams (id, tok) for Jaccard: distinct whitespace tokens. */

@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in
-    * double (deterministic left-to-right summation). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+    * double (deterministic left-to-right summation). Backed by the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression — one
+    * primitive loop per pair instead of three interpreted higher-order
+    * folds, with the identical accumulation/division order (the DuckDB
+    * oracle computes `dot / sqrt(na) / sqrt(nb)` the same way). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k by cosine against one query vector. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
@@ -90,29 +90,38 @@ object Similarity {
       .limit(k)
   }
 
-  /** Top-n most similar pairs. Small inputs (≤ `maxBrute` rows) get the
-    * exact O(n²) nested-loop pass — the verification path. Larger inputs
-    * are routed through LSH buckets automatically: only same-bucket pairs
-    * are scored (the standard near-dup candidate contract — highly
-    * similar vectors share sign patterns), so cost stays near-linear
-    * instead of quadratic. Callers needing exact top pairs over a large
-    * corpus must slice it first; the old unguarded API would silently
-    * BroadcastNestedLoopJoin 10¹⁰ row pairs at corpus scale. */
+  /** Candidate (a, b, va, vb) pairs with a < b. Small inputs (≤
+    * `maxBrute` rows) get the exact O(n²) nested-loop pass — the
+    * verification path. Larger inputs are routed through LSH buckets
+    * automatically: only same-bucket pairs are emitted (the standard
+    * near-dup candidate contract — highly similar vectors share sign
+    * patterns), so cost stays near-linear instead of quadratic. Callers
+    * needing exact pairs over a large corpus must slice it first; an
+    * unguarded API would silently BroadcastNestedLoopJoin 10¹⁰ row pairs
+    * at corpus scale. */
+  private[graft] def candidatePairs(emb: DataFrame, idCol: String,
+      vecCol: String, maxBrute: Long): DataFrame =
+    if (emb.count() <= maxBrute) {
+      // small corpora usually sit in ONE parquet file — repartition the
+      // stream side or the whole O(n²) pass runs on a single task
+      val par = emb.sparkSession.sparkContext.defaultParallelism
+      val a = emb.select(col(idCol).as("a"), col(vecCol).as("va")).repartition(par)
+      val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      a.join(b, col("a") < col("b"))
+    } else {
+      val bucketed = buildLsh(emb, idCol, vecCol)
+      val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+      val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
+        col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
+        .drop("bucket", "bucket_b")
+    }
+
+  /** Top-n most similar pairs (see [[candidatePairs]] for the
+    * brute-vs-LSH routing contract). */
   def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,
       maxBrute: Long = 10000L): DataFrame = {
-    val pairs =
-      if (emb.count() <= maxBrute) {
-        val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-        val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
-        a.join(b, col("a") < col("b"))
-      } else {
-        val bucketed = buildLsh(emb, idCol, vecCol)
-        val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
-        val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
-          col("bucket").as("bucket_b"))
-        a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
-      }
-    pairs
+    candidatePairs(emb, idCol, vecCol, maxBrute)
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(n)

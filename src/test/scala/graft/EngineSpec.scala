@@ -231,6 +231,31 @@ class EngineSpec extends SparkSpec {
     assert(both(3).isNullAt(0) && both(4).isNullAt(0))
   }
 
+  test("CosineSimilarity expression is bit-identical to the declarative HOF form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random-ish vectors, plus dimension-64 ones matching the gate data
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+    val df = vecs.toDF("a", "b")
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      graft.functions.CosineSimilarity(col("a"), col("b")).as("expr"),
+      (hofDot(col("a"), col("b")) / sqrt(hofDot(col("a"), col("a")))
+        / sqrt(hofDot(col("b"), col("b")))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      // BIT-identical, not approximately equal: the oracle rounds to 4 dp
+      // and a last-ulp divergence could flip a boundary case
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("total and properties lookups") {
     assert(QueryEngine.total(ctx) === 11) // distinct subjects incl bnode
     val props = QueryEngine.properties(ctx).collect()

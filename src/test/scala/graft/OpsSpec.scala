@@ -166,9 +166,37 @@ class OpsSpec extends SparkSpec {
   test("near-dup clusters: connected components with min-id canonicals") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {7,9}; singleton 5 absent
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L)
+    // driver union-find path (default cap)
     val got = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(got === expected)
+    // distributed min-label-propagation fallback (cap forced to 0) must
+    // agree exactly
+    val dist = Dedup.clusters(pairs, maxDriverEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
+  }
+
+  test("embedding near-dup pairs find the planted pair; keepFromPairs drops the non-canonical") {
+    def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
+      (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
+    val base = randVec("nd-center")
+    def perturb(k: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.02f * ((k + d) % 3 - 1) }
+    val vecs = ((0 until 50).map(i => (i.toLong, randVec(s"nd$i"))) ++
+      Seq((900L, perturb(1)), (901L, perturb(2)))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.95)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((900L, 901L)))
+    // keep: the higher id of the pair is dropped, everything else survives
+    val kept = Dedup.keepFromPairs(vecs, "vec_id", pairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === ((0L until 50L).toSet + 900L))
+    // forcing the LSH route (cap below the row count) still finds the
+    // planted pair: near-identical vectors share their sign bucket
+    val lsh = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, maxBrute = 10L)
+    assert(lsh.collect().map(r => (r.getLong(0), r.getLong(1))).contains((900L, 901L)))
   }
 
   test("IVF top-k achieves high recall vs brute force on clustered data") {
