@@ -152,6 +152,26 @@ object PipelineQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // Gopher-style repetition/shape stats + composite keep flag —
+    // the pre-training curation filter pass; oracle-checked exactly
+    "q_doc_gopher" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic domain-mixture sampling: per-source keep rates
+    // decided by a salted md5 bucket of the doc id — same rows kept on
+    // any cluster/partitioning; oracle-checked exactly
+    "q_doc_mix_sample" -> ((s, dir) => {
+      val rates = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 10) 0.3 else 0.8)).toMap
+      graft.ops.Sampling.mixtureSample(
+          docs(s, dir).select("doc_id", "source"), "doc_id", "source", rates)
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs (exact brute path at this scale;
     // the LSH-routed approximate path above maxBrute is recall-tested in
     // OpsSpec) — oracle-checked exactly
@@ -440,6 +460,30 @@ object PipelineQueries {
         |SELECT user_id, min(t) AS startMs, max(t) AS endMs,
         |  CAST(count(*) AS INTEGER) AS events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, startMs""".stripMargin,
+    "q_doc_gopher" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+        |                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars
+        |           FROM documents),
+        |b AS (SELECT doc_id, chars, CAST(len(ws) AS DOUBLE) AS n,
+        |             CAST(len(list_distinct(ws)) AS DOUBLE) AS dn, ws FROM w),
+        |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |      FROM b WHERE n >= 2),
+        |m AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS mx
+        |      FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1),
+        |s AS (SELECT b.doc_id,
+        |  round(chars / greatest(n, 1.0), 4) AS mean_word_len,
+        |  round(1.0 - dn / greatest(n, 1.0), 4) AS dup_tok_frac,
+        |  round(coalesce(mx / (n - 1.0), 0.0), 4) AS top_bigram_frac
+        |  FROM b LEFT JOIN m ON b.doc_id = m.doc_id)
+        |SELECT doc_id, mean_word_len, dup_tok_frac, top_bigram_frac,
+        |  CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND dup_tok_frac < 0.5 AND top_bigram_frac < 0.05 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_doc_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT
+        |  < CAST(round(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.3 ELSE 0.8 END * 4294967296) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q_emb_near_dup" ->
       s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) ea

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixtures.
+  *
+  * Pre-training recipes weight each corpus slice ("domain") differently
+  * — e.g. books 2×, web 0.3× — and the sample must be REPRODUCIBLE:
+  * the same rows selected on every run, any cluster, any partitioning.
+  * `rand()` cannot provide that (per-task seeds move with the split
+  * layout), so the decision is a pure function of the row key: a salted
+  * md5 bucket compared against the domain's rate. Row-local, no
+  * shuffle; a 100 TB corpus maps straight through the filter.
+  */
+object Sampling {
+
+  /** Uniform 32-bit bucket from a salted md5 of the key — the first 8
+    * hex digits parsed as an integer. An engine-portable construction:
+    * DuckDB computes the identical value as
+    * `('0x' || substr(md5(key || ':' || salt), 1, 8))::UBIGINT`. */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+
+  /** Keep each row with probability `rates(group)` (groups not listed
+    * fall back to `defaultRate`), decided by [[hashBucket]] — i.e.
+    * deterministic per-domain Bernoulli sampling. The rate is converted
+    * to an integer threshold (`round(rate · 2³²)`) so the comparison
+    * has no floating-point boundary ambiguity. Small rate maps compile
+    * to a `when`-chain (codegen'd, no join); for hundreds of domains
+    * broadcast-join a rates table instead. */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) <
+      round(rateCol * lit(4294967296.0)).cast("long"))
+  }
+}

@@ -97,6 +97,46 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
+  /** Gopher-style repetition/shape statistics per document, plus the
+    * composite keep flag a pre-training curation pass filters on
+    * (Rae et al. 2021 §A1.1 use line/paragraph/n-gram repetition and
+    * word-shape bounds; this data is single-line, so the repetition
+    * signals are token-level):
+    *
+    *  - `mean_word_len`: characters per whitespace token (bounds 3..10);
+    *  - `dup_tok_frac`: 1 − distinct/total tokens — vocabulary collapse;
+    *  - `top_bigram_frac`: occurrences of the most frequent word bigram
+    *    over the n−1 bigram slots — loop/boilerplate detector;
+    *  - `keep`: 1 iff all bounds pass (computed on the 4-dp-ROUNDED
+    *    stats, so the cut is reproducible across engines).
+    *
+    * One narrow projection + one (doc, bigram) count aggregate; docs
+    * shorter than 2 tokens have no bigrams (their fraction is 0).
+    * All thresholds are parameters — the defaults split this corpus. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxDupTokFrac: Double = 0.5, maxTopBigramFrac: Double = 0.05): DataFrame = {
+    val base = df.select(col(idCol), wsTokens(col(textCol)).as("ws"),
+        length(regexp_replace(col(textCol), "\\s", "")).cast("double").as("chars"))
+      .withColumn("n", size(col("ws")).cast("double"))
+      .withColumn("dn", size(array_distinct(col("ws"))).cast("double"))
+    val grams = base.filter(col("n") >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => array_join(slice(col("ws"), i, lit(2)), " "))).as("gram"))
+    val mx = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).cast("double").as("mx"))
+    val stats = base.join(mx, Seq(idCol), "left")
+      .select(col(idCol),
+        round(col("chars") / greatest(col("n"), lit(1.0)), 4).as("mean_word_len"),
+        round(lit(1.0) - col("dn") / greatest(col("n"), lit(1.0)), 4).as("dup_tok_frac"),
+        round(coalesce(col("mx") / (col("n") - lit(1.0)), lit(0.0)), 4).as("top_bigram_frac"))
+    stats.withColumn("keep",
+      when(col("mean_word_len") >= minWordLen && col("mean_word_len") <= maxWordLen &&
+        col("dup_tok_frac") < maxDupTokFrac &&
+        col("top_bigram_frac") < maxTopBigramFrac, lit(1)).otherwise(lit(0)))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text —
     * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
   def fingerprintMd5(text: Column): Column =

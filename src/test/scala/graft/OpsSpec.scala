@@ -199,6 +199,46 @@ class OpsSpec extends SparkSpec {
     assert(lsh.collect().map(r => (r.getLong(0), r.getLong(1))).contains((900L, 901L)))
   }
 
+  test("repetition stats: hand-computed fractions and the keep flag") {
+    val docsRep = Seq(
+      (1L, "aa aa aa aa"),                 // dup 0.75, top bigram 3/3=1 -> reject
+      (2L, "one two three four five six"), // dup 0, bigrams unique 1/5=0.2 -> reject (bigram)
+      (3L, "x"),                           // single token: no bigrams, frac 0
+      (4L, "alpha beta gamma delta alpha beta gamma delta epsilon zeta " +
+        "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+        "upsilon phi chi psi omega one two")).toDF("id", "text")
+    val got = TextAnalysis.repetitionStats(docsRep, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getDouble(2) === 0.75)  // dup_tok_frac of doc 1
+    assert(got(0).getDouble(3) === 1.0)   // top_bigram_frac of doc 1
+    assert(got(0).getInt(4) === 0)
+    assert(got(1).getDouble(2) === 0.0)
+    assert(got(2).getDouble(3) === 0.0)   // no bigrams -> 0, not null
+    // doc 4: 30 tokens, 26 distinct (alpha..delta each appear twice),
+    // top bigram appears twice in 29 slots
+    assert(got(3).getDouble(2) === math.rint((1.0 - 26.0 / 30.0) * 1e4) / 1e4)
+    assert(got(3).getDouble(3) === math.rint(2.0 / 29.0 * 1e4) / 1e4)
+  }
+
+  test("mixture sampling is deterministic, rate-faithful, and partition-invariant") {
+    val rows = (0 until 600).map(i =>
+      (i.toLong, if (i % 3 == 0) "keepall" else if (i % 3 == 1) "half" else "none"))
+      .toDF("id", "grp")
+    val rates = Map("keepall" -> 1.0, "half" -> 0.5, "none" -> 0.0)
+    val kept = graft.ops.Sampling.mixtureSample(rows, "id", "grp", rates)
+      .collect().map(_.getLong(0)).toSet
+    // rate 1.0 keeps everything, 0.0 keeps nothing
+    assert((0 until 600 by 3).forall(i => kept.contains(i.toLong)))
+    assert((2 until 600 by 3).forall(i => !kept.contains(i.toLong)))
+    // rate 0.5 keeps a binomial(200, 0.5) subset
+    val halfKept = kept.count(_ % 3 == 1)
+    assert(halfKept > 60 && halfKept < 140, s"half-rate kept $halfKept of 200")
+    // identical selection on a different partitioning
+    val kept2 = graft.ops.Sampling.mixtureSample(rows.repartition(7), "id", "grp", rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
       (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
