@@ -303,6 +303,70 @@ object PipelineQueries {
         .orderBy("shard", "bin", "id")
     }),
 
+    // PII scrubbing: emails/IPv4s/phones counted and redacted. The
+    // corpus is synthetic word salad with no PII, so the query plants a
+    // deterministic PII tail per doc (same construction in the oracle)
+    // — the operator itself is text-agnostic; oracle-checked exactly
+    "q_doc_pii" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-867-5309."))
+      graft.ops.Redaction.piiStats(
+          docs(s, dir).withColumn("text", planted), "doc_id", "text")
+        .withColumn("red_fp", md5(col("redacted"))).drop("redacted")
+        .orderBy("doc_id")
+    }),
+
+    // RAG-style sliding-window chunking (64-token windows, stride 48):
+    // pure integer span arithmetic + array slice; oracle-checked exactly
+    // including the chunk text (as md5)
+    "q_doc_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkSpans(docs(s, dir), "doc_id", "text",
+          window = 64, stride = 48)
+        .withColumn("chunk_fp", md5(col("chunk"))).drop("chunk")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // deterministic stratified sampling: exactly 5 docs per source,
+    // ranked by salted hash — reproducible on any partitioning;
+    // oracle-checked exactly
+    "q_doc_stratified" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+          docs(s, dir).select("doc_id", "source"), "doc_id", "source", k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    // whole-document cross-corpus subtraction: drop docs whose
+    // normalized content appears in the "held-out" slice (every 7th
+    // doc) — one anti-join on the content fingerprint; oracle-checked
+    "q_doc_cross_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 7 === 0)
+      Dedup.subtractByContent(d, ref, "text", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // corpus token-length histogram: one bounded-key groupBy;
+    // oracle-checked exactly
+    "q_doc_len_hist" -> ((s, dir) => {
+      TextAnalysis.lengthHistogram(docs(s, dir), "text").orderBy("bucket")
+    }),
+
+    // int8 scalar quantization of the embedding store: per-vector scale
+    // + integer-exact code checksum; oracle-checked exactly
+    "q_emb_quant" -> ((s, dir) => {
+      graft.ops.Quantize.int8(emb(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
+    // per-label centroids in exact e4 fixed point (the k-means/IVF
+    // summary primitive); oracle compares the integer sums
+    "q_emb_centroids" -> ((s, dir) => {
+      graft.ops.Quantize.centroids(emb(s, dir), "label", "embedding")
+        .drop("mean").orderBy("label", "dim")
+    }),
+
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
     // RMS energy over the PCM stream (rows-only: DuckDB has no codec)
@@ -513,5 +577,65 @@ object PipelineQueries {
          |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id < 100) eb
          |  ON ea.vec_id < eb.vec_id
          |ORDER BY sim DESC, a, b LIMIT 5""".stripMargin,
+    "q_doc_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-5309.' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')) AS red_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        |e AS (SELECT doc_id, ws, n,
+        |  unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS ci FROM b)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  CAST(ci * 48 AS INTEGER) AS tok_start,
+        |  CAST(least(64, n - ci * 48) AS INTEGER) AS tok_len,
+        |  md5(array_to_string(ws[ci*48 + 1 : ci*48 + least(64, n - ci*48)], ' ')) AS chunk_fp
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_doc_stratified" ->
+      """SELECT doc_id, source, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))::UBIGINT, doc_id) AS rank
+        |  FROM documents) WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+    "q_doc_cross_clean" ->
+      """WITH r AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id FROM documents
+        |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (SELECT fp FROM r)
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_len_hist" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT CAST(least(n // 32, 15) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_emb_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
+        |s AS (SELECT vec_id, va, list_max(list_transform(va, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(va, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE greatest(-127, least(127, CAST(floor(x / scale * 127 + 0.5) AS BIGINT))) END) AS ql
+        |  FROM s)
+        |SELECT vec_id, CAST(round(scale * 1000000) AS BIGINT) AS scale_e6,
+        |  CAST(list_aggregate(ql, 'sum') AS BIGINT) AS qsum,
+        |  CAST(len(list_filter(ql, c -> abs(c) = 127)) AS INTEGER) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_emb_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |                  unnest(embedding) AS x FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
   )
 }

@@ -250,6 +250,23 @@ object Dedup {
         "left_semi")
   }
 
+  /** Cross-corpus exact subtraction: drop every row of `df` whose
+    * normalized content ([[TextAnalysis.fingerprintMd5]]) appears in
+    * `reference` — benchmark decontamination / held-out-set removal at
+    * the whole-document level (the n-gram-overlap variant is
+    * [[Decontam.contaminated]]). One anti-join on the 16-byte
+    * fingerprint; the reference side is typically the small one and
+    * broadcasts, so a 100 TB corpus pays a single map-side probe. */
+  def subtractByContent(df: DataFrame, reference: DataFrame,
+      textCol: String, refTextCol: String): DataFrame = {
+    val refFp = reference
+      .select(TextAnalysis.fingerprintMd5(col(refTextCol)).as("__fp"))
+      .distinct()
+    df.join(refFp,
+        TextAnalysis.fingerprintMd5(col(textCol)) === col("__fp"),
+        "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: every (a, b, sim) with
     * cosine(a, b) ≥ threshold, a < b. Small corpora (≤ `maxBrute` rows)
     * take the exact all-pairs pass; larger inputs route through

@@ -39,4 +39,21 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) <
       round(rateCol * lit(4294967296.0)).cast("long"))
   }
+
+  /** Deterministic stratified sample: exactly min(k, |group|) rows per
+    * group, chosen by ranking the salted [[hashBucket]] (key tie-break)
+    * — i.e. a uniform without-replacement draw that is reproducible on
+    * any cluster and any partitioning, unlike `df.stat.sampleBy` (seeded
+    * per-task). One rank window per group; the heavy lifting is the
+    * shuffle on `groupCol`, same cost class as any per-group top-k. For
+    * extreme group skew, pre-filter with [[mixtureSample]] at a rate
+    * ~k/|group| first so the window sees a bounded candidate set. */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -137,6 +137,47 @@ object TextAnalysis {
         col("top_bigram_frac") < maxTopBigramFrac, lit(1)).otherwise(lit(0)))
   }
 
+  /** RAG-style sliding-window chunker: fixed `window`-token chunks at
+    * `stride`-token steps (overlap = window − stride), the last chunk
+    * truncated at the document end. Pure integer span arithmetic plus an
+    * array slice — one narrow projection + explode, no shuffle, no UDF;
+    * a 100 TB corpus chunks in a single map stage.
+    *
+    * Chunk starts are 0, stride, 2·stride, …; the last start is the
+    * smallest multiple of stride with start + window ≥ n (so every token
+    * lands in ≥ 1 chunk and no chunk is empty). A doc with n ≤ window is
+    * exactly one chunk. Output: (id, chunk_idx, tok_start, tok_len,
+    * chunk) with `chunk` the space-joined token slice. */
+  def chunkSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val base = df.select(col(idCol), wsTokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    // ceil((n - window) / stride) + 1 chunks, floored at 1
+    val extra = greatest(col("n") - window, lit(0))
+    val nChunks = floor((extra + lit(stride - 1)) / lit(stride)).cast("int") + 1
+    base.select(col(idCol), col("ws"), col("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_len", least(lit(window), col("n") - col("tok_start")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        array_join(slice(col("ws"), col("tok_start") + 1, col("tok_len")), " ")
+          .as("chunk"))
+  }
+
+  /** Token-length histogram of a corpus: docs and token mass per
+    * `bucketSize`-token bucket (the last bucket open-ended at
+    * `maxBucket`). The one-line corpus health check a curation run
+    * prints first — one map-side-combined groupBy on ≤ maxBucket+1
+    * keys, no matter the corpus size. */
+  def lengthHistogram(df: DataFrame, textCol: String,
+      bucketSize: Int = 32, maxBucket: Int = 15): DataFrame =
+    df.select(tokenCount(col(textCol)).cast("long").as("n"))
+      .groupBy(least(floor(col("n") / bucketSize), lit(maxBucket.toLong))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+
   /** Whole-document fingerprint over whitespace-normalized text —
     * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
   def fingerprintMd5(text: Column): Column =

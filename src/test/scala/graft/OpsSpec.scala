@@ -220,6 +220,103 @@ class OpsSpec extends SparkSpec {
     assert(got(3).getDouble(3) === math.rint(2.0 / 29.0 * 1e4) / 1e4)
   }
 
+  test("PII redaction: counts and placeholders for email/IP/phone") {
+    val pii = Seq(
+      (1L, "mail alice@example.org and bob.smith+tag@sub.domain.co now"),
+      (2L, "server at 192.168.0.1 or 10.0.3.77, call 555-867-5309"),
+      (3L, "clean text with no sensitive content at all"),
+      (4L, "dotted phone 123.456.7890 and 1.2.3.4")).toDF("id", "text")
+    val got = graft.ops.Redaction.piiStats(pii, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) === 2 && got(0).getInt(2) === 0 && got(0).getInt(3) === 0)
+    assert(got(0).getString(4) === "mail [EMAIL] and [EMAIL] now")
+    assert(got(1).getInt(2) === 2 && got(1).getInt(3) === 1)
+    assert(got(1).getString(4) === "server at [IP] or [IP], call [PHONE]")
+    assert(got(2).getInt(1) + got(2).getInt(2) + got(2).getInt(3) === 0)
+    assert(got(2).getString(4) === "clean text with no sensitive content at all")
+    // an IP is not half-claimed by the phone pattern (IP pass runs first)
+    assert(got(3).getString(4) === "dotted phone [PHONE] and [IP]")
+  }
+
+  test("chunkSpans: every token covered, overlap = window - stride, last chunk truncated") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc only"), (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.chunkSpans(df, "id", "text", window = 64, stride = 48)
+      .orderBy("id", "chunk_idx").collect()
+    val doc1 = got.filter(_.getLong(0) == 1L)
+    // n=150: extra=86, ceil(86/48)=2 -> 3 chunks at starts 0, 48, 96
+    assert(doc1.map(r => (r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((0, 64), (48, 64), (96, 54)))
+    assert(doc1(0).getString(4).startsWith("t1 t2 ") &&
+      doc1(0).getString(4).endsWith(" t64"))
+    assert(doc1(2).getString(4).endsWith(" t150"))
+    // short doc: one chunk, whole doc
+    val doc2 = got.filter(_.getLong(0) == 2L)
+    assert(doc2.length === 1 && doc2(0).getInt(3) === 3 &&
+      doc2(0).getString(4) === "short doc only")
+    // empty text still yields exactly one (degenerate) chunk
+    assert(got.count(_.getLong(0) == 3L) === 1)
+  }
+
+  test("stratified sample: exactly k per group, partition-invariant") {
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val got = graft.ops.Sampling.stratifiedSample(rows, "id", "grp", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.size === 21)
+    assert(got.groupBy(_._1).forall(_._2.size == 7))
+    val got2 = graft.ops.Sampling.stratifiedSample(rows.repartition(11), "id", "grp", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got2 === got)
+    // a group smaller than k is kept whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(graft.ops.Sampling.stratifiedSample(tiny, "id", "grp", k = 7)
+      .count() === 3)
+  }
+
+  test("int8 quantization: hand-computed codes, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0 -> codes 64, -127, 32
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector -> all zeros
+      (3L, Array(2.0f))                // single component saturates
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Quantize.int8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(got(0).getLong(1) === 1000000L) // scale_e6
+    assert(got(0).getLong(2) === (64L - 127L + 32L)) // floor(.5*127+.5)=64
+    assert(got(0).getInt(3) === 1)
+    assert(got(1).getLong(1) === 0L && got(1).getLong(2) === 0L && got(1).getInt(3) === 0)
+    assert(got(2).getLong(2) === 127L && got(2).getInt(3) === 1)
+  }
+
+  test("centroids: exact e4 sums per (label, dim)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Quantize.centroids(vecs, "label", "embedding")
+      .orderBy("label", "dim").collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0, 1, 40000L, 2L), (0, 2, 70000L, 2L), (1, 1, 100000L, 1L), (1, 2, 5000L, 1L)))
+    assert(got(0).getDouble(4) === 2.0) // recovered mean
+  }
+
+  test("subtractByContent drops whitespace-normalized content matches") {
+    val corpus = Seq((1L, "Keep me around"), (2L, "drop   THIS one"),
+      (3L, "also kept")).toDF("id", "text")
+    val ref = Seq((10L, "Drop this ONE")).toDF("rid", "rtext")
+    val kept = Dedup.subtractByContent(corpus, ref, "text", "rtext")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("length histogram buckets docs and token mass") {
+    val df = Seq((1L, "a b c"), (2L, (1 to 40).map(_ => "w").mkString(" ")),
+      (3L, (1 to 700).map(_ => "w").mkString(" "))).toDF("id", "text")
+    val got = TextAnalysis.lengthHistogram(df, "text", bucketSize = 32, maxBucket = 15)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
+  }
+
   test("mixture sampling is deterministic, rate-faithful, and partition-invariant") {
     val rows = (0 until 600).map(i =>
       (i.toLong, if (i % 3 == 0) "keepall" else if (i % 3 == 1) "half" else "none"))
