@@ -111,13 +111,23 @@ object PipelineQueries {
     // actually executes — quality-gate first (row-local, shrinks the
     // shuffle input), THEN canonical exact-dedup over the survivors.
     // Fully oracle-checked end to end.
+    //
+    // The repartition+localCheckpoint barrier stands in for multi-file
+    // input (the testdata is ONE single-row-group parquet, so the scan
+    // is one task and Catalyst would otherwise push the regex-heavy
+    // quality predicate below the repartition, serializing it); the
+    // min_by aggregate keeps one canonical row per content WITHOUT the
+    // second scoring branch a groupBy+semi-join plan would re-evaluate.
     "q_doc_curate" -> ((s, dir) => {
-      // repartition: single-file source, regex-heavy row-local scoring
-      val scored = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val base = docs(s, dir).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint()
+      val scored = base
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
-      Dedup.keepCanonical(scored, "doc_id", "text")
-        .select(col("doc_id"), col("quality")).orderBy("doc_id")
+      scored.groupBy(md5(col("text")).as("__h"))
+        .agg(min_by(struct(col("doc_id"), col("quality")), col("doc_id")).as("__r"))
+        .select(col("__r.doc_id").as("doc_id"), col("__r.quality").as("quality"))
+        .orderBy("doc_id")
     }),
 
     // exact token-set Jaccard via inverted-index self-join
