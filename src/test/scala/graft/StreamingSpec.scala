@@ -81,11 +81,14 @@ class StreamingSpec extends SparkSpec {
       df.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("toks"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.languageId(col("text")).as("lang"))
+        TextAnalysis.languageId(col("text")).as("lang"),
+        graft.ops.Redaction.redact(col("text")).as("redacted"),
+        graft.ops.Redaction.emailCount(col("text")).as("n_emails"))
     val rows = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away"),
       (2L, "!!! ??? ###"),
-      (3L, "der Hund und die Katze sind nicht im Haus mit den Kindern"))
+      (3L, "der Hund und die Katze sind nicht im Haus mit den Kindern"),
+      (4L, "mail me at someone@example.com or ping 10.0.0.1 today"))
     val mem = MemoryStream[(Long, String)]
     val q = score(mem.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("textpipe")
@@ -96,7 +99,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("textpipe").collect().map(_.toSeq).toSet
     val batch = score(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
     assert(streamed === batch)
-    assert(streamed.size === 3)
+    assert(streamed.size === 4)
+    assert(streamed.exists(_.contains("mail me at [EMAIL] or ping [IP] today")))
   }
 
   test("streamNt ingests micro-batches into warehouse deltas") {
