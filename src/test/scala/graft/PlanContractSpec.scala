@@ -101,6 +101,40 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"fallback should broadcast the literal side:\n$p")
   }
 
+  test("cross-corpus subtraction broadcasts the reference fingerprints") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i => (i, s"doc body number $i")).toDF("id", "text")
+    val ref = Seq((1L, "doc body number 7")).toDF("id", "text")
+    val p = plan(graft.ops.Dedup.subtractByContent(corpus, ref, "text", "text"))
+    assert(p.contains("BroadcastExchange"),
+      s"reference side not broadcast in subtractByContent:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"subtractByContent fell back to a two-sided shuffle:\n$p")
+  }
+
+  test("row-local pipeline ops stay shuffle-free") {
+    import spark.implicits._
+    val docsDf = (1L to 50L).map(i => (i, s"some text $i here")).toDF("doc_id", "text")
+    val vecs = (1L to 20L).map(i => (i, Array(0.1f * i, -0.2f))).toDF("vec_id", "embedding")
+    for ((name, df) <- Seq(
+        "piiStats" -> graft.ops.Redaction.piiStats(docsDf, "doc_id", "text"),
+        "chunkSpans" -> graft.ops.TextAnalysis.chunkSpans(docsDf, "doc_id", "text"),
+        "int8" -> graft.ops.Quantize.int8(vecs, "vec_id", "embedding"))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name plan shuffles:\n$p")
+    }
+  }
+
+  test("centroid aggregate is partial (map-side combine) over exact integer units") {
+    import spark.implicits._
+    val vecs = (1L to 20L).map(i => (i, Array(0.1f * i, -0.2f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(graft.ops.Quantize.centroids(vecs, "label", "embedding"))
+    assert(p.contains("partial_sum"), s"centroids not map-side combined:\n$p")
+    // exactly one shuffle: the (label, dim) aggregate exchange
+    assert("Exchange".r.findAllIn(p).size === 1, s"centroids plan over-shuffles:\n$p")
+  }
+
   test("fts match prunes the inverted lists with an IN filter, no join") {
     val idx = ctx.fts.get
     val p = plan(idx.matchBm25("skywalker"))
