@@ -377,6 +377,24 @@ object PipelineQueries {
         .drop("mean").orderBy("label", "dim")
     }),
 
+    // corpus-unigram-LM surprisal per doc (CCNet-style outlier signal);
+    // e4 fixed-point per-term surprisal so the sum is integer-exact;
+    // oracle-checked exactly
+    "q_doc_unigram_nll" -> ((s, dir) => {
+      TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // one-row corpus vocabulary summary; oracle-checked exactly
+    "q_doc_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabStats(docs(s, dir), "text")
+    }),
+
+    // corpus-wide top-20 bigrams (boilerplate detector); deterministic
+    // tie-break on the gram; oracle-checked exactly
+    "q_doc_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 20)
+    }),
+
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
     // RMS energy over the PCM stream (rows-only: DuckDB has no codec)
@@ -587,6 +605,33 @@ object PipelineQueries {
          |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id < 100) eb
          |  ON ea.vec_id < eb.vec_id
          |ORDER BY sim DESC, a, b LIMIT 5""".stripMargin,
+    "q_doc_unigram_nll" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(sum(ctf) AS DOUBLE) AS nc FROM c)
+        |SELECT doc_id,
+        |  CAST(SUM(tf * CAST(round(-ln(ctf / nc) * 10000) AS BIGINT)) AS BIGINT) AS nll_e4,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |FROM tf JOIN c USING (term), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_vocab" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS ctf FROM t WHERE term <> '' GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  CAST(sum(ctf) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+        |FROM c""".stripMargin,
+    "q_doc_top_ngrams" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
     "q_doc_pii" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'

@@ -178,6 +178,58 @@ object TextAnalysis {
         .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
 
+  /** Corpus-unigram-LM surprisal per document — the CCNet-style cheap
+    * quality/outlier signal: nll = Σ_tokens −ln(ctf/N), where ctf is the
+    * token's corpus frequency and N the corpus token count. Emitted in
+    * e4 fixed point (each term's surprisal rounded to 10⁻⁴ BEFORE the
+    * per-doc sum), so the aggregate is exact integer math — order- and
+    * partitioning-invariant. Two aggregates (doc-term tf, corpus ctf)
+    * + one broadcast of the scalar N; the join keys on term, the same
+    * shuffle class as tf-idf. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val n = ctf.agg(sum(col("ctf")).as("n_corpus"))
+    tf.join(ctf, "term").crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf") * round(-log(col("ctf") / col("n_corpus")) * 10000).cast("long"))
+          .as("nll_e4"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** One-row corpus vocabulary summary: documents, token mass, distinct
+    * types, hapax legomena — the Zipf-shape health check. Two bounded
+    * aggregates (term counts, then the scalar roll-up). */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val perTerm = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+    val nDocs = df.count()
+    perTerm.agg(
+      lit(nDocs).as("n_docs"),
+      sum(col("ctf")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("ctf") === 1, 1L).otherwise(0L)).as("hapax_count"))
+  }
+
+  /** Top-k corpus n-grams by frequency (count desc, gram asc) — the
+    * boilerplate/template detector run corpus-wide. One (gram) count
+    * aggregate + a top-k sort of the aggregated (bounded) side. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2, k: Int = 20): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = df.select(explode(when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - n + 1),
+          i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text —
     * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
   def fingerprintMd5(text: Column): Column =

@@ -317,6 +317,35 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
   }
 
+  test("unigram NLL: hand-computed corpus surprisal, rare docs score higher") {
+    val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.unigramNll(c, "id", "text")
+      .orderBy("id").collect()
+    // corpus: a×4, b×2, z×1, N=7
+    def e4(p: Double) = math.rint(-math.log(p) * 1e4).toLong
+    assert(got(0).getLong(1) === 3 * e4(4.0 / 7) + e4(2.0 / 7))
+    assert(got(0).getLong(2) === 4L)
+    assert(got(2).getLong(1) === e4(1.0 / 7))
+    // the hapax doc has the highest per-token surprisal
+    val perTok = got.map(r => r.getLong(1).toDouble / r.getLong(2))
+    assert(perTok(2) > perTok(0) && perTok(2) > perTok(1))
+  }
+
+  test("vocab stats: docs, token mass, types, hapax") {
+    val c = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val r = graft.ops.TextAnalysis.vocabStats(c, "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 5L, 3L, 1L))) // vocab {a,b,c}; hapax {c}
+  }
+
+  test("top n-grams: counts and deterministic tie-break") {
+    val c = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.topNgrams(c, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bigrams: "x y"×3, "y x"×1, "y z"×1, "y q"×1 -> ties by gram asc
+    assert(got === Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
+  }
+
   test("mixture sampling is deterministic, rate-faithful, and partition-invariant") {
     val rows = (0 until 600).map(i =>
       (i.toLong, if (i % 3 == 0) "keepall" else if (i % 3 == 1) "half" else "none"))
