@@ -276,6 +276,9 @@ object PipelineQueries {
     // tf-idf top-terms: the 3 most distinctive terms per document —
     // corpus exploration / weak labeling; oracle-checked exactly
     "q_doc_tfidf" -> ((s, dir) => {
+      // no repartition: measured — the full-text exchange costs more
+      // than the (cheap) token explode gains; the tf/df groupBys are
+      // the real work and they re-shuffle anyway
       TextAnalysis.topTfidfTerms(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     }),
@@ -381,6 +384,7 @@ object PipelineQueries {
     // e4 fixed-point per-term surprisal so the sum is integer-exact;
     // oracle-checked exactly
     "q_doc_unigram_nll" -> ((s, dir) => {
+      // no repartition: measured — same trade-off as q_doc_tfidf
       TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
@@ -392,7 +396,12 @@ object PipelineQueries {
     // corpus-wide top-20 bigrams (boilerplate detector); deterministic
     // tie-break on the gram; oracle-checked exactly
     "q_doc_top_ngrams" -> ((s, dir) => {
-      TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 20)
+      // repartition: the bigram explode is the heavy row-local stage and
+      // the single-file source would run it on one task (file count
+      // provides this at corpus scale)
+      TextAnalysis.topNgrams(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "text", n = 2, k = 20)
     }),
 
     // audio plumbing: binary column -> batched REAL WAV decode (true
