@@ -297,6 +297,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // duplicated-span statistics (exact-substring dedup signal, Lee et
+    // al. 2022): per-doc fraction of word 8-grams shared with another
+    // doc. The corpus has no natural cross-doc spans, so a chimera of
+    // doc 0 + doc 1 is planted (same construction in the oracle) —
+    // docs 0, 1, and the chimera must show dup grams; oracle-checked
+    "q_doc_dup_spans" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
+      val chimera = d.filter(col("doc_id") === 0).select(col("text").as("t0"))
+        .crossJoin(d.filter(col("doc_id") === 1).select(col("text").as("t1")))
+        .select(lit(1000000L).as("doc_id"),
+          concat(col("t0"), lit(" "), col("t1")).as("text"))
+      graft.ops.Decontam.dupSpanStats(d.union(chimera), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: concat-and-chunk documents into fixed-budget
     // training sequences, sharded (id % 8) so the pack parallelizes —
     // pure integer window arithmetic, oracle-checked exactly
@@ -614,6 +631,22 @@ object PipelineQueries {
          |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id < 100) eb
          |  ON ea.vec_id < eb.vec_id
          |ORDER BY sim DESC, a, b LIMIT 5""".stripMargin,
+    "q_doc_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT 1000000,
+        |             (SELECT text FROM documents WHERE doc_id = 0) || ' ' ||
+        |             (SELECT text FROM documents WHERE doc_id = 1)),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM d),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+        |          for i in range(1, len(ws) - 6)])) AS gram
+        |      FROM w WHERE len(ws) >= 8),
+        |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS docfreq FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM g JOIN f USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_doc_unigram_nll" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |           FROM documents),

@@ -51,4 +51,28 @@ object Decontam {
       .select(col("id").as(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Duplicated-span statistics over the corpus itself (the signal
+    * behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * how many of its distinct word n-grams also appear in at least one
+    * OTHER document. Output: (id, n_grams, n_dup_grams, dup_frac);
+    * docs shorter than n words contribute no grams and no row.
+    *
+    * Shape: one corpus-wide (gram → doc-frequency) aggregate + the
+    * inverted-index join back — the same shuffle class as the Jaccard
+    * candidate step; nothing is pairwise, so a boilerplate gram shared
+    * by k docs costs k join rows, not k². */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = grams(df, idCol, textCol, n)
+    // grams are distinct per id, so count(*) = document frequency
+    val freq = g.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
+    g.join(freq, "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams") / col("n_grams"), 4))
+  }
 }

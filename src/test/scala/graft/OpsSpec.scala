@@ -317,6 +317,21 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
   }
 
+  test("dup-span stats: shared spans counted, unique docs at zero") {
+    val eight = "one two three four five six seven eight"
+    val c = Seq(
+      (1L, s"$eight alpha beta gamma"),
+      (2L, s"prefix words here then $eight"),
+      (3L, "totally different text with no shared span at all anywhere")
+    ).toDF("id", "text")
+    val got = graft.ops.Decontam.dupSpanStats(c, "id", "text", n = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 1 and 2 share exactly the one 8-gram `eight`; doc 3 shares none
+    // doc 1: 11 words -> 4 grams; doc 2: 12 words -> 5 grams; doc 3: 10 -> 3
+    assert(got === Seq((1L, 4L, 1L), (2L, 5L, 1L), (3L, 3L, 0L)))
+  }
+
   test("unigram NLL: hand-computed corpus surprisal, rare docs score higher") {
     val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
     val got = graft.ops.TextAnalysis.unigramNll(c, "id", "text")
