@@ -678,16 +678,19 @@ object PipelineQueries {
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
         |       || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-5309.' AS t
-        |  FROM documents)
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM p),
+        |r2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS t2
+        |  FROM r)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
-        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')) AS red_fp
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(t2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')) AS red_fp
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     "q_doc_chunks" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |b AS (SELECT doc_id, ws, len(ws) AS n FROM w),
@@ -707,9 +710,10 @@ object PipelineQueries {
     "q_doc_cross_clean" ->
       """WITH r AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |           FROM documents WHERE doc_id % 7 = 0)
-        |SELECT doc_id FROM documents
-        |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (SELECT fp FROM r)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM r
+        |  WHERE r.fp = md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))
+        |ORDER BY d.doc_id""".stripMargin,
     "q_doc_len_hist" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
         |           FROM documents)

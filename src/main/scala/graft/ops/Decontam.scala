@@ -19,15 +19,9 @@ object Decontam {
 
   /** Distinct word n-grams per row: (id, gram). Rows shorter than `n`
     * words contribute nothing. */
-  private[ops] def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val g = when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(words) - n + 1),
-        i => array_join(slice(words, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(g).as("gram"))
-  }
+  private[ops] def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wordGrams(col(textCol), n)).as("gram"))
 
   /** (id, hits) for every corpus document sharing at least `minHits`
     * distinct n-grams with the benchmark set. `hits` counts distinct
@@ -66,9 +60,13 @@ object Decontam {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = grams(df, idCol, textCol, n)
-    // grams are distinct per id, so count(*) = document frequency
-    val freq = g.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
-    g.join(freq, "gram")
+    // grams are distinct per id, so a count over the gram partition =
+    // document frequency. The window formulation evaluates the gram
+    // explode ONCE (a separate freq aggregate + join-back would run the
+    // heaviest row-local stage twice — the two Exchange subtrees differ,
+    // so ReuseExchange cannot merge them).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    g.withColumn("docfreq", count(lit(1)).over(w))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))

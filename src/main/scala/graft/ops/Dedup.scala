@@ -377,13 +377,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val words = split(trim(col(textCol)), "\\s+")
-    val grams = when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(words) - n + 1),
-        i => array_join(slice(words, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-    val toks = df.select(col(idCol).as("id"), explode(grams).as("tok"))
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wordGrams(col(textCol), n)).as("tok"))
     jaccardPairsFromToks(toks, threshold)
   }
 }

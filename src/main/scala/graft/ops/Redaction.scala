@@ -41,11 +41,20 @@ object Redaction {
       PhoneRe, "[PHONE]")
 
   /** Per-document PII audit: class counts plus the scrubbed text —
-    * the projection a curation pipeline writes back to the corpus. */
-  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * the projection a curation pipeline writes back to the corpus.
+    * Each count is taken on the text THAT PASS sees (emails on the raw
+    * text, IPs on the email-redacted text, phones on the IP-redacted
+    * text), so every count equals the number of placeholders its pass
+    * emits — overlapping matches (an IPv4 inside an email's host, a
+    * phone-shaped run inside an address) are attributed to exactly one
+    * class, the one that consumed them. */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t1 = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
     df.select(col(idCol),
       emailCount(col(textCol)).as("n_emails"),
-      ipv4Count(col(textCol)).as("n_ips"),
-      phoneCount(col(textCol)).as("n_phones"),
-      redact(col(textCol)).as("redacted"))
+      size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t2, lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(t2, PhoneRe, "[PHONE]").as("redacted"))
+  }
 }

@@ -47,13 +47,18 @@ object Sampling {
     * per-task). One rank window per group; the heavy lifting is the
     * shuffle on `groupCol`, same cost class as any per-group top-k. For
     * extreme group skew, pre-filter with [[mixtureSample]] at a rate
-    * ~k/|group| first so the window sees a bounded candidate set. */
+    * ~k/|group| first so the window sees a bounded candidate set.
+    * `rankCol` names the emitted rank column — pass an alternative if
+    * the input already carries a `rank` (withColumn would overwrite
+    * it silently). */
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
-      k: Int, salt: String = "strat"): DataFrame = {
+      k: Int, salt: String = "strat", rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — pass a different rankCol")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
-    df.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
   }
 }

@@ -23,6 +23,19 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Guarded word-n-gram array: every n-token window of the whitespace
+    * tokens, space-joined (optionally distinct); texts shorter than n
+    * words yield an empty array. The ONE definition of the n-gram
+    * stream — Decontam/Dedup/topNgrams all build on it, so a
+    * tokenization change cannot silently diverge between them. */
+  def wordGrams(text: Column, n: Int, distinct: Boolean = true): Column = {
+    val words = wsTokens(text)
+    val g = transform(sequence(lit(1), size(words) - n + 1),
+      i => array_join(slice(words, i, lit(n)), " "))
+    when(size(words) >= n, if (distinct) array_distinct(g) else g)
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Compact English stopword set, shared with the quality oracle. */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -208,23 +221,24 @@ object TextAnalysis {
     val toks = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val perTerm = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
-    val nDocs = df.count()
+    // the doc count rides in lazily as a broadcast scalar — no eager
+    // count job, no second corpus scan at construction time
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
     perTerm.agg(
-      lit(nDocs).as("n_docs"),
       sum(col("ctf")).as("total_tokens"),
       count(lit(1)).as("vocab_size"),
       sum(when(col("ctf") === 1, 1L).otherwise(0L)).as("hapax_count"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        col("hapax_count"))
   }
 
   /** Top-k corpus n-grams by frequency (count desc, gram asc) — the
     * boilerplate/template detector run corpus-wide. One (gram) count
     * aggregate + a top-k sort of the aggregated (bounded) side. */
   def topNgrams(df: DataFrame, textCol: String, n: Int = 2, k: Int = 20): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val grams = df.select(explode(when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - n + 1),
-          i => array_join(slice(words, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))).as("gram"))
+    val grams = df.select(
+      explode(wordGrams(col(textCol), n, distinct = false)).as("gram"))
     grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(k)

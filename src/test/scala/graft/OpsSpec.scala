@@ -234,8 +234,15 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getString(4) === "server at [IP] or [IP], call [PHONE]")
     assert(got(2).getInt(1) + got(2).getInt(2) + got(2).getInt(3) === 0)
     assert(got(2).getString(4) === "clean text with no sensitive content at all")
-    // an IP is not half-claimed by the phone pattern (IP pass runs first)
+    // an IP is not half-claimed by the phone pattern (the IP pass
+    // precedes the phone pass)
     assert(got(3).getString(4) === "dotted phone [PHONE] and [IP]")
+    // counts are pass-consistent: an IPv4 inside an email host is
+    // consumed by the email pass and NOT double-counted as an IP
+    val overlap = Seq((1L, "write a@10.0.0.1.com soon")).toDF("id", "text")
+    val o = graft.ops.Redaction.piiStats(overlap, "id", "text").collect()(0)
+    assert(o.getInt(1) === 1 && o.getInt(2) === 0 && o.getInt(3) === 0)
+    assert(o.getString(4) === "write [EMAIL] soon")
   }
 
   test("chunkSpans: every token covered, overlap = window - stride, last chunk truncated") {
