@@ -136,21 +136,38 @@ object FilterCompiler {
       // becomes an o-IN scan predicate, pruned by the (p,o,s)-sorted
       // batch stats; otherwise the frontier is the broadcast side so the
       // full triples relation never shuffles per hop
-      val cap = ctx.isinProbeCap
-      val small: Option[Array[Long]] =
-        if (extra.isEmpty && cap > 0) {
-          val hs = acc.select("s").distinct().limit(cap + 1).collect().map(_.getLong(0))
-          if (hs.length <= cap) Some(hs) else None
-        } else None
-      acc = small match {
-        case Some(hs) =>
-          ctx.graph.triples.filter(col("o").isin(hs.toIndexedSeq: _*)).select(col("s"))
-        case None =>
+      acc =
+        if (extra.isEmpty && ctx.isinProbeCap > 0)
+          oInOrJoin(ctx, ctx.graph.triples, acc.select("s").distinct())
+        else
           t.join(broadcast(acc.as(s"A$i")), col(s"T$i.o") === col(s"A$i.s"))
             .select(col(s"T$i.s").as("s") +: extra.map(c => col(s"A$i.$c")): _*)
-      }
     }
     acc
+  }
+
+  /** Size-conditional o-IN probe shared by the regex/fts/hop paths. The
+    * single-column hash set is materialized ONCE (localCheckpoint —
+    * sized by the match set, not the corpus), its cardinality read with
+    * a bounded limit, and the result is either a scan-level o-IN
+    * predicate (≤ cap: batch min/max pruning on the (p,o,s)-sorted
+    * layout) or a broadcast join against the SAME materialized set —
+    * either way the upstream plan (inverted-list match, rlike literal
+    * scan, accumulated hop joins) executes exactly once, where the
+    * previous shape re-ran it in the over-cap join fallback. cap <= 0
+    * disables probing entirely and keeps the set lazy on the join's
+    * broadcast side. */
+  private def oInOrJoin(ctx: EngineContext, base: DataFrame, hashSet: DataFrame): DataFrame = {
+    val cap = ctx.isinProbeCap
+    val hs = hashSet.toDF("__oh")
+    if (cap <= 0)
+      return base.join(broadcast(hs), col("o") === col("__oh")).select("s")
+    val mat = hs.localCheckpoint()
+    val probe = mat.limit(cap + 1).collect().map(_.getLong(0))
+    if (probe.length <= cap)
+      base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s")
+    else
+      base.join(broadcast(mat), col("o") === col("__oh")).select("s")
   }
 
   def compile(ctx: EngineContext, f: FilterQ, withScore: Boolean = false): Option[DataFrame] = {
@@ -242,20 +259,8 @@ object FilterCompiler {
       // size-conditional probe (same policy as decode): a selective
       // pattern yields few literal hashes → an o-IN predicate reaches
       // the (p,o,s)-sorted scan's batch stats and skips most of the
-      // corpus; past the cap, fall back to the broadcast join (whose
-      // build would have collected the same rows anyway)
-      val cap = ctx.isinProbeCap
-      val litHashes =
-        if (cap <= 0) Array.emptyLongArray
-        else lits.limit(cap + 1).collect().map(_.getLong(0))
-      val t0 =
-        if (cap > 0 && litHashes.length <= cap)
-          propFilter(withG(triples))
-            .filter(col("o").isin(litHashes.toIndexedSeq: _*)).select("s")
-        else
-          propFilter(withG(triples))
-            .join(broadcast(lits), col("o") === col("lhash"))
-            .select("s")
+      // corpus; past the cap, broadcast-join the SAME materialized set
+      val t0 = oInOrJoin(ctx, propFilter(withG(triples)), lits)
       Some(hopUp(ctx, t0, hops, Nil).distinct())
     } else if (p.startsWith("fts")) {
       ctx.fts.map { idx =>
@@ -267,21 +272,10 @@ object FilterCompiler {
             .select("s", "score").distinct()
         } else {
           // set-only contract: no score ride-along → a small match set
-          // becomes an o-IN scan predicate (the collect mirrors the
-          // broadcast build it replaces), and hop frontiers stay
-          // isin-eligible
-          val cap = ctx.isinProbeCap
-          val hs =
-            if (cap > 0) scored.select("mhash").limit(cap + 1).collect().map(_.getLong(0))
-            else Array.emptyLongArray
-          val t0 =
-            if (cap > 0 && hs.length <= cap)
-              propFilter(withG(triples))
-                .filter(col("o").isin(hs.toIndexedSeq: _*)).select("s")
-            else
-              propFilter(withG(triples))
-                .join(broadcast(scored), col("o") === col("mhash"))
-                .select("s")
+          // becomes an o-IN scan predicate, and hop frontiers stay
+          // isin-eligible; the match set materializes exactly once
+          val t0 = oInOrJoin(ctx, propFilter(withG(triples)),
+            scored.select("mhash"))
           hopUp(ctx, t0, hops, Nil).distinct()
         }
       }

@@ -337,11 +337,23 @@ object QueryEngine {
         } else {
           val k = math.min(pathLevelsPerJob, ctx.maxPathIterations - i)
           val fdf = frontier.toSeq.toDF("source", "path", "head")
+          // the collect is LIMIT-bounded: k chained levels can multiply
+          // the chain count by fanout^k between guard checks, so an
+          // unbounded collect could OOM the driver on a multi-parent
+          // graph before the cap is ever consulted. Over the cap, the
+          // batch is discarded and the walk restarts distributed from
+          // the pre-walk frontier (one wasted bounded job, rare case).
           val joined = walkLevels(broadcast(fdf), edges, k)
+            .limit(ctx.maxDriverChains + 1)
             .as[(Long, Seq[Long], Option[Long])].collect()
-          finished ++= joined.collect { case (src, p, None) => (src, p) }
-          frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
-          i += k
+          if (joined.length > ctx.maxDriverChains) {
+            distributed = Some(pathsDistributed(fdf, edges,
+              ctx.maxPathIterations - i))
+          } else {
+            finished ++= joined.collect { case (src, p, None) => (src, p) }
+            frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
+            i += k
+          }
         }
       }
     } finally edges.unpersist(false)

@@ -34,18 +34,11 @@ final class Bikidata(
   // size-bounded LRU with the reference's 7-day expiry
   // (workers.py:104-107: `cache.set(key, ..., ex=604800)`); the clock is
   // injectable so expiry is testable without waiting a week
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Long, String)](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, (Long, String)]): Boolean =
-        size() > cacheSize
-    })
+  private val cache = new TtlLruCache(cacheSize, cacheTtlMillis, clock)
 
-  private def cacheGet(key: String): Option[String] =
-    Option(cache.get(key)).flatMap { case (at, v) =>
-      if (clock() - at >= cacheTtlMillis) { cache.remove(key); None } else Some(v)
-    }
+  private def cacheGet(key: String): Option[String] = cache.get(key)
 
-  private def cachePut(key: String, v: String): Unit = { cache.put(key, (clock(), v)); () }
+  private def cachePut(key: String, v: String): Unit = cache.put(key, v)
 
   def ctx: EngineContext = ctxOpt.getOrElse {
     val graph = warehouse.load().persist()
@@ -272,6 +265,30 @@ final class Bikidata(
     * [[build]]) — backup / hand-off / engine-migration path. */
   def export(path: String, singleFile: Boolean = false): Unit =
     graft.ingest.Export.nt(ctx.graph, path, singleFile)
+}
+
+/** Size-bounded LRU with a TTL — the ONE implementation of the
+  * reference's md5-keyed result cache semantics (workers.py:104-107:
+  * size-bounded, 7-day expiry), shared by the facade and the worker
+  * pool so the expiry/eviction rules cannot drift apart. Access-order
+  * LinkedHashMap under a synchronized wrapper; the injectable clock
+  * makes expiry testable without waiting a week. */
+private[api] final class TtlLruCache(maxSize: Int, ttlMillis: Long,
+    clock: () => Long) {
+  private val m = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, String)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (Long, String)]): Boolean =
+        size() > maxSize
+    })
+
+  def get(key: String): Option[String] =
+    Option(m.get(key)).flatMap { case (at, v) =>
+      if (clock() - at >= ttlMillis) { m.remove(key); None } else Some(v)
+    }
+
+  def put(key: String, v: String): Unit = { m.put(key, (clock(), v)); () }
+
+  def clear(): Unit = m.clear()
 }
 
 object Bikidata {

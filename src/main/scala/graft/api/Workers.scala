@@ -32,17 +32,10 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
   private val readyQ = new java.util.concurrent.LinkedBlockingQueue[Req]()
   @volatile private var running = true
 
-  // LRU + the reference's 7-day result expiry (workers.py:104-107);
-  // injectable clock so the TTL is testable
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Long, String)](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, (Long, String)]): Boolean =
-        size() > cacheSize
-    })
-  private def cacheGet(key: String): Option[String] =
-    Option(cache.get(key)).flatMap { case (at, v) =>
-      if (clock() - at >= cacheTtlMillis) { cache.remove(key); None } else Some(v)
-    }
+  // LRU + the reference's 7-day result expiry (workers.py:104-107),
+  // shared implementation with the facade cache
+  private val cache = new TtlLruCache(cacheSize, cacheTtlMillis, clock)
+  private def cacheGet(key: String): Option[String] = cache.get(key)
   val cacheHits = new java.util.concurrent.atomic.AtomicLong()
 
   /** Submit a request (reference opts JSON: a query dict, or
@@ -136,7 +129,7 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
                 req.promise.complete(v)
               case None =>
                 val res = bk.queryJson(req.json)
-                if (useCache) cache.put(key, (clock(), res))
+                if (useCache) cache.put(key, res)
                 req.promise.complete(res)
             }
           } catch { case e: Exception =>

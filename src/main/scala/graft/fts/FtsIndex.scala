@@ -45,13 +45,8 @@ final case class FtsIndex(
     * explode parallelizes across tasks. [[FtsIndex.write]] persists this
     * layout; a loaded index reads it back ([[listsStored]]) instead of
     * re-aggregating the flat postings every session. */
-  lazy val postingLists: DataFrame = listsStored.getOrElse {
-    postings
-      .groupBy(col("term"), pmod(col("hash"), lit(FtsIndex.postingChunks)).as("chunk"))
-      .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
-  }
+  lazy val postingLists: DataFrame =
+    listsStored.getOrElse(FtsIndex.listsFrom(postings))
 
   def persist(): FtsIndex = {
     postingLists.persist(StorageLevel.MEMORY_AND_DISK)
@@ -109,6 +104,17 @@ object FtsIndex {
     * over this many tasks. */
   val postingChunks = 32
 
+  /** The ONE derivation of the term-clustered inverted-list layout from
+    * flat postings — used by both the in-memory index and [[write]], so
+    * a persisted warehouse and a fresh build can never disagree on the
+    * chunk keying or struct field order. */
+  private[fts] def listsFrom(postings: DataFrame): DataFrame =
+    postings
+      .groupBy(col("term"), pmod(col("hash"), lit(postingChunks)).as("chunk"))
+      .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+
   /** Build the index over a (hash, value) document corpus. Triggers two
     * jobs for the corpus stats (count + avg); the postings/termstats
     * DataFrames stay lazy. Index-side analysis drops stopwords BEFORE
@@ -156,12 +162,7 @@ object FtsIndex {
       .parquet(s"$warehouseDir/${name}_postings")
     stored.groupBy("term").agg(countDistinct("hash").as("df"))
       .write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
-    stored
-      .groupBy(col("term"), pmod(col("hash"), lit(postingChunks)).as("chunk"))
-      .agg(collect_list(struct(col("hash"), col("tf"), col("len"))).as("plist"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
+    listsFrom(stored).write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
     val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json"), meta)

@@ -1,18 +1,44 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared typing rules for the cosine expressions: each input must be
+  * `ARRAY<FLOAT>` or `ARRAY<DOUBLE>` (independently — a float column can
+  * be compared against a double literal). The element width is resolved
+  * at ANALYSIS time and baked into the generated code; reading a double
+  * slot as a float would silently return garbage, so anything else is
+  * rejected up front instead of mis-read at runtime. */
+private[functions] trait CosineTyping { self: BinaryExpression =>
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires ARRAY<FLOAT> or ARRAY<DOUBLE> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  protected def leftIsDouble: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  protected def rightIsDouble: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+}
 
 /** Native Catalyst expression for cosine distance over two
-  * `ARRAY<FLOAT>` columns — the codegen'd replacement for the Scala UDF
-  * (SURVEY §2.12: "promote to codegen expression if bench demands").
+  * `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns — the codegen'd replacement
+  * for the Scala UDF (SURVEY §2.12: "promote to codegen expression if
+  * bench demands").
   *
   * The generated code calls [[CosineDistance.compute]] directly on the
-  * unsafe `ArrayData`, so the hot loop reads primitive floats with no
+  * unsafe `ArrayData`, so the hot loop reads primitive elements with no
   * boxing, no `Seq[Float]` conversion, and no UDF dispatch — it stays
   * inside the surrounding whole-stage-codegen pipeline.
   *
@@ -21,18 +47,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * vectors (which drops them from threshold filters).
   */
 case class CosineDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CosineTyping {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double result = graft.functions.CosineDistance.compute($a, $b);
+         |java.lang.Double result = graft.functions.CosineDistance.compute(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
          |if (result == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -47,8 +75,8 @@ case class CosineDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Codegen'd cosine SIMILARITY over two `ARRAY<FLOAT>` columns,
-  * bit-identical to the declarative form
+/** Codegen'd cosine SIMILARITY over two `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`
+  * columns, bit-identical to the declarative form
   * `aggregate(zip_with(a,b,*), 0.0, +) / sqrt(dot(a,a)) / sqrt(dot(b,b))`
   * it replaces: one left-to-right accumulation pass and the same
   * two-step division order, so 4-dp-rounded oracle comparisons are
@@ -57,18 +85,20 @@ case class CosineDistance(left: Expression, right: Expression)
   * primitive loop that stays inside whole-stage codegen.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CosineTyping {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double result = graft.functions.CosineSimilarity.compute($a, $b);
+         |java.lang.Double result = graft.functions.CosineSimilarity.compute(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
          |if (result == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -87,16 +117,19 @@ object CosineSimilarity {
 
   /** Hot loop shared by interpreted eval and generated code. Accumulation
     * and division order MUST stay `dot / sqrt(na) / sqrt(nb)` with
-    * left-to-right sums — the DuckDB oracle computes exactly this. */
-  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    * left-to-right sums — the DuckDB oracle computes exactly this. The
+    * element-width flags are analysis-time constants, so the JIT hoists
+    * the branches out of the loop. */
+  def compute(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -110,15 +143,16 @@ object CosineSimilarity {
 object CosineDistance {
 
   /** Hot loop shared by interpreted eval and generated code. */
-  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def compute(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

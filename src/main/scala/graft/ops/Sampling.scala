@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixtures.
   *
-  * Pre-training recipes weight each corpus slice ("domain") differently
-  * — e.g. books 2×, web 0.3× — and the sample must be REPRODUCIBLE:
-  * the same rows selected on every run, any cluster, any partitioning.
-  * `rand()` cannot provide that (per-task seeds move with the split
-  * layout), so the decision is a pure function of the row key: a salted
-  * md5 bucket compared against the domain's rate. Row-local, no
-  * shuffle; a 100 TB corpus maps straight through the filter.
+  * Pre-training recipes DOWN-weight corpus slices ("domains")
+  * differently — e.g. keep 30% of web, 80% of books — and the sample
+  * must be REPRODUCIBLE: the same rows selected on every run, any
+  * cluster, any partitioning. `rand()` cannot provide that (per-task
+  * seeds move with the split layout), so the decision is a pure
+  * function of the row key: a salted md5 bucket compared against the
+  * domain's rate. Row-local, no shuffle; a 100 TB corpus maps straight
+  * through the filter. Rates are keep-probabilities in [0, 1] —
+  * UP-weighting (books 2×) is epoch repetition, a different operator
+  * (duplicate the reader pass, don't duplicate rows). Rows with a NULL
+  * key are dropped at any rate (no key, no reproducible decision).
   */
 object Sampling {
 
@@ -33,6 +37,8 @@ object Sampling {
   def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates are keep-probabilities in [0, 1]; up-weighting is epoch repetition")
     val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
     }

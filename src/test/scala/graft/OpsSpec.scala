@@ -324,6 +324,30 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
   }
 
+  test("cosine expressions read double and mixed-width arrays correctly") {
+    // regression: the codegen'd hot loop used getFloat unconditionally,
+    // silently mis-reading ARRAY<DOUBLE> slots
+    val rows = Seq(
+      (1L, Array(1.0, 0.0), Array(1.0, 0.0)),   // identical -> 1.0
+      (2L, Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal -> 0.0
+      (3L, Array(3.0, 4.0), Array(6.0, 8.0)))   // parallel -> 1.0
+      .toDF("id", "a", "b")
+    val sims = rows.select(col("id"),
+        round(Similarity.cosine(col("a"), col("b")), 6).as("sim"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(sims === Seq(1.0, 0.0, 1.0))
+    // mixed width: float column vs double literal array
+    val mixed = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+      .select(round(Similarity.cosine(col("v"),
+        lit(Array(1.0, 0.0))), 6)).collect()(0).getDouble(0)
+    assert(mixed === 1.0)
+    // non-numeric arrays are rejected at analysis time, not mis-read
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array("x"))).toDF("id", "v")
+        .select(Similarity.cosine(col("v"), col("v"))).collect()
+    }
+  }
+
   test("dup-span stats: shared spans counted, unique docs at zero") {
     val eight = "one two three four five six seven eight"
     val c = Seq(
