@@ -297,6 +297,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // budget-constrained selection: greedy top-quality docs within a
+    // 16k-token budget (the sf0.01 corpus is ~27k tokens, so the cut is
+    // real), sharded so the running sum never globally sorts the
+    // corpus; oracle-checked exactly
+    "q_doc_select" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.Selection.selectByBudget(scored, "doc_id", "quality", "toks",
+          budget = 16000L, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // duplicated-span statistics (exact-substring dedup signal, Lee et
     // al. 2022): per-doc fraction of word 8-grams shared with another
     // doc. The corpus has no natural cross-doc spans, so a chimera of
@@ -631,6 +644,29 @@ object PipelineQueries {
          |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id < 100) eb
          |  ON ea.vec_id < eb.vec_id
          |ORDER BY sim DESC, a, b LIMIT 5""".stripMargin,
+    "q_doc_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n,
+         |    CAST(doc_id % 8 AS BIGINT) AS shard, text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, toks, shard,
+         |    round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) AS quality
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, toks, quality, shard,
+         |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, toks, quality, shard, cum_tokens FROM c
+         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
     "q_doc_dup_spans" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL

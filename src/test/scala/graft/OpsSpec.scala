@@ -324,6 +324,26 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
   }
 
+  test("budget selection: per-shard greedy prefix, deterministic ties") {
+    // one shard so the hand computation is simple: budget 100 / 1 shard
+    val scored = Seq(
+      (1L, 40L, 0.9), (2L, 50L, 0.8), (3L, 30L, 0.7), (4L, 10L, 0.6))
+      .toDF("id", "toks", "score")
+    val kept = graft.ops.Selection.selectByBudget(
+        scored, "id", "score", "toks", budget = 100L, shards = 1)
+      .collect().map(_.getLong(0)).toSet
+    // greedy by score: 40 + 50 = 90 fits; +30 would be 120 > 100 ->
+    // prefix stops (monotone cumsum also excludes the later 10)
+    assert(kept === Set(1L, 2L))
+    // sharding: same ids land in fixed shards, each with its own budget
+    val sharded = graft.ops.Selection.selectByBudget(
+        scored, "id", "score", "toks", budget = 100L, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    // shard 0: ids 2 (50), 4 (10); shard 1: ids 1 (40), 3 (30); each 50
+    assert(sharded.keySet === Set(2L, 1L))
+    assert(sharded(2L) === 50L && sharded(1L) === 40L)
+  }
+
   test("cosine expressions read double and mixed-width arrays correctly") {
     // regression: the codegen'd hot loop used getFloat unconditionally,
     // silently mis-reading ARRAY<DOUBLE> slots
