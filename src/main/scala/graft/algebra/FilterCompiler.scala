@@ -45,12 +45,18 @@ final case class EngineContext(
 }
 
 object EngineContext {
-  /** Collect + broadcast the dictionary when it is bounded. */
+  /** Collect + broadcast the dictionary when it is bounded. One
+    * limit-bounded collect decides AND delivers: reading maxEntries + 1
+    * rows either proves the dictionary is too big (fall back to the
+    * join decode path, driver memory capped at one extra row) or
+    * already holds the whole map — the previous count()-then-collect()
+    * scanned the full dictionary twice at every session start. */
   def withDictBroadcast(ctx: EngineContext, maxEntries: Long = 5000000L): EngineContext = {
-    val n = ctx.graph.dict.count()
-    if (n > maxEntries) ctx
+    val max = math.min(maxEntries, Int.MaxValue - 1L).toInt
+    val rows = ctx.graph.dict.limit(max + 1).collect()
+    if (rows.length > max) ctx
     else {
-      val m = ctx.graph.dict.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
       ctx.copy(dictBroadcast = Some(ctx.graph.spark.sparkContext.broadcast(m)))
     }
   }

@@ -29,11 +29,22 @@ object Ordering {
     expr.otherwise(rank + 1)
   }
 
-  /** Cleaning chain (query.py:261-285), same application order. */
-  private def cleanExpr(base: Column, clean: CleanOpts, mode: String): Column = {
+  /** Cleaning chain (query.py:261-285), same application order.
+    * Reference parity note: the reference's
+    * `regexp_replace` runs in DuckDB WITHOUT the 'g' option, i.e.
+    * FIRST-match-only — remove_quotes strips one quote (the leading one
+    * if present, else a trailing one) and collapse_space collapses only
+    * the first whitespace run. Spark's regexp_replace is global, so the
+    * first-match behaviors are emulated explicitly; strip_punct's
+    * anchored pattern can only match once, so global == first there. */
+  private[graft] def cleanExpr(base: Column, clean: CleanOpts, mode: String): Column = {
     var e = base
-    if (clean.removeQuotes) e = regexp_replace(e, "^\"|\"$", "")
-    if (clean.collapseSpace) e = regexp_replace(e, "\\s+", " ")
+    if (clean.removeQuotes)
+      e = when(e.startsWith("\""), e.substr(lit(2), length(e)))
+        .otherwise(when(e.endsWith("\""), e.substr(lit(1), length(e) - 1))
+          .otherwise(e))
+    if (clean.collapseSpace)
+      e = regexp_replace(e, "^(\\S*)\\s+", "$1 ")
     if (clean.stripPunct) e = regexp_replace(e, "^[^0-9A-Za-z]+", "")
     if (clean.trim) e = trim(e)
     if (mode == "lex" && clean.lower) e = lower(e)

@@ -246,11 +246,13 @@ object QueryEngine {
     // persist/set-ops, so Spark would otherwise plan a two-sided shuffle
     // — hint it broadcast and keep the full triples scan shuffle-free.
     // A low-selectivity filter (a property every subject has) can exceed
-    // the broadcast limit, so the hint is size-conditional, like the
-    // decode path's broadcast-dictionary cap.
+    // the broadcast limit, so the hint requires a KNOWN-small count: an
+    // unknown size falls back to the unhinted plan (AQE still converts
+    // to broadcast at runtime when the set turns out small) rather than
+    // force-collecting a possibly corpus-scale set to the driver.
     val sSide = sResults.select("s").as("S")
     val hinted =
-      if (sCount.forall(_ <= maxBroadcastFacetSubjects)) broadcast(sSide) else sSide
+      if (sCount.exists(_ <= maxBroadcastFacetSubjects)) broadcast(sSide) else sSide
     val joined = t.join(hinted, Seq("s"), "left_semi")
     agg match {
       case "graphs" | "properties" =>
@@ -304,17 +306,25 @@ object QueryEngine {
 
   /** Ancestor paths under a parent-pointer property for the page subjects
     * (reference recursive CTE, query.py:802-822). Iterative fixpoint:
-    * frontier starts at the page (≤size rows, broadcast side) and lives
-    * on the driver while small — each round is then exactly ONE Spark job
-    * chaining [[pathLevelsPerJob]] broadcast joins against the property's
-    * edge set (the per-level scheduling floor was the whole cost of this
-    * operator). A branchy graph whose fanout multiplies chains past
+    * frontier starts at the page (≤size rows) and lives on the driver
+    * while small — each round is then exactly ONE Spark job chaining
+    * [[pathLevelsPerJob]] left-outer joins against the property's
+    * PERSISTED edge set (the per-level scheduling floor was the whole
+    * cost of this operator). The frontier is the outer-preserved side,
+    * so it cannot also be the broadcast build side — Spark broadcasts
+    * the edge set instead when it fits the auto threshold, and falls
+    * back to a shuffle join of the persisted edges for corpus-scale
+    * properties. A branchy graph whose fanout multiplies chains past
     * [[EngineContext.maxDriverChains]] switches to a distributed frontier
     * (join + localCheckpoint per round) instead of growing the driver.
     * Nodes on a parentless chain finish with path = [self, parent, …,
-    * root]; chains still active after `maxPathIterations` levels are
-    * cycles and are dropped (the reference's root-seeded recursion never
-    * reaches them either). Returns (source: Long, path: Array[Long]). */
+    * root]; chains still active after `maxPathIterations` levels (a
+    * configurable cap, default 50) are treated as cycles and dropped —
+    * a legitimately deeper-than-cap acyclic chain is therefore omitted
+    * where the reference's unbounded recursion would return it (and
+    * would never terminate on an actual cycle); raise
+    * `maxPathIterations` for unusually deep hierarchies.
+    * Returns (source: Long, path: Array[Long]). */
   def paths(ctx: EngineContext, propIri: String, wanted: DataFrame): DataFrame = {
     val spark = ctx.graph.spark
     import spark.implicits._
@@ -343,7 +353,11 @@ object QueryEngine {
           // graph before the cap is ever consulted. Over the cap, the
           // batch is discarded and the walk restarts distributed from
           // the pre-walk frontier (one wasted bounded job, rare case).
-          val joined = walkLevels(broadcast(fdf), edges, k)
+          // no broadcast hint on fdf: the frontier is the outer-preserved
+          // side of the left join, which can never be the build side —
+          // Spark ignored the old hint; the edge side auto-broadcasts
+          // when small
+          val joined = walkLevels(fdf, edges, k)
             .limit(ctx.maxDriverChains + 1)
             .as[(Long, Seq[Long], Option[Long])].collect()
           if (joined.length > ctx.maxDriverChains) {

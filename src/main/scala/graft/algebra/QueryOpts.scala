@@ -95,7 +95,16 @@ object QueryOpts {
           p = str(o \ "p").trim,
           o = str(o \ "o").trim,
           g = str(o \ "g").trim,
-          op = (o \ "op") match { case JString(s) => s; case _ => "should" })
+          // reference parity (query.py:643): only an ABSENT key defaults
+          // to should; a present non-string op (op: 5, op: null) matches
+          // none of the should/must/not branches and the filter
+          // contributes nothing — coercing it to should would silently
+          // union in a filter the reference ignores
+          op = (o \ "op") match {
+            case JString(s) => s
+            case JNothing => "should"
+            case _ => "__nonstring_op__"
+          })
       }
       case _ => Nil
     }

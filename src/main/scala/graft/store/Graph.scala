@@ -40,6 +40,14 @@ final case class Graph(
   /** Best source for s-equality/IN access paths. */
   def subjectAccess: DataFrame = byS.getOrElse(triples)
 
+  /** Pin the relations that take FULL scans (triples for filters/facets,
+    * dictionaries for decode). `byS` is deliberately NOT persisted: its
+    * whole value is parquet row-group min/max pruning on s — point
+    * probes touch a handful of row groups, so caching the second full
+    * copy of triples would cost serving-session memory (competing with
+    * the hot relations above) for accesses that already skip ~all I/O.
+    * unpersist() still covers byS defensively for callers who persisted
+    * it themselves. */
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Graph = {
     triples.persist(level); iris.persist(level); literals.persist(level)
     this

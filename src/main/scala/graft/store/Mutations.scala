@@ -134,40 +134,9 @@ object Mutations {
       if (areHashes) java.lang.Long.parseUnsignedLong(v) else h(v)
 
     if (!areHashes) {
-      // every exact-form triple must exist (query.py:478-482): ONE pass
-      // over triples for the whole batch — semi-join the batch keys
-      // against triples and compare distinct hit counts, instead of one
-      // driver-side count job per item
       val exactKeys = items.collect { case (s, p, Some(o), g) => (h(s), h(p), h(o), h(g)) }
-      val wildKeys = items.collect { case (s, p, None, g) => (h(s), h(p), h(g)) }.distinct
-      // point/small-batch deletes (the reference's mutation API shape)
-      // probe the s-sorted copy with an `isin` subject filter first: the
-      // predicate reaches the columnar scan's min/max stats and skips
-      // almost every batch, instead of streaming the whole corpus into
-      // the semi-join. Past the threshold an IN list stops being a scan
-      // predicate, so bulk deletes keep the full-scan semi-join.
-      val subjectHashes = (exactKeys.map(_._1) ++
-        items.collect { case (s, p, None, _) => h(s) }).distinct
-      val probeBase =
-        if (subjectHashes.nonEmpty && subjectHashes.size <= 10000)
-          graph.subjectAccess.filter(col("s").isin(subjectHashes: _*))
-        else graph.triples
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val missingExactF = Future(exactKeys.distinct match {
-        case Nil => false
-        case ks => probeBase
-          .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
-          .select("s", "p", "o", "g").distinct().count() < ks.size
-      })
-      val missingWildF = Future(wildKeys match {
-        case Nil => false
-        case ks => probeBase
-          .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
-          .select("s", "p", "g").distinct().count() < ks.size
-      })
-      if (Await.result(missingExactF, Duration.Inf) || Await.result(missingWildF, Duration.Inf))
+      val wildKeys = items.collect { case (s, p, None, g) => (h(s), h(p), h(g)) }
+      if (Mutations.deleteBatchMissing(graph, exactKeys, wildKeys))
         return (graph, MutationResult(error = Some("Triple does not exist, skipping delete")))
     }
 
@@ -179,5 +148,42 @@ object Mutations {
     if (wild.nonEmpty)
       t = t.join(wild.toDF("s", "p", "g"), Seq("s", "p", "g"), "left_anti")
     (graph.copy(triples = t), MutationResult(triplesDeleted = items.size))
+  }
+
+  /** Batch-existence validation for delete (query.py:478-482 refuses the
+    * whole batch) — the ONE implementation, shared by the in-memory path
+    * above and the warehouse tombstone path, so the probe/concurrency
+    * optimizations cannot drift between them. One semi-join per key
+    * shape, never a per-item count job; point/small-batch deletes (the
+    * reference's mutation API shape) probe the s-sorted copy with an
+    * `isin` subject filter so the predicate reaches the columnar scan's
+    * min/max stats, while bulk batches keep the full-scan semi-join; the
+    * exact and wildcard validation jobs run concurrently. */
+  private[store] def deleteBatchMissing(graph: Graph,
+      exactKeys: Seq[(Long, Long, Long, Long)],
+      wildKeys: Seq[(Long, Long, Long)]): Boolean = {
+    val spark = graph.spark
+    import spark.implicits._
+    val subjectHashes = (exactKeys.map(_._1) ++ wildKeys.map(_._1)).distinct
+    val probeBase =
+      if (subjectHashes.nonEmpty && subjectHashes.size <= 10000)
+        graph.subjectAccess.filter(col("s").isin(subjectHashes: _*))
+      else graph.triples
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val missingExactF = Future(exactKeys.distinct match {
+      case Nil => false
+      case ks => probeBase
+        .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
+        .select("s", "p", "o", "g").distinct().count() < ks.size
+    })
+    val missingWildF = Future(wildKeys.distinct match {
+      case Nil => false
+      case ks => probeBase
+        .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
+        .select("s", "p", "g").distinct().count() < ks.size
+    })
+    Await.result(missingExactF, Duration.Inf) || Await.result(missingWildF, Duration.Inf)
   }
 }

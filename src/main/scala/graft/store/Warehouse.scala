@@ -106,6 +106,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     }
 
   def load(): Graph = {
+    recoverIfNeeded()
     val triples = composeTriples("triples")
       .getOrElse(throw new IllegalStateException(s"warehouse $dir has no triples data"))
     // the s-sorted copy composes through the same delta/tombstone logic;
@@ -148,24 +149,10 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val exact = items.collect { case (s, p, Some(o), g) =>
       (toHash(s), toHash(p), toHash(o), toHash(g)) }
     val wild = items.collect { case (s, p, None, g) => (toHash(s), toHash(p), toHash(g)) }
-    if (!areHashes) {
-      // batch validation (query.py:478-482 refuses the whole batch): one
-      // semi-join per key shape, never a per-item count job
-      val missingExact = exact.distinct match {
-        case Nil => false
-        case ks => graph.triples
-          .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
-          .select("s", "p", "o", "g").distinct().count() < ks.size
-      }
-      val missingWild = wild.distinct match {
-        case Nil => false
-        case ks => graph.triples
-          .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
-          .select("s", "p", "g").distinct().count() < ks.size
-      }
-      if (missingExact || missingWild)
-        return MutationResult(error = Some("Triple does not exist, skipping delete"))
-    }
+    // shared batch validation (query.py:478-482 refuses the whole batch)
+    // — same subject-probed, concurrent implementation as Mutations.delete
+    if (!areHashes && Mutations.deleteBatchMissing(graph, exact, wild))
+      return MutationResult(error = Some("Triple does not exist, skipping delete"))
     val seq = nextSeq()
     if (exact.nonEmpty)
       exact.map { case (s, p, o, g) => (s, p, o, g, seq) }
@@ -178,7 +165,19 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     MutationResult(triplesDeleted = items.size)
   }
 
-  /** Fold deltas + tombstones into a fresh base (run offline/periodic). */
+  /** Fold deltas + tombstones into a fresh base (run offline/periodic).
+    *
+    * Crash contract: nothing live is DELETED until the new base is fully
+    * installed. The swap stages the old store (base + deltas +
+    * tombstones + _seq) under `_pre_compact` with cheap renames, then
+    * renames the new base in, then drops the staging dir — so a crash at
+    * any point leaves either the old store intact (plus `_compact`
+    * write garbage) or a complete old copy under `_pre_compact`;
+    * [[recoverIfNeeded]] (called by [[load]]) rolls a half-swapped store
+    * back to the staged copy. The old delete-then-move order had a
+    * window where deltas were gone but the old base still live —
+    * a crash there permanently lost every mutation since the last
+    * compact. */
   def compact(): Unit = {
     val g = load()
     val tmp = s"$dir/_compact"
@@ -189,17 +188,44 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     g.iris.write.mode(SaveMode.Overwrite).parquet(s"$tmp/iris")
     g.literals.write.mode(SaveMode.Overwrite).parquet(s"$tmp/literals")
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(dir, "_pre_compact")
+    Files.createDirectories(staging)
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals", "triples_delta",
-        "iris_delta", "literals_delta", "tombstones", "tombstones_spg")) {
+        "iris_delta", "literals_delta", "tombstones", "tombstones_spg", "_seq")) {
       val p = Paths.get(dir, sub)
-      if (Files.exists(p)) {
-        val del = new scala.reflect.io.Directory(new java.io.File(dir, sub))
-        del.deleteRecursively()
-      }
+      if (Files.exists(p))
+        Files.move(p, staging.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
     }
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
       Files.move(Paths.get(tmp, sub), Paths.get(dir, sub), StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(Paths.get(dir, "_seq")) // compacted base restarts at seq 0
-    Files.deleteIfExists(Paths.get(tmp))
+    // everything new is live — only now drop the old copy + write garbage
+    new scala.reflect.io.Directory(staging.toFile).deleteRecursively()
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+
+  /** Roll back a compact() that crashed mid-swap: if the staged old
+    * store exists and the live base is incomplete, restore the staging
+    * copy wholesale (a COMPLETE live base means the crash happened
+    * after install, so the staging dir is just leftover garbage). */
+  private def recoverIfNeeded(): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(dir, "_pre_compact")
+    if (!Files.exists(staging)) return
+    val baseComplete = Seq("triples", "triples_by_s", "iris", "literals")
+      .forall(sub => Files.exists(Paths.get(dir, sub)))
+    if (!baseComplete) {
+      // drop any half-installed new dirs, then restore the old store
+      for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
+        if (Files.exists(Paths.get(dir, sub)))
+          new scala.reflect.io.Directory(new java.io.File(dir, sub)).deleteRecursively()
+      val it = Files.list(staging).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        Files.move(p, Paths.get(dir, p.getFileName.toString),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    new scala.reflect.io.Directory(staging.toFile).deleteRecursively()
+    ()
   }
 }

@@ -174,6 +174,23 @@ class EngineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("clean options are first-match-only, like the reference's DuckDB regexp_replace") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val labels = Seq("\"a  b  c\"", "say \"hi\" twice", "  x").toDF("v")
+    val cleaned = labels.select(
+      Ordering.cleanExpr(col("v"),
+        CleanOpts(removeQuotes = true, collapseSpace = true,
+          stripPunct = false, trim = false, lower = false), "raw").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    // remove_quotes strips ONE quote (leading if present, else trailing);
+    // collapse_space collapses only the FIRST whitespace run
+    // (query.py:271-276 runs DuckDB regexp_replace without 'g')
+    assert(cleaned(0) === "a b  c\"")
+    assert(cleaned(1) === "say \"hi\" twice") // no leading/trailing quote: untouched
+    assert(cleaned(2) === " x")
+  }
+
   test("paths walk the broader hierarchy to the root") {
     val r = QueryEngine.query(ctx, QueryOpts(
       filters = Seq(FilterQ(p = "id", o = "<http://ex/mos_eisley>")),

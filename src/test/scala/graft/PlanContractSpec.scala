@@ -13,10 +13,12 @@ class PlanContractSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("facet joins broadcast the filtered subject set") {
+  test("facet joins broadcast the known-small filtered subject set") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
-    val p = plan(QueryEngine.facet(ctx, "graphs", sres))
+    // the hint requires a KNOWN size (query() passes the total's count);
+    // an unknown size must not force-broadcast a possibly huge set
+    val p = plan(QueryEngine.facet(ctx, "graphs", sres, sCount = Some(2L)))
     assert(p.contains("BroadcastExchange"), s"no broadcast in facet plan:\n$p")
     // the triples side must not shuffle for the semi-join
     assert(!p.contains("SortMergeJoin"), s"facet fell back to SMJ:\n$p")
