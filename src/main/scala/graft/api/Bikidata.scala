@@ -40,43 +40,46 @@ final class Bikidata(
 
   private def cachePut(key: String, v: String): Unit = cache.put(key, v)
 
-  def ctx: EngineContext = ctxOpt.getOrElse {
-    val graph = warehouse.load().persist()
-    // prefer the warehouse-persisted FTS index (written at build time,
-    // like the reference's in-database index); rebuild only if absent
-    // or stale (mutations invalidate via invalidate())
-    val fts = FtsIndex.load(spark, warehouseDir)
-      .getOrElse {
-        val idx = FtsIndex.build(graph.literals)
-        try FtsIndex.write(idx, warehouseDir)
-        catch { case _: Exception => () } // read-only warehouse: keep in-memory
-        idx
-      }.persist()
-    // decode via one session-wide broadcast map while the dictionary is
-    // bounded; falls back to join-decode automatically past the cap
-    val c = EngineContext.withDictBroadcast(
-      EngineContext(graph, fts = Some(fts), embedder = embedder))
-    ctxOpt = Some(c)
-    c
+  /** Context init is synchronized against [[invalidate]]: an
+    * unsynchronized check-then-act would let a query thread that loaded
+    * the graph BEFORE a mutation reinstall its stale context AFTER the
+    * mutation's invalidate() ran (the worker pool runs N query threads
+    * against this facade), and two racing first-queries would each
+    * persist a graph + FTS index, leaking the loser's copies. */
+  def ctx: EngineContext = synchronized {
+    ctxOpt.getOrElse {
+      val graph = warehouse.load().persist()
+      // prefer the warehouse-persisted FTS index (written at build time,
+      // like the reference's in-database index); rebuild only if absent
+      // or stale (mutations invalidate via invalidate())
+      val fts = FtsIndex.load(spark, warehouseDir)
+        .getOrElse {
+          val idx = FtsIndex.build(graph.literals)
+          try FtsIndex.write(idx, warehouseDir)
+          catch { case _: Exception => () } // read-only warehouse: keep in-memory
+          idx
+        }.persist()
+      // decode via one session-wide broadcast map while the dictionary is
+      // bounded; falls back to join-decode automatically past the cap
+      val c = EngineContext.withDictBroadcast(
+        EngineContext(graph, fts = Some(fts), embedder = embedder))
+      ctxOpt = Some(c)
+      c
+    }
   }
 
-  private def invalidate(): Unit = {
+  private def invalidate(): Unit = synchronized {
     ctxOpt.foreach(_.graph.unpersist())
     ctxOpt = None
     ftssIdx = None
     cache.clear()
     // mutations make the stored derived indexes stale — drop them so the
-    // next session rebuilds (and re-persists) them
+    // next session rebuilds (and re-persists) them; Hadoop FS so the
+    // invalidation also works on an HDFS/S3 warehouse
     for (sub <- Seq("fts_postings", "fts_termstats", "fts_lists",
         "ftss_postings", "ftss_termstats", "ftss_lists",
-        "literals_semantic", "semantic_ann")) {
-      val d = new java.io.File(warehouseDir, sub)
-      if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
-    }
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(warehouseDir, "fts_meta.json"))
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(warehouseDir, "ftss_meta.json"))
+        "literals_semantic", "semantic_ann", "fts_meta.json", "ftss_meta.json"))
+      graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
   }
 
   /** Ingest N-Triples/TriG files into the warehouse (refuses if data
@@ -150,7 +153,7 @@ final class Bikidata(
     val semDir = s"$warehouseDir/literals_semantic"
     val annDir = s"$warehouseDir/semantic_ann"
     val sem =
-      if (new java.io.File(semDir).exists()) spark.read.parquet(semDir)
+      if (graft.store.StoreIO.exists(spark, semDir)) spark.read.parquet(semDir)
       else {
         val docs = buildFtss()
         val built = Semantic.buildSemantic(docs, embedder)
@@ -175,12 +178,24 @@ final class Bikidata(
 
   def query(opts: QueryOpts): QueryResult = QueryEngine.query(ctx, opts)
 
-  /** JSON-in/JSON-out with the md5-keyed result cache. */
-  def queryJson(optsJson: String): String = {
+  /** JSON-in/JSON-out with the md5-keyed result cache. `useCache = false`
+    * bypasses BOTH lookup and store (the worker tier passes the client's
+    * `use_cache` flag through — honoring it only in the pool's own cache
+    * while this facade cache still answered would defeat the opt-out).
+    * Nondeterministic queries (`random N` / `sample N` id filters) are
+    * never cached: the reference caches only in its worker tier, and a
+    * 7-day-pinned "random" sample from the direct API would be a silent
+    * behavior change. */
+  def queryJson(optsJson: String, useCache: Boolean = true): String = {
+    val opts = QueryOpts.fromJson(optsJson)
+    val nondet = opts.filters.exists(f => f.p == "id" &&
+      (f.o.startsWith("random") || f.o.startsWith("sample")))
+    if (!useCache || nondet)
+      return QueryEngine.query(ctx, opts).toJson
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(optsJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
     cacheGet(key).getOrElse {
-      val res = QueryEngine.query(ctx, QueryOpts.fromJson(optsJson)).toJson
+      val res = QueryEngine.query(ctx, opts).toJson
       cachePut(key, res)
       res
     }

@@ -128,7 +128,10 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
                 cacheHits.incrementAndGet()
                 req.promise.complete(v)
               case None =>
-                val res = bk.queryJson(req.json)
+                // pass the client's cache opt-out through: the facade
+                // keeps its own md5 cache on the same key, and answering
+                // from it would defeat use_cache=false
+                val res = bk.queryJson(req.json, useCache = useCache)
                 if (useCache) cache.put(key, res)
                 req.promise.complete(res)
             }

@@ -164,19 +164,21 @@ object FtsIndex {
       .write.mode("overwrite").parquet(s"$warehouseDir/${name}_termstats")
     listsFrom(stored).write.mode("overwrite").parquet(s"$warehouseDir/${name}_lists")
     val meta = s"""{"numDocs":${index.numDocs},"avgdl":${index.avgdl},"k1":${index.k1},"b":${index.b},${index.settings.toJsonFragment}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json"), meta)
+    graft.store.StoreIO.writeString(index.postings.sparkSession,
+      s"$warehouseDir/${name}_meta.json", meta)
   }
 
   /** Load a previously written index; None if absent. */
   def load(spark: org.apache.spark.sql.SparkSession, warehouseDir: String,
       name: String = "fts"): Option[FtsIndex] = {
-    val metaPath = java.nio.file.Paths.get(warehouseDir, s"${name}_meta.json")
-    if (!java.nio.file.Files.exists(metaPath)) None
+    // Hadoop FS, not java.nio: on HDFS/S3 a local-FS probe would always
+    // say "absent" and silently rebuild the index every session
+    val metaPath = s"$warehouseDir/${name}_meta.json"
+    if (!graft.store.StoreIO.exists(spark, metaPath)) None
     else {
       import org.json4s.jackson.JsonMethods
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val j = JsonMethods.parse(java.nio.file.Files.readString(metaPath))
+      val j = JsonMethods.parse(graft.store.StoreIO.readString(spark, metaPath))
       // settings persisted with the index so query-side analysis always
       // matches how the postings were built (older metas → defaults)
       val st = FtsSettings(
@@ -185,9 +187,11 @@ object FtsIndex {
         lower = (j \ "lower").extractOrElse[Boolean](true),
         stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
         stopwords = (j \ "stopwords").extractOrElse[String]("english"))
-      val listsDir = new java.io.File(warehouseDir, s"${name}_lists")
+      val listsDir = s"$warehouseDir/${name}_lists"
       val lists =
-        if (listsDir.exists()) Some(spark.read.parquet(listsDir.getPath)) else None
+        if (graft.store.StoreIO.exists(spark, listsDir))
+          Some(spark.read.parquet(listsDir))
+        else None
       Some(FtsIndex(
         spark.read.parquet(s"$warehouseDir/${name}_postings"),
         spark.read.parquet(s"$warehouseDir/${name}_termstats"),

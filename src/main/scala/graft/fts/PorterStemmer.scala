@@ -50,13 +50,20 @@ object PorterStemmer {
       last != 'w' && last != 'x' && last != 'y'
   }
 
-  private def replaceSuffix(w: String, suffix: String, repl: String, minM: Int): Option[String] = {
-    if (!w.endsWith(suffix)) None
-    else {
-      val stem = w.substring(0, w.length - suffix.length)
-      if (measure(stem) > minM) Some(stem + repl) else None
+  /** Canonical rule application for the list steps: the LONGEST matching
+    * suffix is selected FIRST, and if its measure condition fails the
+    * step does nothing — it must NOT fall through to a shorter suffix
+    * (Porter 1980: "the longest match wins"; e.g. step 4 on "agreement"
+    * matches `ement` with m=1, so the word survives unchanged — falling
+    * through to `ent` would wrongly yield "agreem"). */
+  private def applyLongest(w: String, rules: Seq[(String, String)], minM: Int): String =
+    rules.filter { case (suf, _) => w.endsWith(suf) }
+      .sortBy(-_._1.length).headOption match {
+      case Some((suf, rep)) =>
+        val stem = w.substring(0, w.length - suf.length)
+        if (measure(stem) > minM) stem + rep else w
+      case None => w
     }
-  }
 
   private def step1a(w: String): String =
     if (w.endsWith("sses")) w.dropRight(2)
@@ -95,34 +102,31 @@ object PorterStemmer {
     "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
     "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
 
-  private def step2(w: String): String =
-    Step2Rules.collectFirst(Function.unlift { case (suf, rep) =>
-      replaceSuffix(w, suf, rep, 0)
-    }).getOrElse(w)
+  private def step2(w: String): String = applyLongest(w, Step2Rules, 0)
 
   private val Step3Rules = Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ful" -> "", "ness" -> "")
 
-  private def step3(w: String): String =
-    Step3Rules.collectFirst(Function.unlift { case (suf, rep) =>
-      replaceSuffix(w, suf, rep, 0)
-    }).getOrElse(w)
+  private def step3(w: String): String = applyLongest(w, Step3Rules, 0)
 
   private val Step4Suffixes = Seq(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement", "ment",
     "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
 
   private def step4(w: String): String = {
-    // "ion" only strips after s or t
-    if (w.endsWith("ion")) {
-      val stem = w.dropRight(3)
-      if (stem.nonEmpty && (stem.last == 's' || stem.last == 't') && measure(stem) > 1)
-        return stem
+    // longest match across the whole step-4 list, "ion" included; its
+    // extra condition ("ion" only strips after s or t) belongs to the
+    // selected rule — a failed condition ends the step, no fallthrough
+    val candidates = Step4Suffixes ++ Seq("ion")
+    candidates.filter(w.endsWith).sortBy(-_.length).headOption match {
+      case Some(suf) =>
+        val stem = w.substring(0, w.length - suf.length)
+        val ionOk = suf != "ion" ||
+          (stem.nonEmpty && (stem.last == 's' || stem.last == 't'))
+        if (measure(stem) > 1 && ionOk) stem else w
+      case None => w
     }
-    Step4Suffixes.collectFirst(Function.unlift { suf =>
-      replaceSuffix(w, suf, "", 1)
-    }).getOrElse(w)
   }
 
   private def step5(w: String): String = {

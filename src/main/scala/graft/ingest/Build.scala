@@ -28,6 +28,8 @@ object Build {
     */
   def quads(spark: SparkSession, paths: Seq[String]): Dataset[Quad] = {
     import spark.implicits._
+    require(paths.nonEmpty,
+      "no input files: expected at least one .nt/.trig (optionally .gz) path")
     val (trig, nt) = paths.partition(_.stripSuffix(".gz").endsWith(".trig"))
     val ntQuads: Option[Dataset[Quad]] =
       if (nt.isEmpty) None

@@ -118,7 +118,7 @@ object SemanticAnn {
   }
 
   def load(spark: SparkSession, dir: String): Option[SemanticAnn] = {
-    if (!new java.io.File(s"$dir/cells").exists()) None
+    if (!graft.store.StoreIO.exists(spark, s"$dir/cells")) None
     else try {
       val meta = spark.read.parquet(s"$dir/meta").orderBy("cell").collect()
       val centroids = meta.map(_.getSeq[Float](1).toArray)

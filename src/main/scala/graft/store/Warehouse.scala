@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   */
 final class Warehouse(val spark: SparkSession, val dir: String) {
 
+  // all metadata I/O goes through the Hadoop FileSystem (StoreIO) so the
+  // warehouse works on any URI Spark itself can write (local/HDFS/S3A)
   private def exists(sub: String): Boolean =
-    new java.io.File(new java.io.File(dir), sub).exists()
+    StoreIO.exists(spark, s"$dir/$sub")
 
   private def read(sub: String): Option[DataFrame] =
     if (exists(sub)) Some(spark.read.parquet(s"$dir/$sub")) else None
@@ -49,13 +51,11 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * pre-versioning deltas (legacy seq 1) and the base (seq 0) sort
     * below every new mutation. */
   private def nextSeq(): Long = synchronized {
-    val p = java.nio.file.Paths.get(dir, "_seq")
+    val p = s"$dir/_seq"
     val cur =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+      if (StoreIO.exists(spark, p)) StoreIO.readString(spark, p).trim.toLong
       else 1L
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, (cur + 1).toString.getBytes)
+    StoreIO.writeString(spark, p, (cur + 1).toString)
     cur + 1
   }
 
@@ -187,20 +187,16 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/triples_by_s")
     g.iris.write.mode(SaveMode.Overwrite).parquet(s"$tmp/iris")
     g.literals.write.mode(SaveMode.Overwrite).parquet(s"$tmp/literals")
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staging = Paths.get(dir, "_pre_compact")
-    Files.createDirectories(staging)
+    val staging = s"$dir/_pre_compact"
+    StoreIO.mkdirs(spark, staging)
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals", "triples_delta",
-        "iris_delta", "literals_delta", "tombstones", "tombstones_spg", "_seq")) {
-      val p = Paths.get(dir, sub)
-      if (Files.exists(p))
-        Files.move(p, staging.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
-    }
+        "iris_delta", "literals_delta", "tombstones", "tombstones_spg", "_seq"))
+      if (exists(sub)) StoreIO.rename(spark, s"$dir/$sub", s"$staging/$sub")
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
-      Files.move(Paths.get(tmp, sub), Paths.get(dir, sub), StandardCopyOption.ATOMIC_MOVE)
+      StoreIO.rename(spark, s"$tmp/$sub", s"$dir/$sub")
     // everything new is live — only now drop the old copy + write garbage
-    new scala.reflect.io.Directory(staging.toFile).deleteRecursively()
-    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    StoreIO.delete(spark, staging)
+    StoreIO.delete(spark, tmp)
   }
 
   /** Roll back a compact() that crashed mid-swap: if the staged old
@@ -208,24 +204,17 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * copy wholesale (a COMPLETE live base means the crash happened
     * after install, so the staging dir is just leftover garbage). */
   private def recoverIfNeeded(): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staging = Paths.get(dir, "_pre_compact")
-    if (!Files.exists(staging)) return
+    val staging = s"$dir/_pre_compact"
+    if (!StoreIO.exists(spark, staging)) return
     val baseComplete = Seq("triples", "triples_by_s", "iris", "literals")
-      .forall(sub => Files.exists(Paths.get(dir, sub)))
+      .forall(exists)
     if (!baseComplete) {
       // drop any half-installed new dirs, then restore the old store
       for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
-        if (Files.exists(Paths.get(dir, sub)))
-          new scala.reflect.io.Directory(new java.io.File(dir, sub)).deleteRecursively()
-      val it = Files.list(staging).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        Files.move(p, Paths.get(dir, p.getFileName.toString),
-          StandardCopyOption.ATOMIC_MOVE)
-      }
+        if (exists(sub)) StoreIO.delete(spark, s"$dir/$sub")
+      for (name <- StoreIO.list(spark, staging))
+        StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
     }
-    new scala.reflect.io.Directory(staging.toFile).deleteRecursively()
-    ()
+    StoreIO.delete(spark, staging)
   }
 }

@@ -49,34 +49,65 @@ object Streaming {
 
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): a session closes after `gapMinutes` of
-    * user inactivity (via event-time timeout when streaming). */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    * user inactivity.
+    *
+    * Batch mode (one group call per user): every session, including the
+    * trailing one, is emitted — this is the oracle-checked gate path.
+    * Streaming mode: only CLOSED sessions are emitted; the open session
+    * is held in state with an EVENT-TIME timeout at `last + gap`, and is
+    * emitted exactly once when the watermark (set here from `lateness`)
+    * passes that point — emitting the open session every micro-batch
+    * would append overlapping duplicates of the same session to the
+    * sink. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      lateness: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch mode: all of a user's events arrive in one group call
-          val times = rows.map(_.ts.getTime).toVector.sorted
-          var sessions = Vector.empty[UserSession]
-          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
-          times.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                sessions :+= UserSession(userId, s.start, s.last, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (streaming && state.hasTimedOut) {
+            // inactivity gap elapsed in event time: close the session
+            val out = state.getOption.toList.flatten
+              .map(s => UserSession(userId, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val times = rows.map(_.ts.getTime).toVector.sorted
+            var closed = Vector.empty[UserSession]
+            var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed :+= UserSession(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            if (streaming) {
+              cur.foreach { s =>
+                state.update(List(s))
+                // the timeout must sit strictly past the current
+                // watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              }
+            } else {
+              // batch: one call sees everything — emit the trailing
+              // session too (there is no later batch to close it)
+              cur.foreach(s => closed :+= UserSession(userId, s.start, s.last, s.n))
+            }
+            closed.iterator
           }
-          cur.foreach { s =>
-            sessions :+= UserSession(userId, s.start, s.last, s.n)
-            state.update(List(s))
-          }
-          sessions.iterator
       }
   }
 
@@ -93,7 +124,11 @@ object Streaming {
       md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
     val bounded = eventTimeCol match {
       case Some(tc) if docs.isStreaming =>
-        keyed.withWatermark(tc, lateness).dropDuplicates("__fp", tc)
+        // dropDuplicatesWithinWatermark keys on the FINGERPRINT alone
+        // (a plain dropDuplicates("__fp", tc) would let the same text
+        // through whenever its timestamp differs) while still letting
+        // the watermark expire per-key state
+        keyed.withWatermark(tc, lateness).dropDuplicatesWithinWatermark("__fp")
       case _ => keyed.dropDuplicates("__fp")
     }
     bounded.drop("__fp")
@@ -104,7 +139,20 @@ object Streaming {
   /** Streaming RDF ingest: watch a directory for N-Triples files, parse +
     * hash each micro-batch, append to the warehouse's delta datasets via
     * `foreachBatch` — the streaming counterpart of [[graft.ingest.Build]].
-    * Exactly-once per file via the file-source + checkpoint contract. */
+    *
+    * `foreachBatch` is AT-LEAST-ONCE (a crash between the parquet append
+    * and the checkpoint commit re-delivers the batch), so every append
+    * is made idempotent by anti-joining the batch against the store's
+    * current contents: re-delivered triples and terms are filtered out,
+    * and a torn batch (triples landed, dictionaries didn't) self-heals
+    * on the retry. The dictionary anti-join also maintains the invariant
+    * `Warehouse.composeDict` relies on — only terms proven ABSENT from
+    * base ∪ delta are appended (a term already in the base would
+    * otherwise become a duplicate dictionary row and fan out every
+    * decode join). Consequence of idempotence: a quad re-ASSERTED in a
+    * later file is indistinguishable from redelivery and is skipped,
+    * where a batch [[graft.ingest.Build]] over the same files would keep
+    * both copies. */
   def streamNt(spark: SparkSession, watchDir: String, warehouseDir: String,
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
@@ -114,20 +162,28 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[graft.ingest.Quad], _: Long) =>
         val df = batch.toDF()
-        df.select(
-            Hash64(col("s")).as("s"), Hash64(col("p")).as("p"),
-            Hash64(col("o")).as("o"), Hash64(col("g")).as("g"))
-          .write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
+        // None until the first batch lands (an empty warehouse has
+        // nothing to dedupe against)
+        val existing = scala.util.Try(
+          new graft.store.Warehouse(spark, warehouseDir).load()).toOption
+        val hashed = df.select(
+          Hash64(col("s")).as("s"), Hash64(col("p")).as("p"),
+          Hash64(col("o")).as("o"), Hash64(col("g")).as("g"))
+        val newTriples = existing.fold(hashed)(g =>
+          hashed.join(g.triples, Seq("s", "p", "o", "g"), "left_anti"))
+        newTriples.write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
         val terms = df.select(col("s").as("value"))
           .union(df.select(col("p").as("value")))
           .union(df.select(col("o").as("value")))
           .union(df.select(col("g").as("value")))
           .distinct()
           .select(Hash64(col("value")).as("hash"), col("value"))
-        terms.filter(substring(col("value"), 1, 1) === "\"")
+        val newTerms = existing.fold(terms)(g =>
+          terms.join(g.dict.select("hash"), Seq("hash"), "left_anti"))
+        newTerms.filter(substring(col("value"), 1, 1) === "\"")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/literals_delta")
         // empty default-graph name is not decodable (Build quirk parity)
-        terms.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
+        newTerms.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/iris_delta")
         ()
       }

@@ -11,7 +11,11 @@ class FtsSpec extends SparkSpec {
       "motoring" -> "motor", "sing" -> "sing", "happy" -> "happi",
       "relational" -> "relat", "conditional" -> "condit",
       "hopeful" -> "hope", "goodness" -> "good",
-      "skywalker" -> "skywalk", "building" -> "build")
+      "skywalker" -> "skywalk", "building" -> "build",
+      // longest-match-only: step 4 selects `ement` (m=1, condition
+      // fails, word unchanged) and must NOT fall through to `ent`
+      "agreement" -> "agreement", "replacement" -> "replac",
+      "adjustment" -> "adjust", "allowance" -> "allow")
     for ((in, out) <- cases)
       assert(PorterStemmer.stem(in) === out, s"stem($in)")
   }

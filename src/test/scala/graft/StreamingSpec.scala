@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).endMs - sessions(0).startMs === 5 * 60 * 1000L)
   }
 
+  test("streaming sessionize emits each session exactly once (event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS(), gapMinutes = 30, lateness = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // user 1: two events 5 min apart -> ONE session; must not be emitted
+    // per-batch while open
+    mem.addData(Seq(Event(1, ts(5), 1, "click", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(2, ts(10), 1, "click", 2.0)))
+    q.processAllAvailable()
+    assert(spark.table("sess_stream").count() === 0) // still open, nothing emitted
+    // advance the watermark past last(10) + gap(30) + lateness(10): an
+    // unrelated user's late event at t=120 sets watermark to 110
+    mem.addData(Seq(Event(3, ts(120), 2, "click", 3.0)))
+    q.processAllAvailable()
+    // the timeout fires on the NEXT batch after the watermark advances
+    mem.addData(Seq(Event(4, ts(125), 2, "click", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(rows === Seq((1L, 2))) // exactly one closed session, 2 events
+  }
+
+  test("streaming dedup with watermark drops same-text rows with different timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streaming.dedupStream(mem.toDF().toDF("doc_id", "ts", "text"),
+        "text", eventTimeCol = Some("ts"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    mem.addData(Seq(
+      (1L, ts(0), "same doc body"),
+      (2L, ts(5), "same doc body"),   // same text, DIFFERENT ts -> dropped
+      (3L, ts(6), "other content")))
+    q.processAllAvailable()
+    mem.addData(Seq((4L, ts(20), "same doc body"))) // later batch, in window
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("dedupStream drops duplicate texts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
