@@ -61,13 +61,11 @@ object Dedup {
   }
 
   /** LSH band table: (id, band, band_hash) — r rows per doc. */
-  def minhashBands(sigs: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val k = bands // rows-per-band derived from signature length at runtime
+  def minhashBands(sigs: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
     sigs.select(col(idCol).as("id"),
         posexplode(transformBands(col(sigCol), bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-  }
 
   /** Split a signature array into `bands` slices and hash each slice. */
   private def transformBands(sig: Column, bands: Int): Column = {
@@ -80,6 +78,12 @@ object Dedup {
     * Pairwise expansion happens only inside buckets. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, shingleN: Int = 3, bands: Int = 16): DataFrame = {
+    // bands must tile the signature exactly: bands > k would make every
+    // band slice empty (one constant hash → all docs collide pairwise,
+    // an O(n²) cross product), and a non-divisor silently drops
+    // signature elements, degrading recall with no error
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k)")
     val sigs = df.select(col(idCol).as("id"),
       minhashUdf(k, shingleN)(col(textCol)).as("sig"))
     val bandTable = minhashBands(sigs, "id", "sig", bands)
@@ -234,6 +238,15 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      // a non-converged label table under-merges: nodes still holding a
+      // provisional label look like extra canonicals downstream
+      // (keepFromPairs would keep duplicate chains). Surface it loudly —
+      // the caller should raise maxRounds past the component diameter.
+      System.err.println(
+        s"[dedup] clusters() hit maxRounds=$maxRounds before convergence — " +
+          "labels are partial; raise maxRounds (components deeper than the " +
+          "round count under-merge)")
     labels
   }
 

@@ -25,10 +25,17 @@ object Ivf {
   }
 
   /** Fixed-iteration k-means on a sample (driver-side; the sample is
-    * small and the centroid count smaller). */
+    * small and the centroid count smaller). The sample is ordered by a
+    * salted hash OF THE VECTOR BYTES, not `rand(seed)` — rand's per-task
+    * seeds move with the partition layout, so the "seeded" sample (and
+    * with it every centroid and cell assignment) would change whenever
+    * the same corpus was read with a different split; the hash ordering
+    * is a pure function of the data. */
   def trainCentroids(emb: DataFrame, vecCol: String, nLists: Int,
       sampleSize: Int = 2048, iterations: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = emb.select(vecCol).orderBy(rand(seed)).limit(sampleSize)
+    val sample = emb.select(col(vecCol))
+      .orderBy(xxhash64(concat_ws(",", transform(col(vecCol), _.cast("string"))), lit(seed)))
+      .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val k = math.min(nLists, sample.length)

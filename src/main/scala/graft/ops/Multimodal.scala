@@ -88,6 +88,7 @@ object Multimodal {
     * the one genuinely un-runnable step in this container). */
   def featuresStub(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
     val v = new Array[Float](dim)
+    if (bytes == null) return v // null media column: zero vector, no NPE
     var i = 0
     while (i < bytes.length) {
       v(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1.0f
@@ -259,6 +260,7 @@ object Multimodal {
     * downsampling to a target "pixel" budget. Output size is
     * min(input, targetW*targetH) — monotone like a real downscale. */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (bytes == null) return Array.emptyByteArray // null media column
     val budget = targetW * targetH
     if (bytes.length <= budget) bytes
     else {

@@ -25,7 +25,11 @@ object Quantize {
     * identical everywhere. Output: id, scale_e6 (scale in 10⁻⁶ units as
     * BIGINT — integer-exact, no decimal-rendering channel), qsum (sum of
     * the int8 codes — the exact checksum an oracle can reproduce), n_sat
-    * (saturated components). */
+    * (components at FULL SCALE, |code| = 127 — under max-abs scaling the
+    * clamp never actually engages, so this is ≥ 1 for any nonzero vector
+    * and reads as "how concentrated is the vector's energy", not as a
+    * clipping alarm; the clamp stays as defense for a future
+    * percentile-scale variant where clipping is real). */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val scale = array_max(transform(v, x => abs(x)))

@@ -22,11 +22,15 @@ object Selection {
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
       tokensCol: String, budget: Long, shards: Int = 8): DataFrame = {
     require(shards > 0, "shards must be positive")
-    require(budget > 0, "budget must be positive")
+    require(budget >= shards,
+      s"budget ($budget) below shards ($shards) would select nothing")
     val shardBudget = budget / shards
     val w = Window.partitionBy(col("shard"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("shard", (col(idCol) % shards).cast("long"))
+    // pmod, not %: negative ids under % would mint up to 2·shards−1
+    // shard groups, each granted budget/shards — overshooting the total
+    // budget (Packing uses pmod for the same reason)
+    df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
       .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= shardBudget)
   }

@@ -73,14 +73,22 @@ object Similarity {
   }
 
   /** Approximate top-k: search the query's bucket plus all 1-bit-flip
-    * neighbor buckets (multi-probe), then exact cosine within. */
+    * neighbor buckets (multi-probe), then exact cosine within. `planes`
+    * and `dim` MUST match the [[buildLsh]] call that produced
+    * `bucketed` — the query's sign pattern is only comparable to the
+    * stored buckets under the SAME hyperplanes, so the query dot uses
+    * the index's `dim` (not the query's own length, which would derive
+    * different planes and probe the wrong buckets whenever the two
+    * differ). */
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, planes: Int = 12): DataFrame = {
-    val hp = hyperplanes(query.length, planes)
+      query: Array[Float], k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(dim, planes)
     var bucket = 0L
     for (p <- hp.indices) {
       var dot = 0.0
-      for (i <- query.indices) dot += hp(p)(i) * query(i)
+      var i = 0
+      val n = math.min(query.length, dim)
+      while (i < n) { dot += hp(p)(i) * query(i); i += 1 }
       if (dot >= 0) bucket |= (1L << p)
     }
     val probes = bucket +: (0 until planes).map(b => bucket ^ (1L << b))

@@ -87,6 +87,7 @@ object Rdfize {
     case DateCol =>
       val d = dt match {
         case org.apache.spark.sql.types.TimestampNTZType => c.cast("date")
+        case org.apache.spark.sql.types.DateType => c // already TZ-free
         case _ => date_add(lit(java.sql.Date.valueOf("1970-01-01")),
           floor(c.cast("long") / 86400).cast("int"))
       }
@@ -139,19 +140,38 @@ object Rdfize {
   def ctx(spark: SparkSession, sfDir: String): EngineContext =
     cache.computeIfAbsent(sfDir, { _ =>
       val wh = cacheDir(sfDir)
-      if (!new java.io.File(s"$wh/triples").exists()) {
-        val built = Build.graphFromQuads(spark, quads(spark, sfDir))
+      // the cache is only trusted when the `_complete` marker exists —
+      // it is written LAST, after the warehouse and the FTS index, so a
+      // crash/disk-full mid-write can never leave a partial directory
+      // that a later (or concurrent) JVM would silently load. Builds go
+      // to a per-process tmp dir and publish with one rename; losing a
+      // publish race just means another JVM finished first.
+      val complete = new java.io.File(s"$wh/_complete")
+      if (!complete.exists()) {
+        val tmp = wh + ".tmp-" + ProcessHandle.current().pid()
         try {
-          Build.write(built, wh)
+          val built = Build.graphFromQuads(spark, quads(spark, sfDir))
+          Build.write(built, tmp)
           FtsIndex.write(FtsIndex.build(
-            spark.read.parquet(s"$wh/literals")), wh)
+            spark.read.parquet(s"$tmp/literals")), tmp)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(tmp, "_complete"), "1")
+          val whFile = new java.io.File(wh)
+          Option(whFile.getParentFile).foreach(_.mkdirs())
+          // a marker-less wh dir is garbage from a crashed pre-marker run
+          if (whFile.exists() && !complete.exists())
+            new scala.reflect.io.Directory(whFile).deleteRecursively()
+          if (!new java.io.File(tmp).renameTo(whFile))
+            new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
         } catch { case e: Exception =>
           // unwritable cache dir: fall back to a fully in-memory build
           System.err.println(s"[rdfize] cache write failed ($e); in-memory build")
+          new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+          ()
         }
       }
       val (graph, fts) =
-        if (new java.io.File(s"$wh/triples").exists())
+        if (complete.exists())
           (Build.load(spark, wh).persist(),
             FtsIndex.load(spark, wh).getOrElse(FtsIndex.build(
               spark.read.parquet(s"$wh/literals"))))
