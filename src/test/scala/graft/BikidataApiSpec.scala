@@ -85,6 +85,12 @@ class BikidataApiSpec extends SparkSpec {
     now += 2
     val r3 = bk.queryJson(opts)
     assert(!(r3 eq r1) && r3 === r1)
+    // useCache=false bypasses lookup AND store on the facade itself
+    val r4 = bk.queryJson(opts, useCache = false)
+    assert(!(r4 eq r3) && r4 === r3)
+    // nondeterministic queries (random/sample) are never cached
+    val rnd = """{"filters":[{"p":"id","o":"random 1"}]}"""
+    assert(!(bk.queryJson(rnd) eq bk.queryJson(rnd)))
   }
 
   test("buildFtss persists the doc-table index (fts_main_fts parity)") {

@@ -44,6 +44,30 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir, "triples_delta").exists())
   }
 
+  test("load() rolls back a compact() that crashed mid-swap") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    val before = wh.load().triples.count()
+    // simulate the crash window: the old store is fully staged under
+    // _pre_compact but the new base was never installed
+    val staging = new java.io.File(dir, "_pre_compact")
+    staging.mkdirs()
+    for (sub <- Seq("triples", "triples_by_s", "iris", "literals")) {
+      val src = new java.io.File(dir, sub)
+      if (src.exists()) assert(src.renameTo(new java.io.File(staging, sub)))
+    }
+    // the live dir now has no base at all — load() must restore it
+    val recovered = wh.load()
+    assert(recovered.triples.count() === before)
+    assert(!staging.exists(), "staging dir should be cleaned up after recovery")
+    // a completed swap (staging present AND base complete) just drops staging
+    staging.mkdirs()
+    assert(wh.load().triples.count() === before)
+    assert(!staging.exists())
+  }
+
   test("delete then re-insert brings the triple back (sequenced tombstones)") {
     import spark.implicits._
     val dir = freshDir()
