@@ -324,6 +324,29 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 3L), (1L, 1L, 40L), (15L, 1L, 700L)))
   }
 
+  test("JSONL source: round-trip, gzip shards, corrupt-line quarantine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docsOut = Seq(
+      (1L, "alpha beta", "en", "src0"),
+      (2L, "gamma delta", "en", "src1")).toDF("doc_id", "text", "lang", "source")
+    graft.ops.Sources.writeJsonlDocs(docsOut, s"$dir/corpus")
+    val back = graft.ops.Sources.readJsonlDocs(spark, s"$dir/corpus")
+      .orderBy("doc_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "alpha beta"), (2L, "gamma delta")))
+    // quarantine: one good line, one broken line
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "mixed.jsonl"),
+      """{"doc_id": 7, "text": "fine", "lang": "en", "source": "s"}
+        |{"doc_id": oops not json
+        |""".stripMargin)
+    val (good, rejects) = graft.ops.Sources.readJsonlDocsWithRejects(
+      spark, s"$dir/mixed.jsonl")
+    assert(good.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    val rej = rejects.collect().map(_.getString(0))
+    assert(rej.length === 1 && rej(0).contains("oops"))
+  }
+
   test("budget selection: per-shard greedy prefix, deterministic ties") {
     // one shard so the hand computation is simple: budget 100 / 1 shard
     val scored = Seq(

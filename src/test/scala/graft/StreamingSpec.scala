@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).endMs - sessions(0).startMs === 5 * 60 * 1000L)
   }
 
+  test("corpus-stats aggregation runs identically under streaming (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextAnalysis
+    val rows = Seq((1L, "a b c"), (2L, (1 to 40).map(_ => "w").mkString(" ")),
+      (3L, "x y"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.lengthHistogram(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2)); q.processAllAvailable()
+    mem.addData(rows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_stream").collect().map(_.toSeq).toSet
+    val batch = TextAnalysis.lengthHistogram(rows.toDF("doc_id", "text"), "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming sessionize emits each session exactly once (event-time timeout)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
