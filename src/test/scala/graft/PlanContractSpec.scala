@@ -127,6 +127,27 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("budget selection: one shard-window exchange, no join") {
+    import spark.implicits._
+    val scored = (1L to 100L).map(i => (i, i % 7 + 1, i * 0.01))
+      .toDF("id", "toks", "score")
+    val p = plan(graft.ops.Selection.selectByBudget(
+      scored, "id", "score", "toks", budget = 200L, shards = 4))
+    assert(!p.contains("Join"), s"selection plan joins:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"selection should shuffle once (the shard window):\n$p")
+  }
+
+  test("dup-span stats: window + aggregate, never a pairwise join") {
+    import spark.implicits._
+    val docsDf = (1L to 30L).map(i =>
+      (i, (1 to 12).map(j => s"w${(i + j) % 9}").mkString(" "))).toDF("id", "text")
+    val p = plan(graft.ops.Decontam.dupSpanStats(docsDf, "id", "text", n = 8))
+    assert(!p.contains("Join"), s"dupSpanStats must not join (gram explode would run twice):\n$p")
+    // gram-partition window + per-doc aggregate: exactly two exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, s"dupSpanStats over-shuffles:\n$p")
+  }
+
   test("centroid aggregate is partial (map-side combine) over exact integer units") {
     import spark.implicits._
     val vecs = (1L to 20L).map(i => (i, Array(0.1f * i, -0.2f), (i % 3).toInt))
