@@ -26,15 +26,16 @@ object Ivf {
 
   /** Fixed-iteration k-means on a sample (driver-side; the sample is
     * small and the centroid count smaller). The sample is ordered by a
-    * salted hash OF THE VECTOR BYTES, not `rand(seed)` — rand's per-task
-    * seeds move with the partition layout, so the "seeded" sample (and
-    * with it every centroid and cell assignment) would change whenever
-    * the same corpus was read with a different split; the hash ordering
-    * is a pure function of the data. */
+    * seeded hash OF THE VECTOR (Spark's codegen'd murmur3 over the
+    * array — no per-row string mangling), not `rand(seed)`: rand's
+    * per-task seeds move with the partition layout, so the "seeded"
+    * sample (and with it every centroid and cell assignment) would
+    * change whenever the same corpus was read with a different split;
+    * the hash ordering is a pure function of the data. */
   def trainCentroids(emb: DataFrame, vecCol: String, nLists: Int,
       sampleSize: Int = 2048, iterations: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
     val sample = emb.select(col(vecCol))
-      .orderBy(xxhash64(concat_ws(",", transform(col(vecCol), _.cast("string"))), lit(seed)))
+      .orderBy(hash(col(vecCol), lit(seed.toInt)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
