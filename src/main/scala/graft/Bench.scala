@@ -21,23 +21,33 @@ object Bench {
     // workers, workers.py — pays it once per plan shape), then the
     // MEDIAN of 3 timed runs so single-run scheduler/GC noise (±20-30%
     // on this box) can't masquerade as a regression between rounds.
+    // A throwing query reports -1 (the driver contract's failure
+    // sentinel) — timing the exception path would record a breakage as
+    // a ~20 ms "speedup" and silently improve the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
-      name -> times(1)
+      name -> (if (times.head < 0) -1.0 else times(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val note = "median of 3 steady-state runs per query (1 untimed codegen " +
-      "warm run first); warmup_build_sec = one-time RDF-ization + dictionary " +
-      "broadcast + FTS/semantic index build, the ingest phase a DuckDB " +
-      "baseline performs before its own timings"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"notes":"$note","sf":"$sfDir"}""")
+      "warm run first; -1 = query threw); warmup_build_sec = one-time " +
+      "RDF-ization + dictionary broadcast + FTS/semantic index build, the " +
+      "ingest phase a DuckDB baseline performs before its own timings"
+    // sfDir comes from the environment — escape it like every other
+    // string so a hostile/odd path cannot corrupt the JSON line
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}""")
     PipelineQueries.clearCaches()
     spark.stop()
   }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Inspect {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = args.lift(1).filterNot(_.startsWith("--"))
+    // first non-flag token after the name, wherever it sits — a flag
+    // before the dir must not silently fall back to the default sf
+    val sfDir = args.drop(1).find(!_.startsWith("--"))
       .getOrElse("/root/testdata/sf0.01")
     val doExplain = args.contains("--explain")
     val cold = args.contains("--cold")

@@ -280,7 +280,11 @@ object RdfQueries {
     // §2.11 recursive paths to the hierarchy root
     "q_rdf_paths" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      val opts = QueryOpts(filters = Seq(FilterQ(p = ParentIri, o = "<urn:t:nation:3>")))
+      // explicit unpaged size: the oracle has no LIMIT, so relying on
+      // the default 999-row page would truncate the engine side (and
+      // red the gate) at scale factors where the set outgrows a page
+      val opts = QueryOpts(filters = Seq(FilterQ(p = ParentIri, o = "<urn:t:nation:3>")),
+        size = 1000000)
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
       val p = QueryEngine.paths(ctx, ParentIri, wanted)

@@ -41,8 +41,13 @@ object SparkEntry {
     import scala.concurrent.ExecutionContext.Implicits.global
     val ftsF = Future(ctx.fts.foreach(_.postingLists.count()))
     val semF = Future(graft.rdfize.Rdfize.semantic(spark, sfDir))
-    Await.result(ftsF, Duration.Inf)
-    Await.result(semF, Duration.Inf)
+    // await BOTH before propagating a failure: rethrowing on the first
+    // await would leave the other build running its Spark jobs
+    // concurrently with Bench's timed queries, inflating their medians
+    val r1 = scala.util.Try(Await.result(ftsF, Duration.Inf))
+    val r2 = scala.util.Try(Await.result(semF, Duration.Inf))
+    r1.get; r2.get
+    ()
   }
 
   def oracleSql: Map[String, String] =
