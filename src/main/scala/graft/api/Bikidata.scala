@@ -88,8 +88,7 @@ final class Bikidata(
     * reference's `build(paths, stemmer)`; `BIKIDATA_FTS_SETTINGS`
     * overrides wholesale (main.py:206-216). */
   def build(paths: Seq[String], stemmer: String = "porter"): Long = {
-    val g = Build.graphFromFiles(spark, paths)
-    Build.write(g, warehouseDir)
+    Build.writeFromQuads(spark, Build.quads(spark, paths).toDF(), warehouseDir)
     invalidate()
     val settings = graft.fts.FtsSettings.resolve(stemmer)
     val idx = FtsIndex.build(spark.read.parquet(s"$warehouseDir/literals"),
@@ -104,8 +103,7 @@ final class Bikidata(
     * __init__.py). Columns (s, p, o, g) in N3 surface form; the same
     * non-empty-warehouse refusal applies. */
   def buildFromQuads(quads: DataFrame, stemmer: String = "porter"): Long = {
-    val g = Build.graphFromQuads(spark, quads)
-    Build.write(g, warehouseDir)
+    Build.writeFromQuads(spark, quads, warehouseDir)
     invalidate()
     val settings = graft.fts.FtsSettings.resolve(stemmer)
     val idx = FtsIndex.build(spark.read.parquet(s"$warehouseDir/literals"),

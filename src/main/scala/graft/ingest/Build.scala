@@ -105,6 +105,20 @@ object Build {
     graph.literals.write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/literals")
   }
 
+  /** [[write]] with the source quads PERSISTED across the output jobs:
+    * the four parquet writes and the two dictionary derivations are all
+    * rooted at the same parse+render+hash plan, so an unpersisted cold
+    * build re-executes it once per output (~4× the ingest work). The
+    * persist is scoped to the write and released before returning. */
+  def writeFromQuads(spark: SparkSession, quadsDf: DataFrame,
+      warehouseDir: String): Unit = {
+    val q = quadsDf.persist()
+    try {
+      q.count() // materialize once, before the fan-out
+      write(graphFromQuads(spark, q), warehouseDir)
+    } finally { q.unpersist(); () }
+  }
+
   def load(spark: SparkSession, warehouseDir: String): Graph =
     Graph(
       spark,

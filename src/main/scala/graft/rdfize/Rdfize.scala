@@ -150,8 +150,7 @@ object Rdfize {
       if (!complete.exists()) {
         val tmp = wh + ".tmp-" + ProcessHandle.current().pid()
         try {
-          val built = Build.graphFromQuads(spark, quads(spark, sfDir))
-          Build.write(built, tmp)
+          Build.writeFromQuads(spark, quads(spark, sfDir), tmp)
           FtsIndex.write(FtsIndex.build(
             spark.read.parquet(s"$tmp/literals")), tmp)
           java.nio.file.Files.writeString(
