@@ -59,6 +59,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     cur + 1
   }
 
+  /** One fresh mutation sequence number for an external writer (the
+    * streaming ingest stamps each micro-batch's delta append with one,
+    * keeping the delta schema uniform with [[insert]]'s rows and the
+    * tombstone ordering correct for stream-re-asserted quads). Same
+    * single-writer counter as [[insert]]/[[delete]]. */
+  def nextMutationSeq(): Long = nextSeq()
+
   /** Default `seq` for parts written before versioning: deltas sort as
     * early inserts (1), tombstones as latest (MaxValue) — both reproduce
     * the old unordered behavior. */
@@ -192,6 +199,11 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals", "triples_delta",
         "iris_delta", "literals_delta", "tombstones", "tombstones_spg", "_seq"))
       if (exists(sub)) StoreIO.rename(spark, s"$dir/$sub", s"$staging/$sub")
+    // completion marker: only a FULLY staged copy may be treated as
+    // authoritative by recovery — a crash inside the loop above leaves
+    // some dirs still live, and restoring the partial staging wholesale
+    // would first delete them (the data-loss window this marker closes)
+    StoreIO.writeString(spark, s"$staging/${Warehouse.StagedMarker}", "1")
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
       StoreIO.rename(spark, s"$tmp/$sub", s"$dir/$sub")
     // everything new is live — only now drop the old copy + write garbage
@@ -199,22 +211,50 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     StoreIO.delete(spark, tmp)
   }
 
-  /** Roll back a compact() that crashed mid-swap: if the staged old
-    * store exists and the live base is incomplete, restore the staging
-    * copy wholesale (a COMPLETE live base means the crash happened
-    * after install, so the staging dir is just leftover garbage). */
+  /** Roll back a compact() that crashed mid-swap.
+    *
+    * Two distinct crash windows, told apart by the staging completion
+    * marker ([[Warehouse.StagedMarker]], written only after EVERY live
+    * entry was renamed into `_pre_compact`):
+    *
+    *  - marker present — the staged copy is the complete old store. If
+    *    the live base is incomplete the crash hit mid-install: drop the
+    *    half-installed new dirs and restore the staging copy wholesale.
+    *    (A complete live base means the crash happened after install,
+    *    so staging is just leftover garbage.)
+    *  - marker absent — the crash hit mid-STAGING: some entries are
+    *    still live and were never staged. Deleting anything live here
+    *    would destroy the only copy (e.g. `iris` not yet staged while
+    *    `triples` already was). Instead, move each staged entry back
+    *    beside the still-live ones, deleting nothing. */
   private def recoverIfNeeded(): Unit = {
     val staging = s"$dir/_pre_compact"
     if (!StoreIO.exists(spark, staging)) return
-    val baseComplete = Seq("triples", "triples_by_s", "iris", "literals")
-      .forall(exists)
-    if (!baseComplete) {
-      // drop any half-installed new dirs, then restore the old store
-      for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
-        if (exists(sub)) StoreIO.delete(spark, s"$dir/$sub")
-      for (name <- StoreIO.list(spark, staging))
+    val stagingComplete = StoreIO.exists(spark, s"$staging/${Warehouse.StagedMarker}")
+    if (stagingComplete) {
+      val baseComplete = Seq("triples", "triples_by_s", "iris", "literals")
+        .forall(exists)
+      if (!baseComplete) {
+        // drop any half-installed new dirs, then restore the old store
+        for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
+          if (exists(sub)) StoreIO.delete(spark, s"$dir/$sub")
+        for (name <- StoreIO.list(spark, staging)
+            if name != Warehouse.StagedMarker)
+          StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
+      }
+    } else {
+      // partial staging: restore staged entries next to the live ones;
+      // never delete — the live dir may hold the only copy of the rest
+      for (name <- StoreIO.list(spark, staging) if !exists(name))
         StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
     }
     StoreIO.delete(spark, staging)
+    // compact()'s write dir is garbage in every recovered state
+    StoreIO.delete(spark, s"$dir/_compact")
   }
+}
+
+object Warehouse {
+  /** Name of the staging-complete marker inside `_pre_compact`. */
+  val StagedMarker = "_STAGED"
 }

@@ -162,16 +162,30 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[graft.ingest.Quad], _: Long) =>
         val df = batch.toDF()
-        // None until the first batch lands (an empty warehouse has
-        // nothing to dedupe against)
-        val existing = scala.util.Try(
-          new graft.store.Warehouse(spark, warehouseDir).load()).toOption
+        val wh = new graft.store.Warehouse(spark, warehouseDir)
+        // None only for a genuinely EMPTY warehouse (nothing to dedupe
+        // against yet). Any other load failure — transient FS error,
+        // concurrent compact, corrupt read — must fail the batch so the
+        // checkpoint retries it; swallowing it would skip the
+        // idempotence anti-joins and append duplicate dictionary rows
+        // that fan out every later decode join.
+        val existing =
+          try Some(wh.load())
+          catch {
+            case e: IllegalStateException
+                if Option(e.getMessage).exists(_.contains("has no")) => None
+          }
         val hashed = df.select(
           Hash64(col("s")).as("s"), Hash64(col("p")).as("p"),
           Hash64(col("o")).as("o"), Hash64(col("g")).as("g"))
         val newTriples = existing.fold(hashed)(g =>
           hashed.join(g.triples, Seq("s", "p", "o", "g"), "left_anti"))
-        newTriples.write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
+        // stamp the append with a real mutation seq: keeps the delta
+        // schema uniform with Warehouse.insert's rows (no mixed parquet
+        // footers) and lets a stream-re-asserted quad outrank an earlier
+        // tombstone instead of being stuck at the legacy default seq=1
+        newTriples.withColumn("seq", lit(wh.nextMutationSeq()))
+          .write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
         val terms = df.select(col("s").as("value"))
           .union(df.select(col("p").as("value")))
           .union(df.select(col("o").as("value")))

@@ -187,4 +187,31 @@ class StreamingSpec extends SparkSpec {
     // streamed hashes must equal batch-side hashing of the same terms
     assert(graph.iris.filter(col("value") === "<http://ex/a>").count() === 1)
   }
+
+  test("streamNt appends are seq-stamped: re-asserted quad outranks a delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val watch = s"$dir/watch"; val whDir = s"$dir/wh"; val ckpt = s"$dir/ckpt"
+    new java.io.File(watch).mkdirs()
+    val q = Streaming.streamNt(spark, watch, whDir, ckpt)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(watch, "batch1.nt"),
+      "<http://ex/a> <http://ex/p> \"v1\" .\n")
+    q.processAllAvailable()
+    // delta rows carry a real seq column (uniform schema with insert())
+    val delta = spark.read.parquet(s"$whDir/triples_delta")
+    assert(delta.columns.contains("seq"),
+      "streaming delta append must be seq-stamped")
+    val wh = new graft.store.Warehouse(spark, whDir)
+    // tombstone the streamed quad, then the STREAM re-asserts it — the
+    // re-assert must carry a later seq than the tombstone and reappear
+    assert(wh.delete(Seq(("<http://ex/a>", "<http://ex/p>", Some("\"v1\""), ""))).error.isEmpty)
+    assert(wh.load().triples.count() === 0)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(watch, "batch2.nt"),
+      "<http://ex/a> <http://ex/p> \"v1\" .\n")
+    q.processAllAvailable()
+    q.stop()
+    assert(wh.load().triples.count() === 1,
+      "stream-re-asserted quad must not stay tombstone-suppressed")
+  }
 }

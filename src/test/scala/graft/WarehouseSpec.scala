@@ -68,6 +68,57 @@ class WarehouseSpec extends SparkSpec {
     assert(!staging.exists())
   }
 
+  test("load() recovers a compact() that crashed mid-STAGING without data loss") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    assert(wh.insert(Seq(Quad("<http://ex/han>", Fixture.label, "\"Han Solo\"", ""))).error.isEmpty)
+    val before = wh.load().triples.count()
+    // crash INSIDE the staging loop: triples + triples_by_s staged, but
+    // iris/literals/deltas still live, and no completion marker written.
+    // The old recovery deleted the still-live iris/literals here — the
+    // only surviving copy — leaving the warehouse unloadable.
+    val staging = new java.io.File(dir, "_pre_compact")
+    staging.mkdirs()
+    for (sub <- Seq("triples", "triples_by_s")) {
+      val src = new java.io.File(dir, sub)
+      assert(src.renameTo(new java.io.File(staging, sub)))
+    }
+    val recovered = wh.load()
+    assert(recovered.triples.count() === before,
+      "partial staging must restore staged dirs beside the live ones")
+    assert(!staging.exists(), "staging dir cleaned up after recovery")
+    assert(new java.io.File(dir, "iris").exists() &&
+      new java.io.File(dir, "literals").exists(),
+      "live dictionaries must never be deleted during partial-staging recovery")
+    assert(new java.io.File(dir, "triples_delta").exists(),
+      "the un-staged insert delta must survive recovery")
+  }
+
+  test("load() with a COMPLETE staged copy restores it over a half-install") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    val before = wh.load().triples.count()
+    // crash mid-INSTALL: everything staged (marker written), live base
+    // holds only a half-installed new copy (here: just a bogus triples dir)
+    val staging = new java.io.File(dir, "_pre_compact")
+    staging.mkdirs()
+    for (sub <- Seq("triples", "triples_by_s", "iris", "literals")) {
+      val src = new java.io.File(dir, sub)
+      assert(src.renameTo(new java.io.File(staging, sub)))
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, Warehouse.StagedMarker).toPath, "1")
+    val recovered = wh.load()
+    assert(recovered.triples.count() === before)
+    assert(!staging.exists(), "staging dir cleaned up after recovery")
+    assert(!new java.io.File(dir, Warehouse.StagedMarker).exists(),
+      "the marker must not be restored into the live dir")
+  }
+
   test("delete then re-insert brings the triple back (sequenced tombstones)") {
     import spark.implicits._
     val dir = freshDir()
