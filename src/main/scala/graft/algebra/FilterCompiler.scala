@@ -35,7 +35,16 @@ final case class EngineContext(
     // under this become an o-IN scan predicate on the triples probe —
     // batch min/max pruning instead of a join; above it, broadcast join
     isinProbeCap: Int = 1000,
-    dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None) {
+    dictBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None,
+    // per-property parent edge sets for paths(), persisted across queries
+    // for the lifetime of the context (a serving session runs the same
+    // hierarchy property on every page) — the filter+distinct shuffle is
+    // paid once per property instead of once per query, as is the
+    // single-parent test that lets paths() drop its fanout guard.
+    // copy() shares the map, so derived contexts (e.g. with semantic
+    // indexes) reuse the same cached edge sets.
+    pathEdges: java.util.concurrent.ConcurrentHashMap[String, PathEdges] =
+      new java.util.concurrent.ConcurrentHashMap[String, PathEdges]()) {
 
   /** Decode column via the broadcast map (None => use the join path). */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
@@ -43,6 +52,13 @@ final case class EngineContext(
       org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull).apply(c)
     }
 }
+
+/** A persisted parent edge set for [[QueryEngine.paths]] plus the
+  * property's shape: `singleParent` means no node has two parents, so a
+  * frontier can never GROW across a walk — the driver-side walk may then
+  * collect each round directly instead of materializing executor-side
+  * first to guard against fanout^k blow-up. */
+final case class PathEdges(edges: DataFrame, singleParent: Boolean)
 
 object EngineContext {
   /** Collect + broadcast the dictionary when it is bounded. One

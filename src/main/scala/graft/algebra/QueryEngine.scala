@@ -328,18 +328,29 @@ object QueryEngine {
   def paths(ctx: EngineContext, propIri: String, wanted: DataFrame): DataFrame = {
     val spark = ctx.graph.spark
     import spark.implicits._
-    // persist the per-property edge set across the level loop — the
-    // distinct is one shuffle total instead of one per level
-    val edges = ctx.graph.triples.filter(col("p") === h(propIri))
-      .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
+    // the per-property edge set is persisted ONCE per context (not per
+    // query): a serving session pages the same hierarchy property over
+    // and over, and rebuilding filter+distinct each call was the single
+    // biggest cost of this operator. The single-parent test (one extra
+    // aggregate, also paid once) decides whether the walk needs its
+    // fanout guard at all. Bounded by the property's triple count; a
+    // corpus-scale property stays a shuffle join against this one
+    // persisted relation.
+    val pe = ctx.pathEdges.computeIfAbsent(propIri, { _ =>
+      val e = ctx.graph.triples.filter(col("p") === h(propIri))
+        .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
+      val maxMult = e.groupBy(col("part")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.get(0)
+      PathEdges(e, maxMult == null || maxMult.asInstanceOf[Long] <= 1L)
+    })
+    val edges = pe.edges
     var frontier: Array[(Long, Seq[Long], Long)] = wanted
       .select(col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
       .as[(Long, Seq[Long], Long)].collect()
     val finished = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var distributed: Option[DataFrame] = None
-    try {
-      var i = 0
-      while (frontier.nonEmpty && i < ctx.maxPathIterations && distributed.isEmpty) {
+    var i = 0
+    while (frontier.nonEmpty && i < ctx.maxPathIterations && distributed.isEmpty) {
         if (frontier.length > ctx.maxDriverChains) {
           distributed = Some(pathsDistributed(
             frontier.toSeq.toDF("source", "path", "head"), edges,
@@ -350,30 +361,41 @@ object QueryEngine {
           // side of the left join, which can never be the build side —
           // the edge side auto-broadcasts when small
           val fdf = frontier.toSeq.toDF("source", "path", "head")
-          // the collect is guarded: k chained levels can multiply the
-          // chain count by fanout^k INSIDE a round, so an unguarded
-          // collect could OOM the driver on a multi-parent graph before
-          // the round-boundary cap check ever ran. The walk materializes
-          // executor-side first (localCheckpoint — bounded by executor
-          // storage, not driver heap), a cheap count consults the cap,
-          // and only an under-cap batch is collected; over the cap the
-          // walk restarts distributed from the pre-walk frontier. The
-          // two small extra jobs per round are local-mode floor cost a
-          // real cluster amortizes; a limit(cap+1)-bounded collect was
-          // measured ~2x slower (CollectLimit executes incrementally).
-          val stepped = walkLevels(fdf, edges, k).localCheckpoint()
-          if (stepped.count() > ctx.maxDriverChains) {
-            distributed = Some(pathsDistributed(fdf, edges,
-              ctx.maxPathIterations - i))
-          } else {
-            val joined = stepped.as[(Long, Seq[Long], Option[Long])].collect()
+          if (pe.singleParent) {
+            // no node has two parents (tested once at edge-cache time),
+            // so |stepped| == |frontier| ≤ maxDriverChains by induction —
+            // the round is exactly ONE job: walk k levels, collect.
+            val joined = walkLevels(fdf, edges, k)
+              .as[(Long, Seq[Long], Option[Long])].collect()
             finished ++= joined.collect { case (src, p, None) => (src, p) }
             frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
             i += k
+          } else {
+            // multi-parent graph: the collect is guarded. k chained
+            // levels can multiply the chain count by fanout^k INSIDE a
+            // round, so an unguarded collect could OOM the driver before
+            // the round-boundary cap check ever ran. The walk
+            // materializes executor-side first (localCheckpoint —
+            // bounded by executor storage, not driver heap), a cheap
+            // count consults the cap, and only an under-cap batch is
+            // collected; over the cap the walk restarts distributed
+            // from the pre-walk frontier. The two small extra jobs per
+            // round are local-mode floor cost a real cluster amortizes;
+            // a limit(cap+1)-bounded collect was measured ~2x slower
+            // (CollectLimit executes incrementally).
+            val stepped = walkLevels(fdf, edges, k).localCheckpoint()
+            if (stepped.count() > ctx.maxDriverChains) {
+              distributed = Some(pathsDistributed(fdf, edges,
+                ctx.maxPathIterations - i))
+            } else {
+              val joined = stepped.as[(Long, Seq[Long], Option[Long])].collect()
+              finished ++= joined.collect { case (src, p, None) => (src, p) }
+              frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
+              i += k
+            }
           }
         }
-      }
-    } finally edges.unpersist(false)
+    }
     val local = finished.toSeq.toDF("source", "path")
     distributed.fold(local)(local.unionByName(_))
   }

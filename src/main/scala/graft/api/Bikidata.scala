@@ -69,7 +69,13 @@ final class Bikidata(
   }
 
   private def invalidate(): Unit = synchronized {
-    ctxOpt.foreach(_.graph.unpersist())
+    ctxOpt.foreach { c =>
+      c.graph.unpersist()
+      // cached per-property paths() edge sets are views over the now-stale
+      // graph — release them with it (the fresh context starts empty)
+      c.pathEdges.values().forEach(_.edges.unpersist())
+      c.pathEdges.clear()
+    }
     ctxOpt = None
     ftssIdx = None
     cache.clear()

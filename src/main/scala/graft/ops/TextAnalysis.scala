@@ -94,15 +94,32 @@ object TextAnalysis {
     * per document over its ≤ vocab-of-doc rows. Ranking compares the
     * ROUNDED score (with a term tie-break) so the cut is deterministic
     * across engines. */
-  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val n = df.count().toDouble
-    val toks = df.select(col(idCol),
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    topTfidfTermsFromTf(termFrequencies(df, idCol, textCol), idCol,
+      df.count().toDouble, k)
+
+  /** Per-(document, term) counts over lower-cased whitespace tokens —
+    * the shared substrate tf-idf and unigram-LM surprisal both reduce
+    * to. One (id, term) aggregate over the exploded token stream; a
+    * pipeline computing several term statistics materializes THIS table
+    * once and derives each metric from it with term-keyed joins of a
+    * much smaller relation (the token explode and its wide shuffle are
+    * paid once, not once per metric). */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** [[topTfidfTerms]] over a prebuilt [[termFrequencies]] table: df is
+    * derived FROM the tf aggregate (count of docs per term), so the raw
+    * token stream is never re-exploded. `nDocs` is the corpus document
+    * count (a doc with no tokens is absent from tf, so it cannot be
+    * recovered here). */
+  def topTfidfTermsFromTf(tf: DataFrame, idCol: String, nDocs: Double, k: Int): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n) / col("dfreq")), 4))
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("dfreq")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -199,11 +216,13 @@ object TextAnalysis {
     * partitioning-invariant. Two aggregates (doc-term tf, corpus ctf)
     * + one broadcast of the scalar N; the join keys on term, the same
     * shuffle class as tf-idf. */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramNllFromTf(termFrequencies(df, idCol, textCol), idCol)
+
+  /** [[unigramNll]] over a prebuilt [[termFrequencies]] table — corpus
+    * term frequency and corpus size both roll up from tf, so the token
+    * stream is never re-exploded. */
+  def unigramNllFromTf(tf: DataFrame, idCol: String): DataFrame = {
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val n = ctf.agg(sum(col("ctf")).as("n_corpus"))
     tf.join(ctf, "term").crossJoin(broadcast(n))
