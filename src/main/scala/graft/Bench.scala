@@ -38,16 +38,38 @@ object Bench {
       }.sorted
       name -> (if (times.head < 0) -1.0 else times(1))
     }
+    // per-job scheduling floor on this box: the same median-of-3
+    // protocol over an empty 1-row plan. Every query pays at least one
+    // of these (most pay several — one per Spark job in its plan); on
+    // local[32] the floor is pure driver/scheduler overhead that a real
+    // cluster amortizes across executors, so the floor-adjusted total
+    // (total − nQueries·floor, a LOWER bound on the adjustment) is the
+    // honest engine-vs-engine comparison at scale. See SCALE.md.
+    val floorDf = spark.range(1).toDF("x")
+    floorDf.count()
+    val floorSec = Seq.fill(3) {
+      val t0 = System.nanoTime()
+      floorDf.count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val note = "median of 3 steady-state runs per query (1 untimed codegen " +
       "warm run first; -1 = query threw); warmup_build_sec = one-time " +
       "RDF-ization + dictionary broadcast + FTS/semantic index build, the " +
-      "ingest phase a DuckDB baseline performs before its own timings"
+      "ingest phase a DuckDB baseline performs before its own timings; " +
+      "floor_sec = median latency of an empty 1-row plan (per-job local-mode " +
+      "scheduling floor, amortized away on a real cluster)"
     // sfDir comes from the environment — escape it like every other
     // string so a hostile/odd path cannot corrupt the JSON line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""
+    println(line)
+    // the driver's log capture truncates long tails — ALSO write the
+    // complete line to a file it can lift whole
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
     PipelineQueries.clearCaches()
     spark.stop()
   }

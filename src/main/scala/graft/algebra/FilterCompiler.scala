@@ -192,6 +192,37 @@ object FilterCompiler {
       base.join(broadcast(mat), col("o") === col("__oh")).select("s")
   }
 
+  /** The triples-scan predicate of a SIMPLE filter — p/o/g/id equality
+    * or IN, no hops and no derived index — or None when the filter
+    * needs its own plan (fts/regex/semantic/sample/hops). A forest
+    * whose every filter is simple can then be evaluated in ONE
+    * scan+aggregate ([[QueryEngine.fusedSubjects]]) instead of one
+    * distinct per branch plus set-operator joins. Must stay in exact
+    * agreement with the corresponding [[compile]] branches. */
+  def simplePredicate(ctx: EngineContext, f: FilterQ): Option[org.apache.spark.sql.Column] = {
+    val p = f.p.trim
+    val o = f.o.trim
+    val g = f.g.trim
+    val (hops, _, pHead) = parseHopsAndProp(p)
+    val gCond: Option[org.apache.spark.sql.Column] =
+      if (g.isEmpty) None
+      else Some(col("g").isin(g.split(" ").map(h).toIndexedSeq: _*))
+    def oCond =
+      if (o.startsWith("<") && o.endsWith(">") && o.split(" ").length > 1)
+        col("o").isin(o.split(" ").map(h).toIndexedSeq: _*)
+      else col("o") === h(o)
+    val base: Option[org.apache.spark.sql.Column] =
+      if (p.isEmpty && (o.startsWith("<") || o.startsWith("_:")))
+        Some(oCond) // reverse reference
+      else if (p == "id" && !(o.startsWith("random") || o.startsWith("sample")))
+        Some(col("s") === h(o)) // point lookup
+      else if (p.startsWith("<") && hops == 0) {
+        val pc = col("p") === h(pHead)
+        Some(if (o.nonEmpty) pc && oCond else pc)
+      } else None
+    base.map(b => gCond.fold(b)(gc => b && gc))
+  }
+
   def compile(ctx: EngineContext, f: FilterQ, withScore: Boolean = false): Option[DataFrame] = {
     val triples = ctx.graph.triples
     val p = f.p.trim

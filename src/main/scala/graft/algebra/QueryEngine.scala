@@ -123,8 +123,67 @@ object QueryEngine {
     combineSets(items ++ excepts)
   }
 
+  /** Fused evaluation of a boolean filter forest when EVERY filter is a
+    * simple triples-scan predicate ([[FilterCompiler.simplePredicate]]):
+    * one scan computes a per-subject flag per branch via conditional
+    * aggregation, and the set-operator fold becomes a boolean
+    * expression over the flags — ONE shuffle for the whole forest,
+    * replacing a distinct per branch plus INTERSECT/UNION/EXCEPT joins
+    * (at corpus scale that is one wide exchange instead of 2·branches).
+    * None when any filter needs its own plan (hops/fts/regex/semantic/
+    * sample) or fewer than two branches survive — the caller falls back
+    * to per-branch compilation, whose plan is identical for one branch.
+    *
+    * Exact parity with [[subjectsFromCompiled]]/[[combineSets]],
+    * property-checked against the naive evaluator in AlgebraProps: the
+    * first filter seeds regardless of its op (the reference's
+    * leading-`not` quirk), INTERSECT collapses onto its left operand
+    * before the left-to-right UNION/EXCEPT fold, EXCEPT terms evaluate
+    * last, unknown ops contribute nothing. */
+  private[algebra] def fusedSubjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] = {
+    val preds = opts.filters.map(f => FilterCompiler.simplePredicate(ctx, f).map(f -> _))
+    if (preds.exists(_.isEmpty)) return None
+    // role assignment first (mirroring subjectsFromCompiled), so unknown
+    // ops drop before any flag is minted
+    var roles = Vector.empty[(String, Column)]
+    var excepts = Vector.empty[(String, Column)]
+    for (Some((f, pred)) <- preds) {
+      val op = f.op
+      if (roles.isEmpty) roles :+= ("seed" -> pred)
+      else if (op == "should" || op == "or") roles :+= ("union" -> pred)
+      else if (op == "must" || op == "and") roles :+= ("intersect" -> pred)
+      else if (op == "not") excepts :+= ("except" -> pred)
+    }
+    val ordered = roles ++ excepts
+    if (ordered.size < 2) return None
+    val anyPred = ordered.map(_._2).reduce(_ || _)
+    val aggCols = ordered.zipWithIndex.map { case ((_, p), i) =>
+      max(when(p, lit(1)).otherwise(lit(0))).as(s"__f$i") }
+    val flags = ctx.graph.triples.filter(anyPred)
+      .groupBy(col("s")).agg(aggCols.head, aggCols.tail: _*)
+    // the combineSets fold, over flag columns instead of DataFrames
+    val withFlags = ordered.zipWithIndex.map { case ((op, _), i) =>
+      (op, col(s"__f$i") === 1) }
+    val collapsed = withFlags.foldLeft(List.empty[(String, Column)]) {
+      case (acc, (op, c)) =>
+        if (op == "intersect" && acc.nonEmpty) {
+          val (prevOp, prevC) = acc.head
+          (prevOp, prevC && c) :: acc.tail
+        } else (op, c) :: acc
+    }.reverse
+    val expr = collapsed.tail.foldLeft(collapsed.head._2) { case (acc, (op, c)) =>
+      op match {
+        case "union" => acc || c
+        case "except" => acc && !c
+        case _ => acc
+      }
+    }
+    Some(flags.filter(expr).select("s"))
+  }
+
   def subjects(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
-    subjectsFromCompiled(compileAll(ctx, opts, withScores = false))
+    fusedSubjects(ctx, opts)
+      .orElse(subjectsFromCompiled(compileAll(ctx, opts, withScores = false)))
 
   /** Parallel score chain over the scoring (fts/semantic) filters —
     * UNION/INTERSECT only, first scoring filter seeds regardless of its op
@@ -518,7 +577,9 @@ object QueryEngine {
     // scan feeds both the subject set and the score chain
     val compiled = compileAll(ctx, opts)
     val persistedScoring = compiled.collect { case (f, df) if isScoring(f) => df.persist() }
-    val sResultsOpt = subjectsFromCompiled(compiled)
+    // all-simple forests fuse into one scan+aggregate; anything with a
+    // scoring/derived-index branch keeps the per-branch compilation
+    val sResultsOpt = fusedSubjects(ctx, opts).orElse(subjectsFromCompiled(compiled))
     var aggregates = Map.empty[String, Seq[(Long, String)]]
 
     try sResultsOpt match {

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * PCM stream. Byte streams no installed reader recognizes (exotic
   * codecs, video) fall back to the deterministic stubs, which is the
   * production swap-in point for additional codec libraries. Learned
-  * feature extraction stays a STUB (`featuresStub`): a real encoder is
-  * a model forward pass this container cannot run — the batch shape
-  * around it is exactly what a GPU encoder wants.
+  * feature extraction is a pluggable seam ([[Multimodal.MediaEncoder]],
+  * mirroring [[graft.semantic.Embedder]]): the default
+  * [[Multimodal.HistogramEncoder]] is a deterministic stub, because a
+  * real encoder is a model forward pass this container cannot run — the
+  * batch contract handed to the seam is exactly what a GPU encoder
+  * wants.
   */
 object Multimodal {
 
@@ -25,6 +28,32 @@ object Multimodal {
   final case class MediaMeta(format: String, width: Int, height: Int, sizeBytes: Long)
   final case class MediaRow(id: Long, bytes: Array[Byte])
   final case class FeatureRow(id: Long, meta: MediaMeta, features: Array[Float])
+
+  /** Pluggable learned-feature encoder — the [[graft.semantic.Embedder]]
+    * counterpart for binary media (the reference splits its embedding
+    * provider behind the same kind of seam, semantic.py:15-38). A real
+    * deployment plugs a vision/audio model here — a GPU forward pass or
+    * a network service; [[batchFeaturize]] hands it partition-local
+    * batches of at most [[batchSize]] rows, exactly one forward pass per
+    * call. The default [[HistogramEncoder]] is the deterministic offline
+    * stand-in, so the Spark-side plumbing (schema, partitioning, batch
+    * shape) is real and tested even where the model cannot run. */
+  trait MediaEncoder extends Serializable {
+    def dim: Int
+    /** Max rows per [[encode]] call (one model forward pass). */
+    def batchSize: Int = 32
+    /** Encode one batch of media byte streams — must return exactly one
+      * `dim`-length vector per input, in input order. */
+    def encode(batch: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** Deterministic offline [[MediaEncoder]]: L2-normalized byte-bucket
+    * histogram ([[featuresStub]]) — no model, reproducible anywhere. */
+  final case class HistogramEncoder(override val dim: Int = 64,
+      override val batchSize: Int = 32) extends MediaEncoder {
+    def encode(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map(featuresStub(_, dim))
+  }
 
   /** Real decode via ImageIO: header-only read (no full raster) for
     * format + dimensions. Falls back to [[decodeImageStub]] when no
@@ -85,7 +114,9 @@ object Multimodal {
 
   /** STUB feature extractor: hash bytes into a dim-bucket histogram,
     * L2-normalized (a real impl runs a vision/audio encoder — this is
-    * the one genuinely un-runnable step in this container). */
+    * the one genuinely un-runnable step in this container). Reached as
+    * the default [[MediaEncoder]] ([[HistogramEncoder]]); plug a real
+    * encoder into [[batchFeaturize]] to replace it. */
   def featuresStub(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
     val v = new Array[Float](dim)
     if (bytes == null) return v // null media column: zero vector, no NPE
@@ -295,18 +326,26 @@ object Multimodal {
   }
 
   /** The batch featurize pipeline: binary rows → (meta, features) in
-    * partition-local batches of `batchSize` — the exact batch shape a
-    * GPU-backed encoder wants. No shuffle: one pass over the data. */
-  def batchFeaturize(media: Dataset[MediaRow], batchSize: Int = 32,
-      dim: Int = 64): Dataset[FeatureRow] = {
+    * partition-local batches of `encoder.batchSize` — the exact batch
+    * shape a GPU-backed encoder wants. No shuffle: one pass over the
+    * data; the encoder is serialized once per task. */
+  def batchFeaturize(media: Dataset[MediaRow], encoder: MediaEncoder): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // batch boundary = where a real encoder would run one forward pass
-        batch.map(r => FeatureRow(r.id, decodeImage(r.bytes), featuresStub(r.bytes, dim)))
+      rows.grouped(encoder.batchSize).flatMap { batch =>
+        // batch boundary = one encoder forward pass
+        val feats = encoder.encode(batch.map(_.bytes))
+        require(feats.length == batch.length,
+          s"MediaEncoder returned ${feats.length} vectors for ${batch.length} inputs")
+        batch.lazyZip(feats).map((r, f) => FeatureRow(r.id, decodeImage(r.bytes), f))
       }
     }
   }
+
+  /** [[batchFeaturize]] with the deterministic default encoder. */
+  def batchFeaturize(media: Dataset[MediaRow], batchSize: Int = 32,
+      dim: Int = 64): Dataset[FeatureRow] =
+    batchFeaturize(media, HistogramEncoder(dim, batchSize))
 
   /** Deterministic tiny PNG derived from a text: dimensions and pixels
     * both come from the text's hash (same text ⇒ byte-identical image),

@@ -25,9 +25,14 @@ object Sources {
   /** Quarantine read: malformed lines are routed to the second frame
     * (raw line text) instead of failing the job — the curation-pipeline
     * shape, where a rejects sample is triaged while the good rows flow.
-    * One pass; the split is a filter on the corrupt-record column. */
+    * One pass; the split is a filter on the corrupt-record column.
+    *
+    * The cached raw frame backing both splits is corpus-sized — call
+    * the returned `release` thunk once both frames are consumed, or
+    * the cache competes with the session's serving relations until the
+    * session ends. */
   def readJsonlDocsWithRejects(spark: SparkSession, path: String,
-      schema: String = DocSchema): (DataFrame, DataFrame) = {
+      schema: String = DocSchema): JsonlSplit = {
     val raw = spark.read
       .schema(schema + ", _corrupt_record STRING")
       .option("mode", "PERMISSIVE")
@@ -39,8 +44,13 @@ object Sources {
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val rejects = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("line"))
-    (good, rejects)
+    JsonlSplit(good, rejects, () => { raw.unpersist(); () })
   }
+
+  /** The two splits of a quarantine read plus the cache-release hook.
+    * Destructures like the old pair: `val JsonlSplit(good, rejects, _)`. */
+  final case class JsonlSplit(good: DataFrame, rejects: DataFrame,
+      release: () => Unit)
 
   /** Write a corpus as JSONL shards (gzip so shards stay line-splittable
     * by file; one file per partition — partition count IS the shard

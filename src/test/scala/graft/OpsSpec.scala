@@ -340,11 +340,13 @@ class OpsSpec extends SparkSpec {
       """{"doc_id": 7, "text": "fine", "lang": "en", "source": "s"}
         |{"doc_id": oops not json
         |""".stripMargin)
-    val (good, rejects) = graft.ops.Sources.readJsonlDocsWithRejects(
-      spark, s"$dir/mixed.jsonl")
+    val graft.ops.Sources.JsonlSplit(good, rejects, release) =
+      graft.ops.Sources.readJsonlDocsWithRejects(spark, s"$dir/mixed.jsonl")
     assert(good.collect().map(_.getLong(0)).toSeq === Seq(7L))
     val rej = rejects.collect().map(_.getString(0))
     assert(rej.length === 1 && rej(0).contains("oops"))
+    // the corpus-sized raw cache is caller-releasable (and idempotent)
+    release(); release()
   }
 
   test("budget selection: per-shard greedy prefix, deterministic ties") {
@@ -365,6 +367,39 @@ class OpsSpec extends SparkSpec {
     // shard 0: ids 2 (50), 4 (10); shard 1: ids 1 (40), 3 (30); each 50
     assert(sharded.keySet === Set(2L, 1L))
     assert(sharded(2L) === 50L && sharded(1L) === 40L)
+  }
+
+  test("budget selection: remainder spread, column guard, scaled default shards") {
+    val scored = Seq(
+      (0L, 51L, 0.9), (1L, 50L, 0.9), (2L, 50L, 0.8), (3L, 50L, 0.8))
+      .toDF("id", "toks", "score")
+    // budget 101 over 2 shards: shard 0 gets 51, shard 1 gets 50 — the
+    // budgets sum to the requested 101, so the 51-token doc in shard 0
+    // fits (the old floor granted both shards 50 and dropped it)
+    val kept = graft.ops.Selection.selectByBudget(
+        scored, "id", "score", "toks", budget = 101L, shards = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L))
+    // one token less and the remainder goes away: shard 0 back to 50
+    val tight = graft.ops.Selection.selectByBudget(
+        scored, "id", "score", "toks", budget = 100L, shards = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight === Set(1L))
+    // an input already carrying a working column is refused, not
+    // silently overwritten
+    val clash = scored.withColumn("cum_tokens", lit(0L))
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Selection.selectByBudget(
+        clash, "id", "score", "toks", budget = 100L, shards = 2)
+    }
+    assert(err.getMessage.contains("cum_tokens"))
+    // shards omitted: derived from the input partitioning (≥ 8), so the
+    // default never funnels a large corpus into 8 global sorts
+    val wide = scored.repartition(16)
+    val auto = graft.ops.Selection.selectByBudget(
+      wide, "id", "score", "toks", budget = 1600L)
+    assert(auto.select("shard").distinct().count() <= 16)
+    assert(auto.collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
   }
 
   test("cosine expressions read double and mixed-width arrays correctly") {
@@ -557,6 +592,25 @@ class OpsSpec extends SparkSpec {
     assert(f1.features.length === 64)
   }
 
+  test("a custom MediaEncoder plugs through batchFeaturize's batch contract") {
+    import MediaEncoderFixtures._
+    val media = Multimodal.syntheticMedia(corpus, "id", "text").coalesce(1)
+    val feats = Multimodal.batchFeaturize(media, FakeEncoder(batchSize = 2))
+      .collect().sortBy(_.id)
+    assert(feats.length === 5)
+    // 5 rows on one partition in batches of 2 -> forward passes of 2,2,1
+    assert(feats.map(_.features(0)).toSeq === Seq(2f, 2f, 2f, 2f, 1f))
+    // every vector came from the fake encoder, not the histogram default
+    assert(feats.forall(_.features.length === 2))
+    // metadata still flows from the REAL decode, independent of encoder
+    assert(feats.forall(_.meta.format == "png"))
+    // an encoder violating the one-vector-per-input contract fails loudly
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.batchFeaturize(media, MediaEncoderFixtures.BrokenEncoder()).collect()
+    }
+    assert(err.getMessage.contains("MediaEncoder returned"))
+  }
+
   test("tf-idf top terms rank the distinctive word first") {
     import spark.implicits._
     val docs = Seq(
@@ -694,5 +748,24 @@ class OpsSpec extends SparkSpec {
     assert(f1.rms.length === 16)
     // the sine's per-window energy is amp/√2 and the amp range is [0.2, 0.8)
     assert(f1.rms.forall(w => w > 0.1f && w < 0.6f))
+  }
+}
+
+/** Encoders for the MediaEncoder seam test — top-level so the Spark
+  * closure captures only the (serializable) encoder, never the spec. */
+private object MediaEncoderFixtures {
+  /** Fake "model": encodes each input as [batchLen, firstByte] — makes
+    * both the batching (never more than batchSize per forward pass) and
+    * the per-row routing observable in the output. */
+  final case class FakeEncoder(override val batchSize: Int)
+      extends graft.ops.Multimodal.MediaEncoder {
+    val dim = 2
+    def encode(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map(b => Array(batch.length.toFloat, (b(0) & 0xFF).toFloat))
+  }
+  /** Violates the one-vector-per-input contract. */
+  final case class BrokenEncoder() extends graft.ops.Multimodal.MediaEncoder {
+    val dim = 1
+    def encode(batch: Seq[Array[Byte]]): Seq[Array[Float]] = Seq.empty
   }
 }

@@ -120,8 +120,11 @@ def main_rdf(sf_dir, bench_path=None):
         con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{wh}/{tb}/*.parquet')")
     con.execute("CREATE VIEW dict AS SELECT * FROM iris UNION ALL SELECT * FROM literals")
     bench = {}
+    floor = 0.0
     if bench_path:
-        bench = json.load(open(bench_path)).get("queries", {})
+        bj = json.load(open(bench_path))
+        bench = bj.get("queries", {})
+        floor = bj.get("floor_sec") or 0.0
     rows = []
     for name, sql in sorted(rdf_queries().items()):
         # steady-state like Bench: time the second run
@@ -144,10 +147,21 @@ def main_rdf(sf_dir, bench_path=None):
         print(f"{name:28s} {ds:>8s} {ss:>8s} {ratio:>7s} {n:>6d}")
     print(f"{'TOTAL (rdf-side)':28s} {total_d:8.3f} {total_s:8.3f} "
           f"{(total_s/total_d if total_d else 0):6.1f}x")
-    print(json.dumps({"rdf_duckdb_sec": round(total_d, 3),
-                      "rdf_spark_sec": round(total_s, 3),
-                      "rdf_ratio": round(total_s / total_d, 2) if total_d else None,
-                      "skipped": "fts/semantic (fts ext offline; embedder JVM-side)"}))
+    # floor-adjusted: subtract ONE per-job scheduling floor per query
+    # (a lower bound — most plans run several jobs). The floor is pure
+    # local[32] driver overhead a real cluster amortizes; see SCALE.md.
+    n_timed = sum(1 for _, _, s, _ in rows if s)
+    total_s_adj = max(0.0, total_s - n_timed * floor)
+    out = {"rdf_duckdb_sec": round(total_d, 3),
+           "rdf_spark_sec": round(total_s, 3),
+           "rdf_ratio": round(total_s / total_d, 2) if total_d else None,
+           "skipped": "fts/semantic (fts ext offline; embedder JVM-side)"}
+    if floor:
+        out["floor_sec"] = floor
+        out["rdf_spark_sec_floor_adjusted"] = round(total_s_adj, 3)
+        out["rdf_ratio_floor_adjusted"] = (
+            round(total_s_adj / total_d, 2) if total_d else None)
+    print(json.dumps(out))
     return 0
 
 def main(sf_dir, out_dir, bench_path=None):
