@@ -267,6 +267,25 @@ object PipelineQueries {
       Similarity.lshTopK(bucketed, "vec_id", "embedding", queryVec(s, dir), 10)
     }),
 
+    // the LSH CONTRACT pinned as a green/red cell: an exact duplicate
+    // of the query vector is ALWAYS retrieved (identical vector ⇒
+    // identical sign pattern ⇒ same bucket — a guarantee, not a
+    // probability). A clone of vec 0 is planted, the LSH top-10 is cut
+    // at sim ≥ 0.9, and the result must EQUAL the brute-force oracle
+    // over the same planted corpus. Weakly-similar neighbors (this
+    // corpus's top-10 sits at cosine ≈ 0.3) are sign-LSH's known blind
+    // spot — that probabilistic recall is measured in OpsSpec, and the
+    // q_emb_lsh entry above stays rows-only at production settings.
+    "q_emb_lsh_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(1000000L))
+      val bucketed = Similarity.buildLsh(e.union(planted), "vec_id", "embedding")
+      Similarity.lshTopK(bucketed, "vec_id", "embedding", queryVec(s, dir), 10)
+        .filter(col("sim") >= 0.9)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // windowed event aggregation — the SAME function serves streaming
     // (readStream + watermark, see graft.streaming.Streaming) and this
     // batch-mode oracle check
@@ -290,6 +309,24 @@ object PipelineQueries {
     "q_emb_ivf" -> ((s, dir) => {
       val idx = graft.ops.Ivf.build(emb(s, dir), "vec_id", "embedding")
       graft.ops.Ivf.topK(idx, "vec_id", "embedding", queryVec(s, dir), 10)
+    }),
+
+    // the IVF CONTRACT pinned as a green/red cell (same design as
+    // q_emb_lsh_recall): a planted clone of the query vector is
+    // assigned to the query's own nearest cell — the FIRST cell any
+    // probe order visits — so it must be retrieved at any nProbe, at
+    // any scale factor. Hash-green iff cell assignment and probe
+    // ordering agree (the regression channel that matters); graded
+    // recall on weak neighbors stays in OpsSpec, q_emb_ivf stays
+    // rows-only at production settings.
+    "q_emb_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(1000000L))
+      val idx = graft.ops.Ivf.build(e.union(planted), "vec_id", "embedding")
+      graft.ops.Ivf.topK(idx, "vec_id", "embedding", queryVec(s, dir), 10)
+        .filter(col("sim") >= 0.9)
+        .orderBy(col("sim").desc, col("vec_id"))
     }),
 
     // multimodal plumbing: binary column -> batched REAL ImageIO decode
@@ -362,7 +399,8 @@ object PipelineQueries {
     }),
 
     // whole-document (SFT-style) packing: next-fit per shard, docs never
-    // split (rows-only: the iterative accumulator isn't SQL; laws in OpsSpec)
+    // split; oracle-checked against a DuckDB recursive CTE running the
+    // same per-shard accumulator (laws additionally in OpsSpec)
     "q_doc_pack_whole" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("toks"))
@@ -545,6 +583,26 @@ object PipelineQueries {
         |  CAST(least((bin + 1) * 512, cum_end) - greatest(bin * 512, cum_start) AS BIGINT) AS tok_in_bin,
         |  CAST(greatest(bin * 512, cum_start) - cum_start AS BIGINT) AS tok_offset
         |FROM e ORDER BY shard, bin, doc_id""".stripMargin,
+    // next-fit whole-doc packing reproduced as a DuckDB recursive CTE:
+    // walk each shard in id order carrying (bin, used) — the same
+    // accumulator packWhole runs imperatively per shard partition
+    "q_doc_pack_whole" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        |fit AS (
+        |  SELECT shard, rn, id, toks, CAST(0 AS BIGINT) AS bin, toks AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.id, n.toks,
+        |    CASE WHEN f.used + n.toks > 512 THEN f.bin + 1 ELSE f.bin END,
+        |    CASE WHEN f.used + n.toks > 512 THEN n.toks ELSE f.used + n.toks END
+        |  FROM fit f JOIN d n ON n.shard = f.shard AND n.rn = f.rn + 1)
+        |SELECT shard, bin, id, toks FROM fit ORDER BY shard, bin, id""".stripMargin,
     "q_doc_curate" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
@@ -596,6 +654,28 @@ object PipelineQueries {
          |SELECT vec_id, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings), q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // brute force over the same planted corpus, cut at the same sim
+    // threshold — hash-green iff LSH retrieved the planted duplicate
+    "q_emb_lsh_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+         |  UNION ALL
+         |  SELECT 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin,
+    "q_emb_ivf_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+         |  UNION ALL
+         |  SELECT 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -277,6 +277,16 @@ object RdfQueries {
         .orderBy("s")
     }),
 
+    // §2.13 sp batch lookup: all (s, o) rows of the given subjects
+    // under one predicate (reference query.py:38-57)
+    "q_rdf_sp" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      QueryEngine.sp(ctx,
+          Seq("<urn:t:nation:1>", "<urn:t:nation:3>", "<urn:t:region:0>"),
+          Some(LabelIri))
+        .orderBy("s", "o")
+    }),
+
     // §2.11 recursive paths to the hierarchy root
     "q_rdf_paths" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -482,6 +492,13 @@ object RdfQueries {
     "q_rdf_spo" ->
       s"""SELECT $natS AS s, '$LabelIri' AS p, '"' || n_name || '"' AS o
          |FROM nation WHERE n_name='NATION_3' ORDER BY s""".stripMargin,
+    "q_rdf_sp" ->
+      s"""SELECT s, o FROM (
+         |  SELECT $natS AS s, '"' || n_name || '"' AS o
+         |  FROM nation WHERE n_nationkey IN (1, 3)
+         |  UNION ALL
+         |  SELECT ${subj("region", "r_regionkey")} AS s, '"' || r_name || '"' AS o
+         |  FROM region WHERE r_regionkey = 0) ORDER BY s, o""".stripMargin,
     "q_rdf_paths" ->
       s"""SELECT s, '<urn:t:nation:3>/<urn:t:region:' ||
          |  (SELECT n_regionkey FROM nation WHERE n_nationkey=3) || '>' AS path

@@ -81,7 +81,8 @@ object Similarity {
     * different planes and probe the wrong buckets whenever the two
     * differ). */
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+      query: Array[Float], k: Int, planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 1): DataFrame = {
     val hp = hyperplanes(dim, planes)
     var bucket = 0L
     for (p <- hp.indices) {
@@ -91,8 +92,14 @@ object Similarity {
       while (i < n) { dot += hp(p)(i) * query(i); i += 1 }
       if (dot >= 0) bucket |= (1L << p)
     }
-    val probes = bucket +: (0 until planes).map(b => bucket ^ (1L << b))
-    bucketed.filter(col("bucket").isin(probes: _*))
+    // multi-probe: every bucket within Hamming distance `probeBits` of
+    // the query's sign pattern (1 = the classic query-bucket + 1-bit
+    // flips; higher trades candidate count for recall — still a tiny
+    // fraction of the 2^planes bucket space)
+    var probes = Set(bucket)
+    for (_ <- 1 to probeBits)
+      probes = probes ++ probes.flatMap(b => (0 until planes).map(p => b ^ (1L << p)))
+    bucketed.filter(col("bucket").isin(probes.toSeq: _*))
       .select(col(idCol), round(cosine(col(vecCol), lit(query)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
