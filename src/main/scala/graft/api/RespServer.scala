@@ -1,0 +1,252 @@
+package graft.api
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingDeque, TimeUnit}
+
+/** Redis-wire (RESP2) front end for [[WorkerPool]], closing the last
+  * client-compat gap with the reference's queue tier: a STOCK bikidata
+  * client — redis-py pointed at `REDIS_HOST` (workers.py:9-16) — can
+  * connect here unchanged and run `query_async`/`insert_async`
+  * (workers.py:115-150):
+  *
+  *  - `LPUSH bikidata:queries <opts json>` is intercepted and routed
+  *    into the pool (the reference's redis_manager blpop loop,
+  *    workers.py:38-70);
+  *  - the result envelope is pushed onto the request's `query_ticket`
+  *    list, where the client's `BLPOP <ticket> <timeout>` picks it up
+  *    (workers.py:54,108,124);
+  *  - results are cached under the client's content-derived
+  *    `query_hash` with the reference's 7-day TTL (workers.py:88-106,
+  *    via [[WorkerPool]]'s TtlLruCache).
+  *
+  * Everything else a redis-py connection needs is implemented
+  * generically: RESP2 framing (arrays of bulk strings in; simple
+  * strings/errors/integers/bulk/arrays out), inline commands, and a
+  * small command set (PING/ECHO/SELECT/CLIENT/AUTH/QUIT,
+  * LPUSH/RPUSH/BLPOP/BRPOP/LPOP/RPOP/LLEN/DEL/EXISTS, GET/SET) over
+  * in-process lists and strings — enough to run the reference client
+  * verbatim, not a general Redis. Lists and strings live in THIS
+  * server; they are transport state (tickets in flight), not data-plane
+  * state, so no persistence is warranted.
+  */
+final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
+    inboundQueue: String = RespServer.DefaultQueue) {
+
+  val pool = new WorkerPool(bk, numWorkers)
+  private val server = new java.net.ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private val lists = new ConcurrentHashMap[String, LinkedBlockingDeque[Array[Byte]]]()
+  private val strings = new ConcurrentHashMap[String, Array[Byte]]()
+
+  private def list(key: String): LinkedBlockingDeque[Array[Byte]] =
+    lists.computeIfAbsent(key, _ => new LinkedBlockingDeque[Array[Byte]]())
+
+  /** Route one inbound opts JSON through the pool; the completed
+    * envelope lands on the request's ticket list. A request without a
+    * ticket gets its result dropped, same as the reference worker
+    * (workers.py:83-85 logs and continues). */
+  private def dispatch(optsJson: Array[Byte]): Unit = {
+    val json = new String(optsJson, UTF_8)
+    val ticket =
+      try (JsonMethods.parse(json) \ "query_ticket") match {
+        case JString(t) if t.nonEmpty => Some(t)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    pool.submitAsync(json).whenComplete { (res, err) =>
+      val envelope =
+        if (err == null) res
+        else """{"error": "Failed to process query", "trace": """ +
+          JsonMethods.compact(JsonMethods.render(JString(String.valueOf(err)))) + "}"
+      ticket match {
+        case Some(t) => list(t).addFirst(envelope.getBytes(UTF_8))
+        case None => System.err.println("[resp] request had no query_ticket; result dropped")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ framing
+
+  /** One CRLF-terminated line, excluding the terminator. Returns null at
+    * EOF. */
+  private def readLine(in: InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(64)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val a = buf.toByteArray
+    if (a.nonEmpty && a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1)
+    else a
+  }
+
+  private def readN(in: InputStream, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(a, off, n - off)
+      if (r < 0) throw new java.io.EOFException("mid-bulk EOF")
+      off += r
+    }
+    // trailing CRLF
+    in.read(); in.read()
+    a
+  }
+
+  /** One client command: RESP array of bulk strings, or an inline
+    * (space-separated) line. Returns null at EOF. */
+  private def readCommand(in: InputStream): Seq[Array[Byte]] = {
+    val line = readLine(in)
+    if (line == null) return null
+    if (line.isEmpty) return Seq.empty
+    if (line(0) == '*') {
+      val n = new String(line, 1, line.length - 1, UTF_8).trim.toInt
+      (0 until n).map { _ =>
+        val hdr = readLine(in)
+        if (hdr == null || hdr.isEmpty || hdr(0) != '$')
+          throw new java.io.IOException("expected bulk string header")
+        readN(in, new String(hdr, 1, hdr.length - 1, UTF_8).trim.toInt)
+      }
+    } else new String(line, UTF_8).trim.split("\\s+").toSeq
+      .filter(_.nonEmpty).map(_.getBytes(UTF_8))
+  }
+
+  private def simple(out: java.io.OutputStream, s: String): Unit =
+    out.write(("+" + s + "\r\n").getBytes(UTF_8))
+  private def error(out: java.io.OutputStream, s: String): Unit =
+    out.write(("-ERR " + s + "\r\n").getBytes(UTF_8))
+  private def integer(out: java.io.OutputStream, n: Long): Unit =
+    out.write((":" + n + "\r\n").getBytes(UTF_8))
+  private def bulk(out: java.io.OutputStream, v: Array[Byte]): Unit =
+    if (v == null) out.write("$-1\r\n".getBytes(UTF_8))
+    else { out.write(("$" + v.length + "\r\n").getBytes(UTF_8)); out.write(v); out.write("\r\n".getBytes(UTF_8)) }
+  private def array(out: java.io.OutputStream, vs: Seq[Array[Byte]]): Unit =
+    if (vs == null) out.write("*-1\r\n".getBytes(UTF_8))
+    else { out.write(("*" + vs.length + "\r\n").getBytes(UTF_8)); vs.foreach(bulk(out, _)) }
+
+  // ----------------------------------------------------------- commands
+
+  /** Block on the first non-empty list among `keys` until `timeoutSec`
+    * (0 = forever), scanning in key order like Redis BLPOP. */
+  private def blockingPop(keys: Seq[String], timeoutSec: Double,
+      head: Boolean): Option[(String, Array[Byte])] = {
+    val deadline =
+      if (timeoutSec <= 0) Long.MaxValue
+      else System.nanoTime() + (timeoutSec * 1e9).toLong
+    while (running) {
+      for (k <- keys) {
+        val q = list(k)
+        val v = if (head) q.pollFirst() else q.pollLast()
+        if (v != null) {
+          // drop the (usually one-shot ticket) list once drained, like
+          // Redis deletes empty lists — otherwise a long-lived server
+          // accumulates one empty deque per ticket ever polled. The
+          // value-conditional remove keeps a concurrent push to the
+          // SAME key safe unless the ticket is reused, which the
+          // reference's unique time+random tickets never do
+          // (workers.py:116)
+          if (q.isEmpty) lists.remove(k, q)
+          return Some((k, v))
+        }
+      }
+      if (System.nanoTime() >= deadline) return None
+      // multi-key wait: a short poll beats wiring takeFirst interrupts
+      // across keys; ticket lists get their push within one tick
+      Thread.sleep(5)
+    }
+    None
+  }
+
+  private def handle(cmd: Seq[Array[Byte]], out: java.io.OutputStream): Boolean = {
+    if (cmd == null) return false
+    if (cmd.isEmpty) return true
+    val name = new String(cmd.head, UTF_8).toUpperCase
+    val args = cmd.tail
+    def str(i: Int): String = new String(args(i), UTF_8)
+    name match {
+      case "PING" => if (args.nonEmpty) bulk(out, args(0)) else simple(out, "PONG")
+      case "ECHO" => bulk(out, args(0))
+      case "SELECT" | "AUTH" => simple(out, "OK")
+      case "CLIENT" => simple(out, "OK") // SETINFO/SETNAME from redis-py
+      case "QUIT" => simple(out, "OK"); return false
+      case "LPUSH" | "RPUSH" =>
+        val key = str(0)
+        if (key == inboundQueue) {
+          args.drop(1).foreach(dispatch)
+          integer(out, 1)
+        } else {
+          val q = list(key)
+          args.drop(1).foreach(v => if (name == "LPUSH") q.addFirst(v) else q.addLast(v))
+          integer(out, q.size())
+        }
+      case "BLPOP" | "BRPOP" =>
+        val timeout = str(args.length - 1).toDouble
+        val keys = args.dropRight(1).map(new String(_, UTF_8))
+        blockingPop(keys, timeout, head = name == "BLPOP") match {
+          case Some((k, v)) => array(out, Seq(k.getBytes(UTF_8), v))
+          case None => array(out, null)
+        }
+      case "LPOP" => bulk(out, list(str(0)).pollFirst())
+      case "RPOP" => bulk(out, list(str(0)).pollLast())
+      case "LLEN" => integer(out, list(str(0)).size().toLong)
+      case "DEL" =>
+        integer(out, args.map(new String(_, UTF_8)).count { k =>
+          (lists.remove(k) != null) | (strings.remove(k) != null)
+        }.toLong)
+      case "EXISTS" =>
+        integer(out, args.map(new String(_, UTF_8)).count { k =>
+          lists.containsKey(k) || strings.containsKey(k)
+        }.toLong)
+      case "SET" => strings.put(str(0), args(1)); simple(out, "OK") // EX/PX accepted, unenforced
+      case "GET" => bulk(out, strings.get(str(0)))
+      case other => error(out, s"unknown command '$other'")
+    }
+    true
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          try {
+            val in = new BufferedInputStream(sock.getInputStream)
+            val out = new BufferedOutputStream(sock.getOutputStream)
+            var live = true
+            while (live && running) {
+              val cmd = readCommand(in)
+              live =
+                try handle(cmd, out)
+                catch {
+                  case e: java.io.IOException => throw e
+                  case scala.util.control.NonFatal(e) =>
+                    error(out, String.valueOf(e).replaceAll("[\r\n]", " ")); true
+                }
+              out.flush()
+            }
+          } catch { case _: java.io.IOException => () }
+          finally sock.close()
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () } // closed during accept
+    }
+  }, "graft-resp-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    running = false
+    pool.shutdown()
+    server.close()
+  }
+}
+
+object RespServer {
+  /** The reference's inbound queue name (WORKER_FETCH_Q, workers.py:19). */
+  val DefaultQueue = "bikidata:queries"
+}

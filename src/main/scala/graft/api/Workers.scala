@@ -42,13 +42,22 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
     * `{"action": "insert"|"delete", "data": [{s,p,o,g}], ...}`) and wait
     * for its result envelope. */
   def submit(optsJson: String, timeoutSeconds: Long = 60L): String = {
-    val p = new java.util.concurrent.CompletableFuture[String]()
-    inQ.put(Req(optsJson, p))
+    val p = submitAsync(optsJson)
     try p.get(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     catch { case _: java.util.concurrent.TimeoutException =>
       throw new java.util.concurrent.TimeoutException(
         s"query timed out after ${timeoutSeconds}s")
     }
+  }
+
+  /** Fire-and-collect submit for transports that deliver the result out
+    * of band (the RESP adapter pushes it onto the request's ticket
+    * list, the way redis_manager/redis_worker lpush to `query_ticket`,
+    * workers.py:54,108). */
+  def submitAsync(optsJson: String): java.util.concurrent.CompletableFuture[String] = {
+    val p = new java.util.concurrent.CompletableFuture[String]()
+    inQ.put(Req(optsJson, p))
+    p
   }
 
   private def md5(s: String): String =
@@ -119,9 +128,17 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
         if (req != null) {
           try {
             implicit val fmts: Formats = DefaultFormats
-            val useCache = (JsonMethods.parse(req.json) \ "use_cache")
-              .extractOrElse[Boolean](true)
-            val key = md5(req.json)
+            val parsed = JsonMethods.parse(req.json)
+            val useCache = (parsed \ "use_cache").extractOrElse[Boolean](true)
+            // reference clients stamp every request with a unique
+            // query_ticket but a CONTENT-derived query_hash (md5 of the
+            // sorted opts, workers.py:116-118) — cache on that when
+            // present, or repeated queries would never hit (the ticket
+            // makes the raw json unique per request)
+            val key = (parsed \ "query_hash") match {
+              case JString(h) if h.nonEmpty => h
+              case _ => md5(req.json)
+            }
             val hit = if (useCache) cacheGet(key) else None
             hit match {
               case Some(v) =>

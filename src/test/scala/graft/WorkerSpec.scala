@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{Bikidata, WorkerServer}
+import graft.api.{Bikidata, RespServer, WorkerServer}
 
 /** The queue tier end to end: two concurrent TCP clients through the
   * socket front end, single-writer mutation routing, md5 cache hits —
@@ -70,6 +70,112 @@ class WorkerSpec extends SparkSpec {
       assert(in1.readLine().contains("\"results\":{}"))
 
       s1.close(); s2.close()
+    } finally srv.close()
+  }
+
+  /** Minimal RESP2 client mirroring what redis-py does on the wire for
+    * the reference's query_async (workers.py:115-128): commands go out
+    * as arrays of bulk strings; replies are simple strings, integers,
+    * bulk strings, or arrays. */
+  private final class RespClient(port: Int) {
+    private val sock = new java.net.Socket("127.0.0.1", port)
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    private val in = new java.io.BufferedInputStream(sock.getInputStream)
+
+    def cmd(parts: String*): Any = {
+      val sb = new StringBuilder(s"*${parts.length}\r\n")
+      parts.foreach { p =>
+        sb.append("$").append(p.getBytes("UTF-8").length).append("\r\n")
+          .append(p).append("\r\n")
+      }
+      out.write(sb.toString.getBytes("UTF-8")); out.flush()
+      reply()
+    }
+
+    private def line(): String = {
+      val b = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') { if (c != '\r') b.append(c.toChar); c = in.read() }
+      b.toString
+    }
+
+    private def reply(): Any = line() match {
+      case s if s.startsWith("+") => s.substring(1)
+      case s if s.startsWith("-") => throw new RuntimeException(s)
+      case s if s.startsWith(":") => s.substring(1).toLong
+      case s if s.startsWith("$") =>
+        val n = s.substring(1).toInt
+        if (n < 0) null
+        else {
+          val a = new Array[Byte](n)
+          var off = 0
+          while (off < n) off += in.read(a, off, n - off)
+          in.read(); in.read() // CRLF
+          new String(a, "UTF-8")
+        }
+      case s if s.startsWith("*") =>
+        val n = s.substring(1).toInt
+        if (n < 0) null else (0 until n).map(_ => reply()).toVector
+      case other => throw new RuntimeException(s"unparseable reply: $other")
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  test("stock Redis-protocol client runs the reference query_async flow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resp").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      """<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> "alpha thing" .
+        |<http://ex/b> <http://www.w3.org/2000/01/rdf-schema#label> "beta thing" .
+        |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    assert(bk.build(Seq(s"$dir/data.nt")) === 2)
+
+    val srv = new RespServer(bk, port = 0, numWorkers = 2)
+    try {
+      val c = new RespClient(srv.boundPort)
+      // redis-py connection preamble (ignores CLIENT SETINFO failures)
+      assert(c.cmd("CLIENT", "SETINFO", "lib-name", "redis-py") === "OK")
+      assert(c.cmd("PING") === "PONG")
+
+      // query_async: LPUSH opts (with ticket+hash) then BLPOP the ticket
+      def queryAsync(opts: String, ticket: String, hash: String): String = {
+        val json = opts.dropRight(1) +
+          s""","query_ticket":"$ticket","query_hash":"$hash"}"""
+        c.cmd("LPUSH", RespServer.DefaultQueue, json)
+        c.cmd("BLPOP", ticket, "60") match {
+          case Vector(k: String, v: String) => assert(k === ticket); v
+          case other => fail(s"BLPOP returned $other")
+        }
+      }
+      val r1 = queryAsync("""{"filters":[{"p":"fts","o":"alpha"}]}""", "t-1", "h-alpha")
+      assert(r1.contains("<http://ex/a>"))
+
+      // same query_hash, different ticket → served from the result cache
+      val before = srv.pool.cacheHits.get()
+      val r2 = queryAsync("""{"filters":[{"p":"fts","o":"alpha"}]}""", "t-2", "h-alpha")
+      assert(r2 === r1)
+      assert(srv.pool.cacheHits.get() > before)
+
+      // insert_async routes through the single-writer manager
+      val ins = queryAsync(
+        """{"action":"insert","data":[{"s":"<http://ex/c>","p":"<http://www.w3.org/2000/01/rdf-schema#label>","o":"\"gamma thing\"","g":""}]}""",
+        "t-3", "h-ins")
+      assert(ins.contains("\"triples_inserted\":1"), ins)
+      assert(bk.total() === 3)
+
+      // BLPOP on a never-pushed ticket times out to a null array
+      assert(c.cmd("BLPOP", "t-nothing", "0.2") === null)
+
+      // generic list/string commands work as plain Redis state
+      assert(c.cmd("LPUSH", "mylist", "x", "y") === 2L)
+      assert(c.cmd("LLEN", "mylist") === 2L)
+      assert(c.cmd("RPOP", "mylist") === "x")
+      assert(c.cmd("SET", "k", "v") === "OK")
+      assert(c.cmd("GET", "k") === "v")
+      assert(c.cmd("DEL", "k", "mylist") === 2L)
+      assert(c.cmd("GET", "k") === null)
+      c.close()
     } finally srv.close()
   }
 
