@@ -44,7 +44,21 @@ final case class EngineContext(
     // copy() shares the map, so derived contexts (e.g. with semantic
     // indexes) reuse the same cached edge sets.
     pathEdges: java.util.concurrent.ConcurrentHashMap[String, PathEdges] =
-      new java.util.concurrent.ConcurrentHashMap[String, PathEdges]()) {
+      new java.util.concurrent.ConcurrentHashMap[String, PathEdges](),
+    // whole-store scalar stats (total()), computed once per context: the
+    // store is immutable between mutations and every mutation replaces
+    // the context (Bikidata.invalidate), so between mutations these are
+    // constants — a serving tier answers them from the materialized
+    // value, not a fresh count-distinct per request. Shared via copy()
+    // like pathEdges, so derived contexts reuse the same stats.
+    stats: java.util.concurrent.ConcurrentHashMap[String, Long] =
+      new java.util.concurrent.ConcurrentHashMap[String, Long](),
+    // whole-store aggregate frames (properties(), whole-DB facets) —
+    // same store-constant argument as `stats`, but the value is a small
+    // persisted DataFrame (vocab-sized: one row per property/graph).
+    // Bikidata.invalidate unpersists these with the graph they view.
+    statFrames: java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()) {
 
   /** Decode column via the broadcast map (None => use the join path). */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =

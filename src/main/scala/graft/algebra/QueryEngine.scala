@@ -331,13 +331,19 @@ object QueryEngine {
     }
   }
 
-  /** Whole-DB facet when no filters are present (query.py:825-832). */
+  /** Whole-DB facet when no filters are present (query.py:825-832) —
+    * store-constant between mutations, so computed once per context. */
   def facetWholeDb(ctx: EngineContext, agg: String): DataFrame = {
-    val t = ctx.graph.triples
     val keyCol = if (agg == "graphs") "g" else "p"
-    decoded(ctx, t.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
-        keyCol, "val", inner = true)
-      .select(col("count"), col("val"))
+    ctx.statFrames.computeIfAbsent(s"facetWholeDb:$keyCol", { _ =>
+      val df = decoded(ctx,
+          ctx.graph.triples.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
+          keyCol, "val", inner = true)
+        .select(col("count"), col("val"))
+        .persist()
+      df.count()
+      df
+    })
   }
 
   // ----------------------------------------------------------------- paths
@@ -529,20 +535,28 @@ object QueryEngine {
       .select(col("U.value").as("s"), coalesce(col("UUU.value"), col("L.value")).as("o"))
   }
 
-  /** count(distinct s) over all triples (query.py:13-17). */
+  /** count(distinct s) over all triples (query.py:13-17) — a store
+    * constant between mutations, so computed once per context
+    * ([[EngineContext.stats]]; mutations replace the context). */
   def total(ctx: EngineContext): Long =
-    ctx.graph.triples.select("s").distinct().count()
+    ctx.stats.computeIfAbsent("total",
+      _ => ctx.graph.triples.select("s").distinct().count())
 
   /** Distinct-subject count per predicate IRI (query.py:20-27).
     * Aggregates on the hash FIRST (map-side combine on a Long key), then
     * decodes the few result rows — hash↔value is bijective, so grouping
     * by hash equals the reference's group-by-decoded-value. */
   def properties(ctx: EngineContext): DataFrame =
-    decoded(ctx,
-      ctx.graph.triples.groupBy(col("p"))
-        .agg(countDistinct(col("s")).as("count")),
-      "p", "value", inner = true)
-      .select(col("value"), col("count"))
+    ctx.statFrames.computeIfAbsent("properties", { _ =>
+      val df = decoded(ctx,
+        ctx.graph.triples.groupBy(col("p"))
+          .agg(countDistinct(col("s")).as("count")),
+        "p", "value", inner = true)
+        .select(col("value"), col("count"))
+        .persist()
+      df.count() // materialize inside the computeIfAbsent (single writer)
+      df
+    })
 
   /** Distinct-subject count per object IRI of one predicate (query.py:30-35).
     * The inner decode keeps IRI objects only when falling back to the join

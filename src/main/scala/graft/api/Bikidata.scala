@@ -75,6 +75,10 @@ final class Bikidata(
       // graph — release them with it (the fresh context starts empty)
       c.pathEdges.values().forEach(_.edges.unpersist())
       c.pathEdges.clear()
+      // whole-store stat frames are views over the stale graph too
+      c.statFrames.values().forEach(_.unpersist())
+      c.statFrames.clear()
+      c.stats.clear()
     }
     ctxOpt = None
     ftssIdx = None
