@@ -34,6 +34,11 @@ object RdfQueries {
   private def subjects(ctx: EngineContext, filters: FilterQ*): DataFrame =
     QueryEngine.subjects(ctx, QueryOpts(filters = filters)).get
 
+  /** Non-deduped subject set for the facet semi-join (same rows out of
+    * the facet either way; skips the distinct exchange). */
+  private def subjectsRaw(ctx: EngineContext, filters: FilterQ*): DataFrame =
+    QueryEngine.subjectsRaw(ctx, QueryOpts(filters = filters)).get
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.2 p+o property filter
@@ -179,7 +184,7 @@ object RdfQueries {
     // §2.5 graphs facet over a filtered set
     "q_rdf_facet_graphs" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      val sres = subjects(ctx, FilterQ(p = predIri("nation", "n_name")))
+      val sres = subjectsRaw(ctx, FilterQ(p = predIri("nation", "n_name")))
       QueryEngine.facet(ctx, "graphs", sres).orderBy("val")
     }),
 
@@ -237,7 +242,7 @@ object RdfQueries {
       val ctx = rctx(s, dir)
       // subjects = customers + suppliers of nation 3; suppliers have no
       // mktsegment triples so they contribute nothing to the facet
-      val sres = subjects(ctx, FilterQ(p = ParentIri, o = "<urn:t:nation:3>"))
+      val sres = subjectsRaw(ctx, FilterQ(p = ParentIri, o = "<urn:t:nation:3>"))
       QueryEngine.facet(ctx, predIri("customer", "c_mktsegment"), sres)
         .orderBy(col("count").desc, col("val"))
     }),
@@ -245,7 +250,7 @@ object RdfQueries {
     // §2.5 properties facet over the filtered set
     "q_rdf_facet_properties" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      val sres = subjects(ctx, FilterQ(p = predIri("nation", "n_name")))
+      val sres = subjectsRaw(ctx, FilterQ(p = predIri("nation", "n_name")))
       QueryEngine.facet(ctx, "properties", sres).orderBy("val")
     }),
 
@@ -295,9 +300,12 @@ object RdfQueries {
       // red the gate) at scale factors where the set outgrows a page
       val opts = QueryOpts(filters = Seq(FilterQ(p = ParentIri, o = "<urn:t:nation:3>")),
         size = 1000000)
-      val wanted = QueryEngine.wantedPage(ctx, opts,
-        QueryEngine.subjects(ctx, opts).get, None)
-      val p = QueryEngine.paths(ctx, ParentIri, wanted)
+      // unpaged ⇒ the page IS the whole subject set: walk it directly,
+      // like the oracle's recursive CTE does — wantedPage's sort +
+      // pos window would order a column paths() never reads (the paged
+      // paths-for-page contract is exercised by EngineSpec)
+      val p = QueryEngine.paths(ctx, ParentIri,
+        QueryEngine.subjects(ctx, opts).get)
       // decode: '/'-joined ancestor IRIs, self excluded (reference
       // excludes val == entity from _paths, query.py:864)
       val exploded = QueryEngine.decoded(ctx,

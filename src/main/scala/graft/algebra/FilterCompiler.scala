@@ -94,9 +94,18 @@ object EngineContext {
 
 /** Compiles one [[FilterQ]] into a subject-set DataFrame — the Spark
   * counterpart of the reference's `q_to_sql` (query.py:122-218). Every
-  * filter produces `(s)` distinct (or `(s, score)` distinct when
-  * `withScore` and the filter scores), or None for unrecognized shapes —
+  * filter produces `(s)` — NOT deduplicated (or `(s, score)` distinct when
+  * `withScore` and the filter scores) — or None for unrecognized shapes,
   * which the caller silently drops, as the reference does (query.py:659-669).
+  *
+  * Branch outputs carry duplicate subjects on purpose:
+  * [[QueryEngine.combineSets]] applies ONE final dedup whose partial
+  * (map-side) aggregation removes duplicates before the shuffle, so a
+  * single global distinct is strictly cheaper than a distinct per branch
+  * — and set-operator joins (`intersect`/`except`) plus semi-join
+  * consumers ([[QueryEngine.facet]]) need no dedup at all. Scoring
+  * branches keep their internal distinct: their frames are persisted by
+  * [[QueryEngine.query]] and the dedup bounds the cached size.
   */
 object FilterCompiler {
 
@@ -262,7 +271,7 @@ object FilterCompiler {
 
     if (p.isEmpty && (o.startsWith("<") || o.startsWith("_:"))) {
       // reverse reference: subjects of triples whose object is o
-      Some(withG(triples).filter(oCond).select("s").distinct())
+      Some(withG(triples).filter(oCond).select("s"))
     } else if (p == "id") {
       if (o.startsWith("random") || o.startsWith("sample")) {
         val parts = o.split(" ")
@@ -270,13 +279,14 @@ object FilterCompiler {
           try parts(1).toInt catch { case _: NumberFormatException => 1 }
         else 1
         // `USING SAMPLE n` samples n TRIPLE rows then takes distinct s —
-        // up to n subjects. rand(seed) + limit gives the same contract,
-        // deterministically under a fixed seed.
+        // up to n subjects (the dedup happens in combineSets). rand(seed)
+        // + limit gives the same contract, deterministically under a
+        // fixed seed.
         Some(withG(triples)
           .orderBy(rand(ctx.sampleSeed)).limit(n)
-          .select("s").distinct())
+          .select("s"))
       } else {
-        Some(withG(triples).filter(col("s") === h(o)).select("s").distinct())
+        Some(withG(triples).filter(col("s") === h(o)).select("s"))
       }
     } else if (p.startsWith("semantic")) {
       ctx.semantic.map { sem =>
@@ -328,7 +338,7 @@ object FilterCompiler {
       // the (p,o,s)-sorted scan's batch stats and skips most of the
       // corpus; past the cap, broadcast-join the SAME materialized set
       val t0 = oInOrJoin(ctx, propFilter(withG(triples)), lits)
-      Some(hopUp(ctx, t0, hops, Nil).distinct())
+      Some(hopUp(ctx, t0, hops, Nil))
     } else if (p.startsWith("fts")) {
       ctx.fts.map { idx =>
         val scored = idx.matchBm25(o).withColumnRenamed("hash", "mhash")
@@ -343,13 +353,13 @@ object FilterCompiler {
           // isin-eligible; the match set materializes exactly once
           val t0 = oInOrJoin(ctx, propFilter(withG(triples)),
             scored.select("mhash"))
-          hopUp(ctx, t0, hops, Nil).distinct()
+          hopUp(ctx, t0, hops, Nil)
         }
       }
     } else if (p.startsWith("<")) {
       val t0 = withG(triples).filter(col("p") === h(pHead))
       val filtered = if (o.nonEmpty) t0.filter(oCond) else t0
-      Some(hopUp(ctx, filtered.select("s"), hops, Nil).distinct())
+      Some(hopUp(ctx, filtered.select("s"), hops, Nil))
     } else None
   }
 }

@@ -69,7 +69,16 @@ object QueryEngine {
     * left; EXCEPT terms always evaluated last (reference query.py:629-668
     * emits one concatenated SQL string — precedence is DuckDB's).
     * `items` is (op, df) with the first op ignored (seed). */
-  def combineSets(items: Seq[(String, DataFrame)]): Option[DataFrame] = {
+  /** Fold compiled branch frames with the reference's set-operator
+    * semantics. Branch inputs arrive NON-deduplicated (FilterCompiler
+    * contract): `intersect`/`except` dedup internally, and `dedup = true`
+    * applies the one final distinct — whose partial (map-side)
+    * aggregation removes duplicates before the shuffle, making a single
+    * global dedup strictly cheaper at scale than a distinct per branch.
+    * `dedup = false` is for consumers that do their own grouping
+    * (score chains) or none at all (semi-joins — [[facet]]). */
+  def combineSets(items: Seq[(String, DataFrame)],
+      dedup: Boolean = true): Option[DataFrame] = {
     if (items.isEmpty) return None
     // collapse INTERSECT runs onto their left operand
     val collapsed = items.foldLeft(List.empty[(String, DataFrame)]) {
@@ -81,13 +90,14 @@ object QueryEngine {
     }.reverse
     // left-fold UNION / EXCEPT in order
     val seed = collapsed.head._2
-    Some(collapsed.tail.foldLeft(seed) { case (acc, (op, df)) =>
+    val folded = collapsed.tail.foldLeft(seed) { case (acc, (op, df)) =>
       op match {
         case "union" => acc.union(df)
         case "except" => acc.except(df)
         case _ => acc
       }
-    }.distinct())
+    }
+    Some(if (dedup) folded.distinct() else folded)
   }
 
   private def isScoring(f: FilterQ): Boolean =
@@ -108,11 +118,12 @@ object QueryEngine {
   /** Combine the compiled filters into the s_results subject set.
     * Unrecognized filters and unknown ops are silently dropped
     * (query.py:659-669). */
-  def subjectsFromCompiled(compiled: Seq[(FilterQ, DataFrame)]): Option[DataFrame] = {
+  def subjectsFromCompiled(compiled: Seq[(FilterQ, DataFrame)],
+      dedup: Boolean = true): Option[DataFrame] = {
     var items = Vector.empty[(String, DataFrame)]
     var excepts = Vector.empty[(String, DataFrame)]
     for ((f, dfRaw) <- compiled) {
-      val df = if (isScoring(f)) dfRaw.select("s").distinct() else dfRaw
+      val df = if (isScoring(f)) dfRaw.select("s") else dfRaw
       val op = f.op
       if (items.isEmpty) items :+= ("seed" -> df)
       else if (op == "should" || op == "or") items :+= ("union" -> df)
@@ -120,7 +131,7 @@ object QueryEngine {
       else if (op == "not") excepts :+= ("except" -> df)
       // other op values: filter contributes nothing (reference parity)
     }
-    combineSets(items ++ excepts)
+    combineSets(items ++ excepts, dedup)
   }
 
   /** Fused evaluation of a boolean filter forest when EVERY filter is a
@@ -185,6 +196,17 @@ object QueryEngine {
     fusedSubjects(ctx, opts)
       .orElse(subjectsFromCompiled(compileAll(ctx, opts, withScores = false)))
 
+  /** [[subjects]] WITHOUT the final dedup: the frame may repeat a
+    * subject (once per matching triple of its seed/union branches).
+    * Contract for dedup-agnostic consumers only — the semi-join probe
+    * side of [[facet]], or anything that groups by s itself. A facet
+    * over a raw set skips the distinct exchange entirely; the semi-join
+    * result is row-for-row identical. */
+  def subjectsRaw(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
+    fusedSubjects(ctx, opts)
+      .orElse(subjectsFromCompiled(
+        compileAll(ctx, opts, withScores = false), dedup = false))
+
   /** Parallel score chain over the scoring (fts/semantic) filters —
     * UNION/INTERSECT only, first scoring filter seeds regardless of its op
     * (query.py:644-655); result is max(score) per subject. */
@@ -195,7 +217,11 @@ object QueryEngine {
       else if (f.op == "should" || f.op == "or") items :+= ("union" -> df.select("s", "score"))
       else if (f.op == "must" || f.op == "and") items :+= ("intersect" -> df.select("s", "score"))
     }
-    combineSets(items).map(_.groupBy("s").agg(max("score").as("score")))
+    // no pre-dedup: the terminal groupBy(s) IS the dedup (map-side
+    // partial max-aggregation), so a distinct before it would be a
+    // second exchange over the same key
+    combineSets(items, dedup = false)
+      .map(_.groupBy("s").agg(max("score").as("score")))
   }
 
   def scoreChain(ctx: EngineContext, opts: QueryOpts): Option[DataFrame] =
@@ -409,14 +435,21 @@ object QueryEngine {
       PathEdges(e, maxMult == null || maxMult.asInstanceOf[Long] <= 1L)
     })
     val edges = pe.edges
-    var frontier: Array[(Long, Seq[Long], Long)] = wanted
+    // the first round walks the page frame DIRECTLY and collects the
+    // walked result — folding the old seed-the-driver collect into the
+    // first walk job (one job instead of two). Driver exposure is
+    // unchanged: the old shape collected `wanted` blindly too, and for
+    // single-parent graphs |walked| == |wanted|; branchy graphs take
+    // the count-guarded branch below on every round including the first.
+    var frontier: Array[(Long, Seq[Long], Long)] = null
+    val seedDf = wanted
       .select(col("s").as("source"), array(col("s")).as("path"), col("s").as("head"))
-      .as[(Long, Seq[Long], Long)].collect()
     val finished = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     var distributed: Option[DataFrame] = None
     var i = 0
-    while (frontier.nonEmpty && i < ctx.maxPathIterations && distributed.isEmpty) {
-        if (frontier.length > ctx.maxDriverChains) {
+    while ((frontier == null || frontier.nonEmpty) &&
+        i < ctx.maxPathIterations && distributed.isEmpty) {
+        if (frontier != null && frontier.length > ctx.maxDriverChains) {
           distributed = Some(pathsDistributed(
             frontier.toSeq.toDF("source", "path", "head"), edges,
             ctx.maxPathIterations - i))
@@ -425,7 +458,9 @@ object QueryEngine {
           // no broadcast hint on fdf: the frontier is the outer-preserved
           // side of the left join, which can never be the build side —
           // the edge side auto-broadcasts when small
-          val fdf = frontier.toSeq.toDF("source", "path", "head")
+          val fdf =
+            if (frontier == null) seedDf
+            else frontier.toSeq.toDF("source", "path", "head")
           if (pe.singleParent) {
             // no node has two parents (tested once at edge-cache time),
             // so |stepped| == |frontier| ≤ maxDriverChains by induction —

@@ -74,8 +74,9 @@ def rdf_queries():
             f"JOIN (SELECT DISTINCT s FROM triples WHERE p = {P('nation','n_name')}) ss ON t.s = ss.s "
             f"JOIN iris i ON t.p = i.hash GROUP BY i.value ORDER BY val"),
         "q_rdf_facet_graphs": (
+            # same subject set as the gate (n_name properties), not parent3
             f"SELECT count(*) AS count, i.value AS val FROM triples t "
-            f"JOIN ({parent3}) ss ON t.s = ss.s "
+            f"JOIN (SELECT DISTINCT s FROM triples WHERE p = {P('nation','n_name')}) ss ON t.s = ss.s "
             f"JOIN iris i ON t.g = i.hash GROUP BY i.value ORDER BY val"),
         "q_rdf_agg_properties": (
             "SELECT i.value, c.count FROM (SELECT p, count(*) AS count FROM triples GROUP BY p) c "
