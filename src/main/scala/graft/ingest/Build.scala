@@ -87,22 +87,44 @@ object Build {
       throw new IllegalStateException(
         s"The warehouse [$warehouseDir] already has data, doing nothing")
     dir.mkdirs()
+    // File counts derive from ROW COUNTS, not the builder session's
+    // shuffle setting: the warehouse layout must be identical no matter
+    // which session wrote it (a 32-shuffle-partition builder would
+    // otherwise emit 32 small files that a 4-core reader scans in 8 task
+    // waves). ~2M rows per file keeps a small store to a few files (one
+    // cached scan task per core at bench scale) while a corpus-scale
+    // build fans out to rows/2M files.
+    def filesFor(rows: Long): Int =
+      math.max(1L, math.min(1L << 20, (rows + 1999999L) / 2000000L)).toInt
+    val nTriples = filesFor(graph.triples.count())
     // Sort triples by (p, o, s) within partitions: the dominant filter
     // shape is `p = h [AND o ...]` (SURVEY §4.2), and parquet row-group
     // min/max stats then skip non-matching groups at scan time.
     graph.triples
-      .repartition(col("p"))
+      .repartition(nTriples, col("p"))
       .sortWithinPartitions("p", "o", "s")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples")
     // Second copy range-partitioned/sorted by s: subject-bounded access
     // (hydration/spo/sp) prunes by s min/max — a point lookup instead of
     // a full pass at scale. Doubles triple storage (16 B/row, cheap).
     graph.triples
-      .repartitionByRange(col("s"))
+      .repartitionByRange(nTriples, col("s"))
       .sortWithinPartitions("s")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples_by_s")
-    graph.iris.write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/iris")
-    graph.literals.write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/literals")
+    // Dictionaries range-sorted by value: prefix-anchored scans (regex
+    // static prefixes, label prefix probes) then prune cached batches /
+    // row groups by the value min/max instead of running the regex
+    // engine over the whole vocabulary — hash-keyed access is
+    // point-lookup-shaped either way, so clustering by value costs
+    // those paths nothing.
+    graph.iris
+      .repartitionByRange(filesFor(graph.iris.count()), col("value"))
+      .sortWithinPartitions("value")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/iris")
+    graph.literals
+      .repartitionByRange(filesFor(graph.literals.count()), col("value"))
+      .sortWithinPartitions("value")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/literals")
   }
 
   /** [[write]] with the source quads PERSISTED across the output jobs:

@@ -134,8 +134,11 @@ object Rdfize {
     * which also makes the gate exercise the real warehouse read path
     * (p,o,s-clustered row groups) instead of an in-memory rebuild. */
   private def cacheDir(sfDir: String): String =
+    // the v-suffix versions the WAREHOUSE LAYOUT (v2 = value-sorted
+    // dictionaries): bumping it orphans caches written by older builds
+    // instead of silently serving the old layout past a format change
     sys.env.getOrElse("GRAFT_RDFIZE_CACHE", "/tmp/graft_rdfize_cache") +
-      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_v2"
 
   def ctx(spark: SparkSession, sfDir: String): EngineContext =
     cache.computeIfAbsent(sfDir, { _ =>

@@ -109,7 +109,8 @@ def rdf_queries():
 def rdf_warehouse_dir(sf_dir):
     base = os.environ.get("GRAFT_RDFIZE_CACHE", "/tmp/graft_rdfize_cache")
     import re
-    return os.path.join(base, re.sub(r"[^A-Za-z0-9.]", "_", sf_dir))
+    # _v2 = value-sorted dictionary layout (keep in sync with Rdfize.cacheDir)
+    return os.path.join(base, re.sub(r"[^A-Za-z0-9.]", "_", sf_dir) + "_v2")
 
 def main_rdf(sf_dir, bench_path=None):
     wh = rdf_warehouse_dir(sf_dir)
