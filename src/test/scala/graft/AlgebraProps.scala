@@ -105,6 +105,18 @@ object AlgebraProps extends Properties("algebra") {
       engineSubjects(filters) == naiveQuery(filters)
     }
 
+  // subjectsRaw is the dedup-deferred contract (facet semi-joins): same
+  // SET of subjects as subjects(), duplicates permitted
+  property("subjectsRaw equals subjects as a set") =
+    Prop.forAll(genFilters) { filters =>
+      val opts = QueryOpts(filters = filters)
+      val raw = QueryEngine.subjectsRaw(ctx, opts)
+        .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      val deduped = QueryEngine.subjects(ctx, opts)
+        .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      raw == deduped
+    }
+
   property("pagination: pages are disjoint and cover the set") =
     Prop.forAll(Gen.choose(1, 6)) { pageSize =>
       val opts = QueryOpts(filters = Seq(FilterQ(p = Fixture.label)))
