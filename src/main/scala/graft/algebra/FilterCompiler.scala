@@ -58,13 +58,49 @@ final case class EngineContext(
     // persisted DataFrame (vocab-sized: one row per property/graph).
     // Bikidata.invalidate unpersists these with the graph they view.
     statFrames: java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
-      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()) {
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame](),
+    // set (before draining) when a mutation retires this context: a query
+    // thread can be mid-computeIfAbsent on pathEdges/statFrames while the
+    // drain runs and install its persisted frame AFTER the clear — into a
+    // map nobody will ever drain again, leaking the persisted blocks for
+    // the session lifetime. Installers re-check this flag post-install
+    // (cachedPathEdges/cachedStatFrame) and re-drain; unpersist is
+    // idempotent, so the double-drain overlap is harmless.
+    retired: java.util.concurrent.atomic.AtomicBoolean =
+      new java.util.concurrent.atomic.AtomicBoolean(false)) {
 
   /** Decode column via the broadcast map (None => use the join path). */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
     dictBroadcast.map { b =>
       org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull).apply(c)
     }
+
+  /** Unpersist + clear every derived cache. Remove-then-unpersist per
+    * key (not forEach+clear) so an entry installed mid-drain is either
+    * removed here or caught by its installer's own retired re-check. */
+  def drainDerivedCaches(): Unit = {
+    val pi = pathEdges.keySet().iterator()
+    while (pi.hasNext) Option(pathEdges.remove(pi.next())).foreach(_.edges.unpersist())
+    val si = statFrames.keySet().iterator()
+    while (si.hasNext) Option(statFrames.remove(si.next())).foreach(_.unpersist())
+    stats.clear()
+  }
+
+  /** [[statFrames]].computeIfAbsent with the retire re-check: the frame
+    * stays correct for the caller's in-flight query either way (it just
+    * loses its cache status if the context retired underneath it). */
+  def cachedStatFrame(key: String)(build: => DataFrame): DataFrame = {
+    val df = statFrames.computeIfAbsent(key, _ => build)
+    if (retired.get()) drainDerivedCaches()
+    df
+  }
+
+  /** [[pathEdges]].computeIfAbsent with the same retire re-check. */
+  def cachedPathEdges(key: String)(build: => PathEdges): PathEdges = {
+    val pe = pathEdges.computeIfAbsent(key, _ => build)
+    if (retired.get()) drainDerivedCaches()
+    pe
+  }
 }
 
 /** A persisted parent edge set for [[QueryEngine.paths]] plus the

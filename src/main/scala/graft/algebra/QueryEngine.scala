@@ -64,19 +64,17 @@ object QueryEngine {
 
   // ---------------------------------------------------------------- set ops
 
-  /** Combine per-filter subject sets with SQL set-operator precedence:
-    * INTERSECT binds tighter than UNION/EXCEPT; UNION/EXCEPT associate
-    * left; EXCEPT terms always evaluated last (reference query.py:629-668
-    * emits one concatenated SQL string — precedence is DuckDB's).
-    * `items` is (op, df) with the first op ignored (seed). */
   /** Fold compiled branch frames with the reference's set-operator
-    * semantics. Branch inputs arrive NON-deduplicated (FilterCompiler
-    * contract): `intersect`/`except` dedup internally, and `dedup = true`
-    * applies the one final distinct — whose partial (map-side)
-    * aggregation removes duplicates before the shuffle, making a single
-    * global dedup strictly cheaper at scale than a distinct per branch.
-    * `dedup = false` is for consumers that do their own grouping
-    * (score chains) or none at all (semi-joins — [[facet]]). */
+    * precedence: INTERSECT binds tighter than UNION/EXCEPT, UNION/EXCEPT
+    * associate left (query.py:629-668 emits one concatenated SQL string —
+    * precedence is DuckDB's). `items` is (op, df) with the first op
+    * ignored (seed). Branch inputs arrive NON-deduplicated
+    * (FilterCompiler contract): `intersect`/`except` dedup internally,
+    * and `dedup = true` applies the one final distinct — whose partial
+    * (map-side) aggregation removes duplicates before the shuffle,
+    * making a single global dedup strictly cheaper at scale than a
+    * distinct per branch. `dedup = false` is for consumers that do their
+    * own grouping (score chains) or none at all (semi-joins — [[facet]]). */
   def combineSets(items: Seq[(String, DataFrame)],
       dedup: Boolean = true): Option[DataFrame] = {
     if (items.isEmpty) return None
@@ -361,7 +359,7 @@ object QueryEngine {
     * store-constant between mutations, so computed once per context. */
   def facetWholeDb(ctx: EngineContext, agg: String): DataFrame = {
     val keyCol = if (agg == "graphs") "g" else "p"
-    ctx.statFrames.computeIfAbsent(s"facetWholeDb:$keyCol", { _ =>
+    ctx.cachedStatFrame(s"facetWholeDb:$keyCol") {
       val df = decoded(ctx,
           ctx.graph.triples.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
           keyCol, "val", inner = true)
@@ -369,7 +367,7 @@ object QueryEngine {
         .persist()
       df.count()
       df
-    })
+    }
   }
 
   // ----------------------------------------------------------------- paths
@@ -427,13 +425,13 @@ object QueryEngine {
     // fanout guard at all. Bounded by the property's triple count; a
     // corpus-scale property stays a shuffle join against this one
     // persisted relation.
-    val pe = ctx.pathEdges.computeIfAbsent(propIri, { _ =>
+    val pe = ctx.cachedPathEdges(propIri) {
       val e = ctx.graph.triples.filter(col("p") === h(propIri))
         .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
       val maxMult = e.groupBy(col("part")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head.get(0)
       PathEdges(e, maxMult == null || maxMult.asInstanceOf[Long] <= 1L)
-    })
+    }
     val edges = pe.edges
     // the first round walks the page frame DIRECTLY and collects the
     // walked result — folding the old seed-the-driver collect into the
@@ -582,7 +580,7 @@ object QueryEngine {
     * decodes the few result rows — hash↔value is bijective, so grouping
     * by hash equals the reference's group-by-decoded-value. */
   def properties(ctx: EngineContext): DataFrame =
-    ctx.statFrames.computeIfAbsent("properties", { _ =>
+    ctx.cachedStatFrame("properties") {
       val df = decoded(ctx,
         ctx.graph.triples.groupBy(col("p"))
           .agg(countDistinct(col("s")).as("count")),
@@ -591,7 +589,7 @@ object QueryEngine {
         .persist()
       df.count() // materialize inside the computeIfAbsent (single writer)
       df
-    })
+    }
 
   /** Distinct-subject count per object IRI of one predicate (query.py:30-35).
     * The inner decode keeps IRI objects only when falling back to the join

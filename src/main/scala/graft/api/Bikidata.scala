@@ -70,17 +70,25 @@ final class Bikidata(
 
   private def invalidate(): Unit = synchronized {
     ctxOpt.foreach { c =>
+      // release EVERY frame the retiring context pinned — graph, FTS
+      // posting lists, semantic table, ANN cells; leaving any of them
+      // persisted strands one corpus-sized frame per mutation in the
+      // block manager for the session lifetime
       c.graph.unpersist()
-      // cached per-property paths() edge sets are views over the now-stale
-      // graph — release them with it (the fresh context starts empty)
-      c.pathEdges.values().forEach(_.edges.unpersist())
-      c.pathEdges.clear()
-      // whole-store stat frames are views over the stale graph too
-      c.statFrames.values().forEach(_.unpersist())
-      c.statFrames.clear()
-      c.stats.clear()
+      c.fts.foreach(_.unpersist())
+      c.semantic.foreach(_.unpersist())
+      c.semanticAnn.foreach(_.cells.unpersist())
+      // retire FIRST, then drain: a query thread mid-computeIfAbsent can
+      // install a persisted edge set / stat frame after the drain passes
+      // its key — the flag makes the installer re-drain, so nothing
+      // persisted survives in the orphaned maps (cached per-property
+      // paths() edge sets and stat frames are views over the now-stale
+      // graph; the fresh context starts empty)
+      c.retired.set(true)
+      c.drainDerivedCaches()
     }
     ctxOpt = None
+    ftssIdx.foreach(_.unpersist())
     ftssIdx = None
     cache.clear()
     // mutations make the stored derived indexes stale — drop them so the

@@ -34,7 +34,8 @@ import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingDeque, TimeUnit}
   * state, so no persistence is warranted.
   */
 final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
-    inboundQueue: String = RespServer.DefaultQueue) {
+    inboundQueue: String = RespServer.DefaultQueue,
+    ticketTtlMillis: Long = RespServer.DefaultTicketTtlMillis) {
 
   val pool = new WorkerPool(bk, numWorkers)
   private val server = new java.net.ServerSocket(port)
@@ -44,8 +45,61 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
   private val lists = new ConcurrentHashMap[String, LinkedBlockingDeque[Array[Byte]]]()
   private val strings = new ConcurrentHashMap[String, Array[Byte]]()
 
-  private def list(key: String): LinkedBlockingDeque[Array[Byte]] =
-    lists.computeIfAbsent(key, _ => new LinkedBlockingDeque[Array[Byte]]())
+  /** All list mutation goes through [[push]]/[[tryPop]]: a pop that
+    * drains a list removes it from the map (like Redis deletes empty
+    * lists), and the {pop, remove-if-empty} / {still-mapped?, push}
+    * pairs are each atomic under the deque's monitor — a push can never
+    * land on a deque a concurrent pop just unmapped (it observes the
+    * removal and retries against the fresh mapping). Without the
+    * identity re-check, `LPUSH k v1 v2` racing a `BLPOP k` could strand
+    * v2 on an orphaned deque. */
+  @annotation.tailrec
+  private def push(key: String, vs: Seq[Array[Byte]], head: Boolean): Long = {
+    val q = lists.computeIfAbsent(key, _ => new LinkedBlockingDeque[Array[Byte]]())
+    val n = q.synchronized {
+      if (lists.get(key) eq q) {
+        vs.foreach(v => if (head) q.addFirst(v) else q.addLast(v))
+        lastPush.put(key, System.currentTimeMillis())
+        q.size().toLong
+      } else -1L
+    }
+    if (n >= 0) n else push(key, vs, head)
+  }
+
+  /** Pop without minting: a missing key stays missing (polling a key
+    * that never gets a push must not accumulate empty deques). */
+  private def tryPop(key: String, head: Boolean): Array[Byte] = {
+    val q = lists.get(key)
+    if (q == null) return null
+    q.synchronized {
+      val v = if (head) q.pollFirst() else q.pollLast()
+      if (v != null && q.isEmpty) lists.remove(key, q)
+      v
+    }
+  }
+
+  /** Last push time per live list, for the sweeper: an envelope pushed
+    * onto a ticket whose client already gave up (BLPOP timed out, or
+    * the request carried a bogus ticket) would otherwise be retained
+    * for the server's lifetime. Any list idle past [[ticketTtlMillis]]
+    * is reclaimed — far beyond the reference client's poll window
+    * (workers.py:124 re-BLPOPs every few seconds). */
+  private val lastPush = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sweepIdleLists(): Unit = {
+    val cutoff = System.currentTimeMillis() - ticketTtlMillis
+    val it = lastPush.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      val q = lists.get(k)
+      if (q == null) it.remove() // list already drained; drop the stamp
+      else if (e.getValue < cutoff) {
+        q.synchronized { lists.remove(k, q) }
+        it.remove()
+      }
+    }
+  }
 
   /** Route one inbound opts JSON through the pool; the completed
     * envelope lands on the request's ticket list. A request without a
@@ -64,7 +118,7 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
         else """{"error": "Failed to process query", "trace": """ +
           JsonMethods.compact(JsonMethods.render(JString(String.valueOf(err)))) + "}"
       ticket match {
-        case Some(t) => list(t).addFirst(envelope.getBytes(UTF_8))
+        case Some(t) => push(t, Seq(envelope.getBytes(UTF_8)), head = true)
         case None => System.err.println("[resp] request had no query_ticket; result dropped")
       }
     }
@@ -139,19 +193,8 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
       else System.nanoTime() + (timeoutSec * 1e9).toLong
     while (running) {
       for (k <- keys) {
-        val q = list(k)
-        val v = if (head) q.pollFirst() else q.pollLast()
-        if (v != null) {
-          // drop the (usually one-shot ticket) list once drained, like
-          // Redis deletes empty lists — otherwise a long-lived server
-          // accumulates one empty deque per ticket ever polled. The
-          // value-conditional remove keeps a concurrent push to the
-          // SAME key safe unless the ticket is reused, which the
-          // reference's unique time+random tickets never do
-          // (workers.py:116)
-          if (q.isEmpty) lists.remove(k, q)
-          return Some((k, v))
-        }
+        val v = tryPop(k, head)
+        if (v != null) return Some((k, v))
       }
       if (System.nanoTime() >= deadline) return None
       // multi-key wait: a short poll beats wiring takeFirst interrupts
@@ -179,9 +222,7 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
           args.drop(1).foreach(dispatch)
           integer(out, 1)
         } else {
-          val q = list(key)
-          args.drop(1).foreach(v => if (name == "LPUSH") q.addFirst(v) else q.addLast(v))
-          integer(out, q.size())
+          integer(out, push(key, args.drop(1), head = name == "LPUSH"))
         }
       case "BLPOP" | "BRPOP" =>
         val timeout = str(args.length - 1).toDouble
@@ -190,12 +231,19 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
           case Some((k, v)) => array(out, Seq(k.getBytes(UTF_8), v))
           case None => array(out, null)
         }
-      case "LPOP" => bulk(out, list(str(0)).pollFirst())
-      case "RPOP" => bulk(out, list(str(0)).pollLast())
-      case "LLEN" => integer(out, list(str(0)).size().toLong)
+      case "LPOP" => bulk(out, tryPop(str(0), head = true))
+      case "RPOP" => bulk(out, tryPop(str(0), head = false))
+      case "LLEN" =>
+        integer(out, Option(lists.get(str(0))).map(_.size().toLong).getOrElse(0L))
       case "DEL" =>
         integer(out, args.map(new String(_, UTF_8)).count { k =>
-          (lists.remove(k) != null) | (strings.remove(k) != null)
+          val q = lists.get(k)
+          // unmap under the deque's monitor so a concurrent push either
+          // completes first (values discarded, DEL semantics) or
+          // observes the removal and recreates the key
+          val removedList =
+            q != null && q.synchronized(lists.remove(k, q))
+          removedList | (strings.remove(k) != null)
         }.toLong)
       case "EXISTS" =>
         integer(out, args.map(new String(_, UTF_8)).count { k =>
@@ -239,6 +287,16 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
   acceptor.setDaemon(true)
   acceptor.start()
 
+  private val sweeper = new Thread(() => {
+    val tick = math.max(50L, math.min(ticketTtlMillis / 4, 30000L))
+    while (running) {
+      try Thread.sleep(tick) catch { case _: InterruptedException => () }
+      if (running) sweepIdleLists()
+    }
+  }, "graft-resp-sweeper")
+  sweeper.setDaemon(true)
+  sweeper.start()
+
   def close(): Unit = {
     running = false
     pool.shutdown()
@@ -249,4 +307,8 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
 object RespServer {
   /** The reference's inbound queue name (WORKER_FETCH_Q, workers.py:19). */
   val DefaultQueue = "bikidata:queries"
+  /** Reclaim ticket lists idle this long (10 min — orders of magnitude
+    * past any client BLPOP window, far below the envelope cache's
+    * 7-day TTL which owns result retention). */
+  val DefaultTicketTtlMillis: Long = 10 * 60 * 1000L
 }

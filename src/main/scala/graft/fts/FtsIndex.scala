@@ -53,6 +53,14 @@ final case class FtsIndex(
     this
   }
 
+  /** Release the persisted lists (context retirement — without this,
+    * every mutation strands one corpus-sized posting-lists frame in the
+    * block manager for the session lifetime). */
+  def unpersist(): FtsIndex = {
+    postingLists.unpersist()
+    this
+  }
+
   /** Conjunctive BM25 match: docs containing ALL query terms, scored.
     * Returns (hash: Long, score: Double). Unknown query terms make the
     * match set empty (conjunctive semantics) — including stopwords,

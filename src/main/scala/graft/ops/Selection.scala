@@ -30,7 +30,14 @@ object Selection {
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
       tokensCol: String, budget: Long, shards: Int = 0): DataFrame = {
     require(shards >= 0, "shards must be non-negative")
-    val nShards = if (shards == 0) defaultShards(df) else shards
+    require(budget >= 1, s"budget ($budget) would select nothing")
+    // the DERIVED default is clamped to the budget: a small budget over
+    // a wide input must not throw (nor spread one token per shard) just
+    // because the upstream partitioning is wide; an EXPLICIT shard count
+    // keeps the strict contract below
+    val nShards =
+      if (shards == 0) math.min(defaultShards(df).toLong, budget).toInt
+      else shards
     require(budget >= nShards,
       s"budget ($budget) below shards ($nShards) would select nothing")
     // working columns would silently shadow same-named input columns

@@ -163,29 +163,27 @@ object Streaming {
       .foreachBatch { (batch: Dataset[graft.ingest.Quad], _: Long) =>
         val df = batch.toDF()
         val wh = new graft.store.Warehouse(spark, warehouseDir)
-        // None only for a genuinely EMPTY warehouse (nothing to dedupe
-        // against yet). Any other load failure — transient FS error,
-        // concurrent compact, corrupt read — must fail the batch so the
-        // checkpoint retries it; swallowing it would skip the
-        // idempotence anti-joins and append duplicate dictionary rows
-        // that fan out every later decode join.
+        // None only for a genuinely EMPTY warehouse — load()'s FIRST
+        // check, "has no triples data" (triples are written last below,
+        // so an empty-triples store can hold at most torn dict deltas,
+        // which composeDict's delta-internal dedup absorbs on retry).
+        // Any OTHER load failure — a dict dir missing while triples
+        // exist (mid-compact staging, operator damage), transient FS
+        // error, corrupt read — must fail the batch so the checkpoint
+        // retries it; swallowing it would skip the idempotence
+        // anti-joins and append duplicate dictionary rows that fan out
+        // every later decode join.
         val existing =
           try Some(wh.load())
           catch {
             case e: IllegalStateException
-                if Option(e.getMessage).exists(_.contains("has no")) => None
+                if Option(e.getMessage).exists(_.contains("has no triples data")) => None
           }
         val hashed = df.select(
           Hash64(col("s")).as("s"), Hash64(col("p")).as("p"),
           Hash64(col("o")).as("o"), Hash64(col("g")).as("g"))
         val newTriples = existing.fold(hashed)(g =>
           hashed.join(g.triples, Seq("s", "p", "o", "g"), "left_anti"))
-        // stamp the append with a real mutation seq: keeps the delta
-        // schema uniform with Warehouse.insert's rows (no mixed parquet
-        // footers) and lets a stream-re-asserted quad outrank an earlier
-        // tombstone instead of being stuck at the legacy default seq=1
-        newTriples.withColumn("seq", lit(wh.nextMutationSeq()))
-          .write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
         val terms = df.select(col("s").as("value"))
           .union(df.select(col("p").as("value")))
           .union(df.select(col("o").as("value")))
@@ -194,11 +192,23 @@ object Streaming {
           .select(Hash64(col("value")).as("hash"), col("value"))
         val newTerms = existing.fold(terms)(g =>
           terms.join(g.dict.select("hash"), Seq("hash"), "left_anti"))
+        // Write order is the crash contract: dict deltas FIRST, triples
+        // LAST. A crash anywhere leaves either (a) no triples yet — the
+        // retry sees "empty", re-appends terms, and composeDict's
+        // delta-internal groupBy dedups the torn copies — or (b) a
+        // complete batch. Triples-first would strand a state where
+        // load() fails on missing dicts forever.
         newTerms.filter(substring(col("value"), 1, 1) === "\"")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/literals_delta")
         // empty default-graph name is not decodable (Build quirk parity)
         newTerms.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/iris_delta")
+        // stamp the append with a real mutation seq: keeps the delta
+        // schema uniform with Warehouse.insert's rows (no mixed parquet
+        // footers) and lets a stream-re-asserted quad outrank an earlier
+        // tombstone instead of being stuck at the legacy default seq=1
+        newTriples.withColumn("seq", lit(wh.nextMutationSeq()))
+          .write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
         ()
       }
       .start()

@@ -400,6 +400,12 @@ class OpsSpec extends SparkSpec {
       wide, "id", "score", "toks", budget = 1600L)
     assert(auto.select("shard").distinct().count() <= 16)
     assert(auto.collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    // a budget below the derived shard count clamps instead of throwing
+    // (an explicit shards argument keeps the strict require); nothing
+    // fits 1 token/shard here, but the call must not fail on wide inputs
+    val tiny = graft.ops.Selection.selectByBudget(
+      wide, "id", "score", "toks", budget = 5L)
+    assert(tiny.count() === 0L)
   }
 
   test("cosine expressions read double and mixed-width arrays correctly") {

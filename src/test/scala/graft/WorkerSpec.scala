@@ -179,6 +179,45 @@ class WorkerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("RESP lists: multi-push never loses values to a racing pop; idle tickets swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resp2").toString
+    val bk = new Bikidata(spark, s"$dir/wh") // list ops never touch the pool
+    val srv = new RespServer(bk, port = 0, numWorkers = 1, ticketTtlMillis = 3000)
+    try {
+      val c = new RespClient(srv.boundPort)
+      val pusher = new RespClient(srv.boundPort)
+      // stress the {pop, remove-if-empty} / {still-mapped?, push} pairing:
+      // the consumer keeps the list near-empty, so the old non-atomic
+      // RPUSH a b regularly had its second value land on a deque a pop
+      // had just unmapped — stranding it forever
+      val n = 200
+      val t = new Thread(() => {
+        var i = 1
+        while (i <= n) { pusher.cmd("RPUSH", "stress", s"a$i", s"b$i"); i += 1 }
+      })
+      t.start()
+      val got = (1 to 2 * n).map { _ =>
+        c.cmd("BLPOP", "stress", "10") match {
+          case Vector(_, v: String) => v
+          case other => fail(s"BLPOP returned $other")
+        }
+      }
+      t.join()
+      assert(got.toSet.size === 2 * n) // every pushed value came back exactly once
+      assert(c.cmd("LLEN", "stress") === 0L)
+
+      // an envelope pushed onto a ticket nobody polls (client timed out,
+      // bogus ticket) is reclaimed once idle past the TTL
+      c.cmd("LPUSH", "t-orphan", "envelope")
+      assert(c.cmd("LLEN", "t-orphan") === 1L)
+      val deadline = System.currentTimeMillis() + 10000
+      while (c.cmd("LLEN", "t-orphan") != 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(c.cmd("LLEN", "t-orphan") === 0L)
+      c.close(); pusher.close()
+    } finally srv.close()
+  }
+
   test("use_cache=false bypasses the result cache") {
     val dir = java.nio.file.Files.createTempDirectory("graft-worker2").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),

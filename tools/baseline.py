@@ -139,20 +139,22 @@ def main_rdf(sf_dir, bench_path=None):
             print(f"{name}: ERR {e}")
             dt, n = None, 0
         rows.append((name, dt, bench.get(name), n))
+    # s > 0: Bench writes -1.0 for a query that threw — it must count
+    # neither toward Spark time nor toward the per-query floor credit
     total_d = sum(d for _, d, _, _ in rows if d)
-    total_s = sum(s for _, _, s, _ in rows if s)
+    total_s = sum(s for _, _, s, _ in rows if s and s > 0)
     print(f"{'query':28s} {'duckdb':>8s} {'spark':>8s} {'ratio':>7s} {'rows':>6s}")
     for name, d, s, n in rows:
         ds = f"{d:.3f}" if d is not None else "ERR"
         ss = f"{s:.3f}" if s is not None else "-"
-        ratio = f"{s/d:.1f}x" if (d and s) else "-"
+        ratio = f"{s/d:.1f}x" if (d and s and s > 0) else "-"
         print(f"{name:28s} {ds:>8s} {ss:>8s} {ratio:>7s} {n:>6d}")
     print(f"{'TOTAL (rdf-side)':28s} {total_d:8.3f} {total_s:8.3f} "
           f"{(total_s/total_d if total_d else 0):6.1f}x")
     # floor-adjusted: subtract ONE per-job scheduling floor per query
     # (a lower bound — most plans run several jobs). The floor is pure
     # local[32] driver overhead a real cluster amortizes; see SCALE.md.
-    n_timed = sum(1 for _, _, s, _ in rows if s)
+    n_timed = sum(1 for _, _, s, _ in rows if s and s > 0)
     total_s_adj = max(0.0, total_s - n_timed * floor)
     out = {"rdf_duckdb_sec": round(total_d, 3),
            "rdf_spark_sec": round(total_s, 3),
@@ -186,12 +188,12 @@ def main(sf_dir, out_dir, bench_path=None):
             dt = None
         rows.append((name, dt, bench.get(name)))
     total_d = sum(d for _, d, _ in rows if d)
-    total_s = sum(s for _, _, s in rows if s)
+    total_s = sum(s for _, _, s in rows if s and s > 0)
     print(f"{'query':32s} {'duckdb':>8s} {'spark':>8s} {'ratio':>7s}")
     for name, d, s in rows:
         ds = f"{d:.3f}" if d is not None else "ERR"
         ss = f"{s:.3f}" if s is not None else "-"
-        ratio = f"{s/d:.1f}x" if (d and s) else "-"
+        ratio = f"{s/d:.1f}x" if (d and s and s > 0) else "-"
         print(f"{name:32s} {ds:>8s} {ss:>8s} {ratio:>7s}")
     print(f"{'TOTAL (oracle-checked)':32s} {total_d:8.3f} {total_s:8.3f} "
           f"{(total_s/total_d if total_d else 0):6.1f}x")
