@@ -248,8 +248,9 @@ object PipelineQueries {
           Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
     }),
 
-    // language ID heuristic (documents.lang is synthetic label noise, so
-    // rows-only here; real-language behavior covered in OpsSpec)
+    // language ID heuristic, oracle-checked against a SQL re-expression
+    // of the same profiles (documents.lang itself is synthetic label
+    // noise; real-language discrimination is covered in OpsSpec)
     "q_doc_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
           TextAnalysis.languageId(col("text")).as("lang_guess")).orderBy("doc_id")
@@ -621,6 +622,31 @@ object PipelineQueries {
          |SELECT doc_id, quality FROM q WHERE quality >= 0.5
          |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
          |ORDER BY doc_id""".stripMargin,
+    // the heuristic re-expressed in SQL: same token stream, same
+    // stopword profiles, same earliest-max tie rule (the fold keeps an
+    // earlier language unless a later one is STRICTLY ahead), same CJK
+    // override — so the gate pins tokenization + counting hash-exact
+    // (cross-language discrimination is OpsSpec's real-language test;
+    // the synthetic corpus is English-only)
+    "q_doc_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','it','with','for'))) AS h_en,
+        |    len(list_filter(ts, t -> t IN ('el','la','de','que','y','en','los','del','las','por'))) AS h_es,
+        |    len(list_filter(ts, t -> t IN ('der','die','und','das','ist','nicht','von','mit','den','ein'))) AS h_de,
+        |    len(list_filter(ts, t -> t IN ('le','la','et','les','des','est','une','dans','que','pour'))) AS h_fr
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+        |       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+        |       WHEN h_de >= h_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "q_doc_jaccard" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),'\s+'))) AS tok
         |           FROM documents WHERE doc_id < 40),
