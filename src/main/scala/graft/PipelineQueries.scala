@@ -20,11 +20,16 @@ object PipelineQueries {
     * to a microsecond timestamp at the read edge. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val df = s.read.parquet(s"$dir/events.parquet")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer div — `/` would go through double and lose precision at
-      // 1.7e18 ns (beyond double's 2^53 exact-integer range)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val instants =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        // integer div — `/` would go through double and lose precision at
+        // 1.7e18 ns (beyond double's 2^53 exact-integer range)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // a reader with inferTimestampNTZ surfaces ts as wall-clock NTZ —
+      // pin it to the UTC instant so downstream windows / typed encoders
+      // don't shift with the session time zone
+      else graft.streaming.Streaming.utcEventTime(df, "ts")
+    instants
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

@@ -17,6 +17,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Pin a wall-clock (TIMESTAMP_NTZ) event-time column to the UTC
+    * instant it denotes. A reader configured with
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` surfaces event time
+    * as NTZ, which carries no instant: any implicit NTZ→TIMESTAMP cast
+    * (window aggregation, a typed Encoder) goes through the SESSION
+    * time zone, so the same file would yield different epochs under
+    * different sessions — and `cast(ntz as long)` is an analysis error
+    * outright. Field extraction on NTZ is pure wall clock, and
+    * `make_timestamp(..., 'UTC')` pins the zone explicitly, so this is
+    * session-TZ-invariant by construction (TzInvarianceSpec). No-op for
+    * instant-typed (LTZ) columns. */
+  def utcEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val c = col(tsCol)
+        df.withColumn(tsCol, make_timestamp(
+          year(c), month(c), dayofmonth(c), hour(c), minute(c),
+          date_part(lit("SECOND"), c), lit("UTC")))
+      case _ => df
+    }
+
   // ------------------------------------------------------------- transforms
 
   /** Hourly tumbling-window counts per event type with a 2-hour
@@ -28,7 +49,8 @@ object Streaming {
     * DECIMAL sum of thousands of per-row double casts is where
     * cross-version rounding/rendering differences live. */
   def hourlyEventStats(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
-    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    val instants = utcEventTime(events, "ts")
+    val src = if (withWatermark) instants.withWatermark("ts", "2 hours") else instants
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
