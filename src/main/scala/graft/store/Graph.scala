@@ -47,10 +47,34 @@ final case class Graph(
     * copy of triples would cost serving-session memory (competing with
     * the hot relations above) for accesses that already skip ~all I/O.
     * unpersist() still covers byS defensively for callers who persisted
-    * it themselves. */
+    * it themselves.
+    *
+    * The pinned copies are RE-CLUSTERED to the session's parallelism
+    * when the stored layout has fewer splits than cores: warehouse file
+    * counts are sized for storage economics (~2M rows/file,
+    * [[graft.ingest.Build.write]]), so a small store can be a single
+    * file — and a cache partitioned like its source file would make
+    * every downstream scan single-threaded for the whole serving
+    * session. The one-time shuffle keeps the layout's clustering
+    * ((p,o,s) for triples, value-range for the dictionaries), so
+    * in-memory batch min/max pruning still works; at corpus scale file
+    * partitions exceed cores and this is a no-op. Returns the Graph
+    * holding the pinned frames — use the RETURNED value (the receiver's
+    * frames stay unpersisted when re-clustering kicked in). */
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Graph = {
-    triples.persist(level); iris.persist(level); literals.persist(level)
-    this
+    val cores = spark.sparkContext.defaultParallelism
+    def widened(df: DataFrame, recluster: DataFrame => DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions >= cores) df else recluster(df)
+    import org.apache.spark.sql.functions.col
+    val g = copy(
+      triples = widened(triples,
+        _.repartition(cores, col("p")).sortWithinPartitions("p", "o", "s")),
+      iris = widened(iris,
+        _.repartitionByRange(cores, col("value")).sortWithinPartitions("value")),
+      literals = widened(literals,
+        _.repartitionByRange(cores, col("value")).sortWithinPartitions("value")))
+    g.triples.persist(level); g.iris.persist(level); g.literals.persist(level)
+    g
   }
 
   def unpersist(): Graph = {
