@@ -89,13 +89,18 @@ object Build {
     dir.mkdirs()
     // File counts derive from ROW COUNTS, not the builder session's
     // shuffle setting: the warehouse layout must be identical no matter
-    // which session wrote it (a 32-shuffle-partition builder would
-    // otherwise emit 32 small files that a 4-core reader scans in 8 task
-    // waves). ~2M rows per file keeps a small store to a few files (one
-    // cached scan task per core at bench scale) while a corpus-scale
-    // build fans out to rows/2M files.
-    def filesFor(rows: Long): Int =
-      math.max(1L, math.min(1L << 20, (rows + 1999999L) / 2000000L)).toInt
+    // which session wrote it. The rows-per-file target is tiered —
+    // rows/32 clamped to [50k, 4M] — so a small store still fans its
+    // build WRITE over ~32 tasks (one parquet file per write task; a
+    // single-file layout serializes the sort+write) while a corpus-
+    // scale build converges to 4M-row (~100 MB) files instead of
+    // millions of shards. Read-side parallelism does not depend on this
+    // count: Graph.persist re-clusters the pinned cache to the serving
+    // session's cores.
+    def filesFor(rows: Long): Int = {
+      val perFile = math.max(50000L, math.min(4000000L, rows / 32L))
+      math.max(1L, (rows + perFile - 1L) / perFile).toInt
+    }
     val nTriples = filesFor(graph.triples.count())
     // Sort triples by (p, o, s) within partitions: the dominant filter
     // shape is `p = h [AND o ...]` (SURVEY §4.2), and parquet row-group

@@ -138,7 +138,7 @@ object Rdfize {
     // dictionaries): bumping it orphans caches written by older builds
     // instead of silently serving the old layout past a format change
     sys.env.getOrElse("GRAFT_RDFIZE_CACHE", "/tmp/graft_rdfize_cache") +
-      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_v2"
+      "/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_v3"
 
   def ctx(spark: SparkSession, sfDir: String): EngineContext =
     cache.computeIfAbsent(sfDir, { _ =>

@@ -109,8 +109,8 @@ def rdf_queries():
 def rdf_warehouse_dir(sf_dir):
     base = os.environ.get("GRAFT_RDFIZE_CACHE", "/tmp/graft_rdfize_cache")
     import re
-    # _v2 = value-sorted dictionary layout (keep in sync with Rdfize.cacheDir)
-    return os.path.join(base, re.sub(r"[^A-Za-z0-9.]", "_", sf_dir) + "_v2")
+    # _v3 = tiered multi-file layout (keep in sync with Rdfize.cacheDir)
+    return os.path.join(base, re.sub(r"[^A-Za-z0-9.]", "_", sf_dir) + "_v3")
 
 def main_rdf(sf_dir, bench_path=None):
     wh = rdf_warehouse_dir(sf_dir)
@@ -129,12 +129,17 @@ def main_rdf(sf_dir, bench_path=None):
         floor = bj.get("floor_sec") or 0.0
     rows = []
     for name, sql in sorted(rdf_queries().items()):
-        # steady-state like Bench: time the second run
+        # steady-state like Bench: 1 untimed warm run, median of 3 timed
+        # (this box shows intermittent multi-second stalls; a single
+        # sample on either side would make the ratio a coin flip)
         try:
             con.execute(sql).fetchall()
-            t0 = time.time()
-            n = len(con.execute(sql).fetchall())
-            dt = time.time() - t0
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                n = len(con.execute(sql).fetchall())
+                ts.append(time.time() - t0)
+            dt = sorted(ts)[1]
         except Exception as e:
             print(f"{name}: ERR {e}")
             dt, n = None, 0
