@@ -46,7 +46,7 @@ object Bench {
       }.sorted
       name -> (if (times.head < 0) -1.0 else times(2))
     }
-    // per-job scheduling floor on this box: the same median-of-3
+    // per-job scheduling floor on this box: the same median-of-5
     // protocol over an empty 1-row plan. Every query pays at least one
     // of these (most pay several — one per Spark job in its plan); on
     // local[32] the floor is pure driver/scheduler overhead that a real

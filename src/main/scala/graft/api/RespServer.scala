@@ -92,11 +92,17 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     while (it.hasNext) {
       val e = it.next()
       val k = e.getKey
+      val stamp = e.getValue
       val q = lists.get(k)
-      if (q == null) it.remove() // list already drained; drop the stamp
-      else if (e.getValue < cutoff) {
+      // stamp removal is CONDITIONAL on the observed value: a push racing
+      // the sweep re-creates the list and restamps it, and an
+      // unconditional remove would drop the FRESH stamp — orphaning a
+      // live list from the only map this sweeper scans (the exact leak
+      // the sweeper exists to close)
+      if (q == null) lastPush.remove(k, stamp) // list already drained
+      else if (stamp < cutoff) {
         q.synchronized { lists.remove(k, q) }
-        it.remove()
+        lastPush.remove(k, stamp)
       }
     }
   }
@@ -151,6 +157,16 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     a
   }
 
+  /** Malformed RESP framing — reported to the client as `-ERR` before
+    * the connection closes (like Redis), instead of killing the client
+    * thread with an uncaught NumberFormatException. */
+  private final class ProtocolError(msg: String) extends java.io.IOException(msg)
+
+  private def intOr(s: String, what: String): Int =
+    try s.trim.toInt
+    catch { case _: NumberFormatException =>
+      throw new ProtocolError(s"protocol error: invalid $what '$s'") }
+
   /** One client command: RESP array of bulk strings, or an inline
     * (space-separated) line. Returns null at EOF. */
   private def readCommand(in: InputStream): Seq[Array[Byte]] = {
@@ -158,12 +174,16 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     if (line == null) return null
     if (line.isEmpty) return Seq.empty
     if (line(0) == '*') {
-      val n = new String(line, 1, line.length - 1, UTF_8).trim.toInt
+      val n = intOr(new String(line, 1, line.length - 1, UTF_8), "multibulk length")
       (0 until n).map { _ =>
         val hdr = readLine(in)
         if (hdr == null || hdr.isEmpty || hdr(0) != '$')
-          throw new java.io.IOException("expected bulk string header")
-        readN(in, new String(hdr, 1, hdr.length - 1, UTF_8).trim.toInt)
+          throw new ProtocolError("protocol error: expected bulk string header")
+        val len = intOr(new String(hdr, 1, hdr.length - 1, UTF_8), "bulk length")
+        // a null bulk ($-1) is not a valid command element; any negative
+        // length would otherwise throw NegativeArraySizeException in readN
+        if (len < 0) throw new ProtocolError(s"protocol error: bulk length $len")
+        readN(in, len)
       }
     } else new String(line, UTF_8).trim.split("\\s+").toSeq
       .filter(_.nonEmpty).map(_.getBytes(UTF_8))
@@ -266,7 +286,14 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
             val out = new BufferedOutputStream(sock.getOutputStream)
             var live = true
             while (live && running) {
-              val cmd = readCommand(in)
+              // framing errors answer -ERR then close (Redis behavior);
+              // they must not fall through to the IOException catch below
+              // (silent close) or escape uncaught (dead client thread)
+              val cmd =
+                try readCommand(in)
+                catch { case e: ProtocolError =>
+                  error(out, String.valueOf(e.getMessage)); out.flush(); null
+                }
               live =
                 try handle(cmd, out)
                 catch {

@@ -105,8 +105,17 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
           val parsed = JsonMethods.parse(req.json)
           (parsed \ "action") match {
             case JString("insert") | JString("delete") =>
-              // inline in the manager: the single writer
-              req.promise.complete(runMutation(parsed))
+              // inline in the manager: the single writer. Drop the pool's
+              // result cache after the store changes — query_hash keys are
+              // content-derived (no ticket), so an entry cached pre-mutation
+              // would otherwise satisfy the same query for the full TTL.
+              // (Deliberate divergence: the reference's Redis cache keeps
+              // serving pre-mutation envelopes for up to 7 days,
+              // workers.py:104-107; the facade cache already invalidates,
+              // Bikidata.invalidate — the pool now agrees with it.)
+              val resJson = runMutation(parsed)
+              cache.clear()
+              req.promise.complete(resJson)
             case _ => readyQ.put(req)
           }
         } catch { case e: Exception =>

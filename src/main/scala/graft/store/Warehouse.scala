@@ -72,14 +72,32 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   private def withSeq(df: DataFrame, default: Long): DataFrame =
     if (df.columns.contains("seq")) df else df.withColumn("seq", lit(default))
 
+  /** Read a seq-versioned delta/tombstone dir, tolerating a MIX of
+    * pre-versioning files (no seq column) and seq-stamped ones in the
+    * same directory (a warehouse upgraded in place): mergeSchema unions
+    * the footers — a plain read samples ONE file, which either drops
+    * seq entirely (new rows regress to the legacy default) or surfaces
+    * legacy rows as seq=null (null fails the `T.seq < TS.seq` tombstone
+    * comparison and resurrects deleted quads) — and the legacy rows'
+    * nulls then take the pre-versioning default. */
+  private def readSeqDelta(sub: String, default: Long): Option[DataFrame] =
+    if (!exists(sub)) None
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/$sub")
+      Some(
+        if (df.columns.contains("seq"))
+          df.withColumn("seq", coalesce(col("seq"), lit(default)))
+        else withSeq(df, default))
+    }
+
   /** base ∪ delta minus seq-aware tombstones, from the given base copy. */
   private def composeTriples(baseSub: String): Option[DataFrame] = {
     val base = read(baseSub).map(_.withColumn("seq", lit(0L)))
-    val delta = read("triples_delta").map(withSeq(_, 1L))
+    val delta = readSeqDelta("triples_delta", 1L)
     val parts = Seq(base, delta).flatten
     if (parts.isEmpty) return None
     var triples = parts.reduce(_ unionByName _)
-    read("tombstones").map(withSeq(_, Long.MaxValue)).foreach { ts =>
+    readSeqDelta("tombstones", Long.MaxValue).foreach { ts =>
       triples = triples.as("T").join(
         ts.as("TS"),
         col("T.s") === col("TS.s") && col("T.p") === col("TS.p") &&
@@ -87,7 +105,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
           col("T.seq") < col("TS.seq"),
         "left_anti")
     }
-    read("tombstones_spg").map(withSeq(_, Long.MaxValue)).foreach { ts =>
+    readSeqDelta("tombstones_spg", Long.MaxValue).foreach { ts =>
       triples = triples.as("T").join(
         ts.as("TS"),
         col("T.s") === col("TS.s") && col("T.p") === col("TS.p") &&
@@ -244,9 +262,21 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       }
     } else {
       // partial staging: restore staged entries next to the live ones;
-      // never delete — the live dir may hold the only copy of the rest
-      for (name <- StoreIO.list(spark, staging) if !exists(name))
-        StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
+      // never delete — the live dir may hold the only copy of the rest.
+      // On stores where rename is copy-then-delete (S3A), an interrupted
+      // per-entry rename can leave the SAME entry on both sides, with
+      // either side incomplete (mid-copy: staging partial, live whole;
+      // mid-delete: staging whole, live partial). The entry's FILE set
+      // is identical in both copies, so reconcile per file — move every
+      // staged file the live dir lacks; the union is the complete entry.
+      for (name <- StoreIO.list(spark, staging)) {
+        if (!exists(name))
+          StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
+        else
+          for (f <- StoreIO.list(spark, s"$staging/$name")
+              if !StoreIO.exists(spark, s"$dir/$name/$f"))
+            StoreIO.rename(spark, s"$staging/$name/$f", s"$dir/$name/$f")
+      }
     }
     StoreIO.delete(spark, staging)
     // compact()'s write dir is garbage in every recovered state

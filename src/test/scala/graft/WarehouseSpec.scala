@@ -149,6 +149,34 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.load().triples.filter(col("s") === hanHash).count() === 1)
   }
 
+  test("delta dirs mixing legacy (no-seq) and seq-stamped files compose correctly") {
+    import spark.implicits._
+    import graft.functions.Hash64
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    // a pre-versioning stream append: delta part with NO seq column
+    val q = Quad("<http://ex/lando>", Fixture.label, "\"Lando\"", "")
+    val h = Hash64.hashString(q.s)
+    Seq((h, Hash64.hashString(q.p), Hash64.hashString(q.o), Hash64.hashString(q.g)))
+      .toDF("s", "p", "o", "g")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/triples_delta")
+    assert(wh.load().triples.filter(col("s") === h).count() === 1)
+
+    // deleting it appends a seq-stamped tombstone; the legacy delta row
+    // (whose seq must default to 1, not null or a dropped column) stays
+    // suppressed no matter which file's footer the reader samples
+    assert(wh.delete(Seq((q.s, q.p, Some(q.o), q.g))).error.isEmpty)
+    assert(wh.load().triples.filter(col("s") === h).count() === 0,
+      "legacy delta row resurrected from a mixed-schema delta read")
+
+    // a seq-stamped re-insert lands in the SAME dir as the legacy file;
+    // its seq must survive the mixed read and outrank the tombstone
+    assert(wh.insert(Seq(q)).error.isEmpty)
+    assert(wh.load().triples.filter(col("s") === h).count() === 1,
+      "seq-stamped re-insert lost its seq in a mixed-schema delta read")
+  }
+
   test("batch delete validation refuses when any item is missing") {
     import spark.implicits._
     val dir = freshDir()

@@ -218,6 +218,58 @@ class WorkerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("a mutation through the pool drops content-keyed cached results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-worker3").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha\" .\n")
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(s"$dir/data.nt"))
+    val srv = new WorkerServer(bk, port = 0, numWorkers = 1)
+    try {
+      // content-derived query_hash, as reference clients send
+      // (workers.py:116-121): the SAME key before and after the mutation
+      val q = """{"filters":[{"p":"fts","o":"delta"}],"query_hash":"h-delta"}"""
+      val (out, in, sock) = client(srv.boundPort)
+      out.println(q)
+      assert(!in.readLine().contains("<http://ex/d>")) // no match yet; cached
+      out.println(q)
+      in.readLine() // cache hit on h-delta
+      out.println("""{"action":"insert","data":[{"s":"<http://ex/d>","p":"<http://www.w3.org/2000/01/rdf-schema#label>","o":"\"delta thing\"","g":""}]}""")
+      assert(in.readLine().contains("\"triples_inserted\":1"))
+      out.println(q)
+      val r = in.readLine()
+      assert(r.contains("<http://ex/d>"),
+        s"pre-mutation envelope served from the pool cache after insert: $r")
+      sock.close()
+    } finally srv.close()
+  }
+
+  test("malformed RESP framing answers -ERR and closes instead of killing the thread") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resp3").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha\" .\n")
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(s"$dir/data.nt"))
+    val srv = new RespServer(bk, port = 0, numWorkers = 1)
+    try {
+      for (garbage <- Seq("*abc\r\n", "*1\r\n$-1\r\n", "*1\r\n$x\r\n")) {
+        val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+        sock.getOutputStream.write(garbage.getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        val reply = in.readLine()
+        assert(reply != null && reply.startsWith("-ERR"), s"[$garbage] got: $reply")
+        assert(in.readLine() == null, "connection should close after a protocol error")
+        sock.close()
+      }
+      // the server still serves well-formed clients afterwards
+      val c = new RespClient(srv.boundPort)
+      assert(c.cmd("PING") === "PONG")
+      c.close()
+    } finally srv.close()
+  }
+
   test("use_cache=false bypasses the result cache") {
     val dir = java.nio.file.Files.createTempDirectory("graft-worker2").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
