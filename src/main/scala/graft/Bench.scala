@@ -32,6 +32,19 @@ object Bench {
     // A throwing query reports -1 (the driver contract's failure
     // sentinel) — timing the exception path would record a breakage as
     // a ~20 ms "speedup" and silently improve the total.
+    // per-query Spark JOB counts, for the floor decomposition: each job
+    // in a query's action chain pays the local-mode scheduling floor
+    // sequentially, so jobs×floor (not 1×floor) is the exact per-query
+    // scheduling overhead a cluster amortizes. Counted on a dedicated
+    // steady-state run; listener delivery is async, so a short drain
+    // sleep follows each run (an undercount only makes the published
+    // adjustment more conservative).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count(); () }
       catch { case scala.util.control.NonFatal(_) => () }
@@ -44,7 +57,11 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
-      name -> (if (times.head < 0) -1.0 else times(2))
+      jobCounter.set(0)
+      try { fn(spark, sfDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      Thread.sleep(50)
+      name -> ((if (times.head < 0) -1.0 else times(2)), jobCounter.get())
     }
     // per-job scheduling floor on this box: the same median-of-5
     // protocol over an empty 1-row plan. Every query pays at least one
@@ -60,18 +77,22 @@ object Bench {
       floorDf.count()
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(2)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val js = results.map { case (k, (_, j)) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
     val note = "median of 5 steady-state runs per query (1 untimed codegen " +
       "warm run first; -1 = query threw); warmup_build_sec = one-time " +
       "RDF-ization + dictionary broadcast + FTS/semantic index build, the " +
       "ingest phase a DuckDB baseline performs before its own timings; " +
       "floor_sec = median latency of an empty 1-row plan (per-job local-mode " +
-      "scheduling floor, amortized away on a real cluster)"
+      "scheduling floor, amortized away on a real cluster); jobs = Spark " +
+      "jobs per query action chain, measured on a steady-state run — " +
+      "jobs x floor_sec is the exact per-query scheduling overhead"
     // sfDir comes from the environment — escape it like every other
     // string so a hostile/odd path cannot corrupt the JSON line
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""
     println(line)
     // the driver's log capture truncates long tails — ALSO write the
     // complete line to a file it can lift whole

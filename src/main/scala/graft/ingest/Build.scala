@@ -101,35 +101,73 @@ object Build {
       val perFile = math.max(50000L, math.min(4000000L, rows / 32L))
       math.max(1L, (rows + perFile - 1L) / perFile).toInt
     }
-    val nTriples = filesFor(graph.triples.count())
-    // Sort triples by (p, o, s) within partitions: the dominant filter
-    // shape is `p = h [AND o ...]` (SURVEY §4.2), and parquet row-group
-    // min/max stats then skip non-matching groups at scan time.
-    graph.triples
-      .repartition(nTriples, col("p"))
-      .sortWithinPartitions("p", "o", "s")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples")
-    // Second copy range-partitioned/sorted by s: subject-bounded access
-    // (hydration/spo/sp) prunes by s min/max — a point lookup instead of
-    // a full pass at scale. Doubles triple storage (16 B/row, cheap).
-    graph.triples
-      .repartitionByRange(nTriples, col("s"))
-      .sortWithinPartitions("s")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples_by_s")
-    // Dictionaries range-sorted by value: prefix-anchored scans (regex
-    // static prefixes, label prefix probes) then prune cached batches /
-    // row groups by the value min/max instead of running the regex
-    // engine over the whole vocabulary — hash-keyed access is
-    // point-lookup-shaped either way, so clustering by value costs
-    // those paths nothing.
-    graph.iris
-      .repartitionByRange(filesFor(graph.iris.count()), col("value"))
-      .sortWithinPartitions("value")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/iris")
-    graph.literals
-      .repartitionByRange(filesFor(graph.literals.count()), col("value"))
-      .sortWithinPartitions("value")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/literals")
+    // Materialize each source ONCE: the sizing count and the write(s)
+    // below would otherwise each re-run the upstream plan — for the
+    // dictionaries that is the full dedup groupBy, for triples the
+    // parse+hash (and the two layout copies share one scan). Pin ONLY
+    // what this call pinned: Spark's cache is keyed by plan equality,
+    // so a caller-persisted same-plan frame shares the cache slot and a
+    // blanket unpersist here would evict the caller's cache out from
+    // under it (storageLevel == NONE ⇔ this plan is not already pinned).
+    def pinIfUnpinned(df: DataFrame): Boolean =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(); true
+      } else false
+    val triples = graph.triples
+    val iris = graph.iris
+    val literals = graph.literals
+    val pins = Seq(triples, iris, literals).map(pinIfUnpinned)
+    try {
+      val nTriples = filesFor(triples.count())
+      val nIris = filesFor(iris.count())
+      val nLiterals = filesFor(literals.count())
+      // The four output jobs are independent of each other — run them
+      // concurrently so sort/shuffle/IO phases overlap (a cold build is
+      // wall-clock-bound on these); on a cluster this is plain
+      // multi-job scheduling inside one session.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = Seq(
+        // Sort triples by (p, o, s) within partitions: the dominant
+        // filter shape is `p = h [AND o ...]` (SURVEY §4.2), and parquet
+        // row-group min/max stats then skip non-matching groups at scan.
+        Future(triples
+          .repartition(nTriples, col("p"))
+          .sortWithinPartitions("p", "o", "s")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples")),
+        // Second copy range-partitioned/sorted by s: subject-bounded
+        // access (hydration/spo/sp) prunes by s min/max — a point lookup
+        // instead of a full pass at scale. Doubles triple storage
+        // (16 B/row, cheap).
+        Future(triples
+          .repartitionByRange(nTriples, col("s"))
+          .sortWithinPartitions("s")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/triples_by_s")),
+        // Dictionaries range-sorted by value: prefix-anchored scans
+        // (regex static prefixes, label prefix probes) then prune cached
+        // batches / row groups by the value min/max instead of running
+        // the regex engine over the whole vocabulary — hash-keyed access
+        // is point-lookup-shaped either way, so clustering by value
+        // costs those paths nothing.
+        Future(iris
+          .repartitionByRange(nIris, col("value"))
+          .sortWithinPartitions("value")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/iris")),
+        Future(literals
+          .repartitionByRange(nLiterals, col("value"))
+          .sortWithinPartitions("value")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$warehouseDir/literals")))
+      // await ALL before propagating a failure: rethrowing on the first
+      // await would leave the other writes running concurrently with
+      // whatever the caller does next
+      val results = jobs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.foreach(_.get)
+      ()
+    } finally {
+      Seq(triples, iris, literals).zip(pins)
+        .foreach { case (df, pinned) => if (pinned) df.unpersist() }
+    }
   }
 
   /** [[write]] with the source quads PERSISTED across the output jobs:
@@ -139,11 +177,15 @@ object Build {
     * persist is scoped to the write and released before returning. */
   def writeFromQuads(spark: SparkSession, quadsDf: DataFrame,
       warehouseDir: String): Unit = {
-    val q = quadsDf.persist()
+    // same pin-only-what-we-pinned contract as write(): a blanket
+    // unpersist on a caller-persisted same-plan frame would evict the
+    // caller's cache (plan-equality-keyed) out from under it
+    val pinned = quadsDf.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinned) quadsDf.persist()
     try {
-      q.count() // materialize once, before the fan-out
-      write(graphFromQuads(spark, q), warehouseDir)
-    } finally { q.unpersist(); () }
+      quadsDf.count() // materialize once, before the fan-out
+      write(graphFromQuads(spark, quadsDf), warehouseDir)
+    } finally { if (pinned) { quadsDf.unpersist() }; () }
   }
 
   def load(spark: SparkSession, warehouseDir: String): Graph =

@@ -170,6 +170,20 @@ def main_rdf(sf_dir, bench_path=None):
         out["rdf_spark_sec_floor_adjusted"] = round(total_s_adj, 3)
         out["rdf_ratio_floor_adjusted"] = (
             round(total_s_adj / total_d, 2) if total_d else None)
+    # job-exact adjustment: Bench measures each query's Spark JOB count
+    # on a steady-state run, and sequential jobs within one action chain
+    # each pay the floor — jobs x floor is the exact scheduling overhead,
+    # where the 1-floor adjustment above is only a lower bound.
+    jobs = {}
+    if bench_path:
+        jobs = json.load(open(bench_path)).get("jobs") or {}
+    if floor and jobs:
+        n_jobs = sum(jobs.get(name, 1) for name, _, s, _ in rows if s and s > 0)
+        total_s_jadj = max(0.0, total_s - n_jobs * floor)
+        out["jobs_total"] = n_jobs
+        out["rdf_spark_sec_job_adjusted"] = round(total_s_jadj, 3)
+        out["rdf_ratio_job_adjusted"] = (
+            round(total_s_jadj / total_d, 2) if total_d else None)
     print(json.dumps(out))
     return 0
 
