@@ -243,12 +243,16 @@ object FilterCompiler {
     val hs = hashSet.toDF("__oh")
     if (cap <= 0)
       return base.join(broadcast(hs), col("o") === col("__oh")).select("s")
-    val mat = hs.localCheckpoint()
-    val probe = mat.limit(cap + 1).collect().map(_.getLong(0))
+    // the bounded collect both SIZES the set and, in the selective
+    // (≤ cap) case, IS the materialization — the probe array feeds the
+    // scan predicate directly, one job, nothing checkpointed. Only the
+    // over-cap fallback pays a localCheckpoint so its broadcast side
+    // does not re-run the upstream match plan.
+    val probe = hs.limit(cap + 1).collect().map(_.getLong(0))
     if (probe.length <= cap)
       base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s")
     else
-      base.join(broadcast(mat), col("o") === col("__oh")).select("s")
+      base.join(broadcast(hs.localCheckpoint()), col("o") === col("__oh")).select("s")
   }
 
   /** The triples-scan predicate of a SIMPLE filter — p/o/g/id equality
