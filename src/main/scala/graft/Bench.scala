@@ -9,11 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
-      // interactive serving: results are page-sized and shuffles are a
-      // fixed 32 partitions, so AQE's per-exchange re-planning only adds
-      // a scheduler round-trip per stage (~1 extra job per query at the
-      // local-mode floor); batch/pipeline sessions at corpus scale should
-      // keep AQE on (skew-join splitting, partition coalescing)
+      // interactive serving: results are page-sized and every shuffle is
+      // a fixed, small partition count (this session's cpu count), so
+      // AQE's per-exchange re-planning only adds a scheduler round-trip
+      // per stage (~1 extra job per query at the local-mode floor);
+      // batch/pipeline sessions at corpus scale should keep AQE on
+      // (skew-join splitting, partition coalescing)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,6 +58,12 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
+      // drain BEFORE the reset too: JobStart delivery is async, so an
+      // event from the preceding timed runs landing after set(0) would
+      // OVERcount the dedicated run (and overstate the published
+      // scheduling adjustment); the post-run drain covers the undercount
+      // side
+      Thread.sleep(50)
       jobCounter.set(0)
       try { fn(spark, sfDir).count(); () }
       catch { case scala.util.control.NonFatal(_) => () }

@@ -41,6 +41,7 @@ object DevFloorProbe {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        Thread.sleep(50) // drain async listener delivery from the timed runs
         jobs.set(0)
         fn(spark, sfDir).count()
         Thread.sleep(50)

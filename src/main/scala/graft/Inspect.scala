@@ -24,11 +24,12 @@ object Inspect {
       // dictionaries are classic broadcast dims at bench scale; at true
       // cluster scale AQE falls back to SMJ automatically past the limit
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
-      // interactive serving: results are page-sized and shuffles are a
-      // fixed 32 partitions, so AQE's per-exchange re-planning only adds
-      // a scheduler round-trip per stage (~1 extra job per query at the
-      // local-mode floor); batch/pipeline sessions at corpus scale should
-      // keep AQE on (skew-join splitting, partition coalescing)
+      // interactive serving: results are page-sized and every shuffle is
+      // a fixed, small partition count (this session's cpu count), so
+      // AQE's per-exchange re-planning only adds a scheduler round-trip
+      // per stage (~1 extra job per query at the local-mode floor);
+      // batch/pipeline sessions at corpus scale should keep AQE on
+      // (skew-join splitting, partition coalescing)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,11 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
-      // interactive serving: results are page-sized and shuffles are a
-      // fixed 32 partitions, so AQE's per-exchange re-planning only adds
-      // a scheduler round-trip per stage (~1 extra job per query at the
-      // local-mode floor); batch/pipeline sessions at corpus scale should
-      // keep AQE on (skew-join splitting, partition coalescing)
+      // interactive serving: results are page-sized and every shuffle is
+      // a fixed, small partition count (this session's cpu count), so
+      // AQE's per-exchange re-planning only adds a scheduler round-trip
+      // per stage (~1 extra job per query at the local-mode floor);
+      // batch/pipeline sessions at corpus scale should keep AQE on
+      // (skew-join splitting, partition coalescing)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

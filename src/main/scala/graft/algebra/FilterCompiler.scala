@@ -227,17 +227,17 @@ object FilterCompiler {
     acc
   }
 
-  /** Size-conditional o-IN probe shared by the regex/fts/hop paths. The
-    * single-column hash set is materialized ONCE (localCheckpoint —
-    * sized by the match set, not the corpus), its cardinality read with
-    * a bounded limit, and the result is either a scan-level o-IN
-    * predicate (≤ cap: batch min/max pruning on the (p,o,s)-sorted
-    * layout) or a broadcast join against the SAME materialized set —
-    * either way the upstream plan (inverted-list match, rlike literal
-    * scan, accumulated hop joins) executes exactly once, where the
-    * previous shape re-ran it in the over-cap join fallback. cap <= 0
-    * disables probing entirely and keeps the set lazy on the join's
-    * broadcast side. */
+  /** Size-conditional o-IN probe shared by the regex/fts/hop paths. A
+    * bounded collect sizes the match set AND, in the selective (≤ cap)
+    * case, IS its materialization: the probe values feed a scan-level
+    * o-IN predicate directly (batch min/max pruning on the
+    * (p,o,s)-sorted layout) — one job, one upstream execution, nothing
+    * checkpointed. Past the cap the fallback broadcast-joins a
+    * localCheckpoint of the set (one extra upstream run for the
+    * checkpoint — the limit-pushed sizing probe stops early, and
+    * re-reading from a checkpoint it can't prune would cost the same
+    * materialize job it saves). cap <= 0 disables probing entirely and
+    * keeps the set lazy on the join's broadcast side. */
   private def oInOrJoin(ctx: EngineContext, base: DataFrame, hashSet: DataFrame): DataFrame = {
     val cap = ctx.isinProbeCap
     val hs = hashSet.toDF("__oh")

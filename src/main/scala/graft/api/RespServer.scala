@@ -94,15 +94,21 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
       val k = e.getKey
       val stamp = e.getValue
       val q = lists.get(k)
-      // stamp removal is CONDITIONAL on the observed value: a push racing
-      // the sweep re-creates the list and restamps it, and an
-      // unconditional remove would drop the FRESH stamp — orphaning a
-      // live list from the only map this sweeper scans (the exact leak
-      // the sweeper exists to close)
+      // Everything is re-checked under the deque monitor: push() appends
+      // and restamps inside the SAME monitor, so reading a fresh stamp
+      // there means a push won the race — the list (now holding a live
+      // envelope) and its stamp must both survive. Removing on the
+      // stale observation alone would either drop a fresh stamp
+      // (orphaning a live list from the only map this sweeper scans) or
+      // unmap a deque holding a just-pushed envelope the client's BLPOP
+      // is about to collect.
       if (q == null) lastPush.remove(k, stamp) // list already drained
-      else if (stamp < cutoff) {
-        q.synchronized { lists.remove(k, q) }
-        lastPush.remove(k, stamp)
+      else if (stamp < cutoff) q.synchronized {
+        val cur = lastPush.get(k)
+        if (cur != null && cur <= stamp) {
+          lists.remove(k, q)
+          lastPush.remove(k, cur)
+        }
       }
     }
   }
@@ -192,7 +198,9 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
   private def simple(out: java.io.OutputStream, s: String): Unit =
     out.write(("+" + s + "\r\n").getBytes(UTF_8))
   private def error(out: java.io.OutputStream, s: String): Unit =
-    out.write(("-ERR " + s + "\r\n").getBytes(UTF_8))
+    // error text can echo raw client input (ProtocolError messages) —
+    // strip CR/LF so the reply is exactly one RESP frame
+    out.write(("-ERR " + s.replaceAll("[\r\n]", " ") + "\r\n").getBytes(UTF_8))
   private def integer(out: java.io.OutputStream, n: Long): Unit =
     out.write((":" + n + "\r\n").getBytes(UTF_8))
   private def bulk(out: java.io.OutputStream, v: Array[Byte]): Unit =

@@ -33,9 +33,19 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
   @volatile private var running = true
 
   // LRU + the reference's 7-day result expiry (workers.py:104-107),
-  // shared implementation with the facade cache
+  // shared implementation with the facade cache. Entries are keyed
+  // under the store EPOCH they were computed against: a mutation bumps
+  // the epoch, so lookups never see pre-mutation envelopes — and a
+  // worker that was mid-query during the mutation writes its stale
+  // result under the OLD epoch key, where no future lookup finds it
+  // (a bare clear() would race exactly that in-flight put and
+  // re-poison the cache for the full TTL). Old-epoch entries age out
+  // of the LRU like any other.
   private val cache = new TtlLruCache(cacheSize, cacheTtlMillis, clock)
-  private def cacheGet(key: String): Option[String] = cache.get(key)
+  private val storeEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def epochKey(epoch: Long, key: String): String = s"$epoch:$key"
+  private def cacheGet(key: String): Option[String] =
+    cache.get(epochKey(storeEpoch.get(), key))
   val cacheHits = new java.util.concurrent.atomic.AtomicLong()
 
   /** Submit a request (reference opts JSON: a query dict, or
@@ -105,16 +115,16 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
           val parsed = JsonMethods.parse(req.json)
           (parsed \ "action") match {
             case JString("insert") | JString("delete") =>
-              // inline in the manager: the single writer. Drop the pool's
-              // result cache after the store changes — query_hash keys are
-              // content-derived (no ticket), so an entry cached pre-mutation
-              // would otherwise satisfy the same query for the full TTL.
-              // (Deliberate divergence: the reference's Redis cache keeps
-              // serving pre-mutation envelopes for up to 7 days,
-              // workers.py:104-107; the facade cache already invalidates,
-              // Bikidata.invalidate — the pool now agrees with it.)
+              // inline in the manager: the single writer. Bump the store
+              // epoch after the store changes — query_hash keys are
+              // content-derived (no ticket), so an entry cached
+              // pre-mutation would otherwise satisfy the same query for
+              // the full TTL. (Deliberate divergence: the reference's
+              // Redis cache keeps serving pre-mutation envelopes for up
+              // to 7 days, workers.py:104-107; the facade cache already
+              // invalidates, Bikidata.invalidate — the pool now agrees.)
               val resJson = runMutation(parsed)
-              cache.clear()
+              storeEpoch.incrementAndGet()
               req.promise.complete(resJson)
             case _ => readyQ.put(req)
           }
@@ -156,9 +166,13 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
               case None =>
                 // pass the client's cache opt-out through: the facade
                 // keeps its own md5 cache on the same key, and answering
-                // from it would defeat use_cache=false
+                // from it would defeat use_cache=false. The epoch is
+                // snapshotted BEFORE the query runs: if a mutation lands
+                // mid-query, the result files under the old epoch key
+                // and is never served.
+                val epoch = storeEpoch.get()
                 val res = bk.queryJson(req.json, useCache = useCache)
-                if (useCache) cache.put(key, res)
+                if (useCache) cache.put(epochKey(epoch, key), res)
                 req.promise.complete(res)
             }
           } catch { case e: Exception =>

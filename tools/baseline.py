@@ -174,9 +174,7 @@ def main_rdf(sf_dir, bench_path=None):
     # on a steady-state run, and sequential jobs within one action chain
     # each pay the floor — jobs x floor is the exact scheduling overhead,
     # where the 1-floor adjustment above is only a lower bound.
-    jobs = {}
-    if bench_path:
-        jobs = json.load(open(bench_path)).get("jobs") or {}
+    jobs = bj.get("jobs") or {} if bench_path else {}
     if floor and jobs:
         n_jobs = sum(jobs.get(name, 1) for name, _, s, _ in rows if s and s > 0)
         total_s_jadj = max(0.0, total_s - n_jobs * floor)
