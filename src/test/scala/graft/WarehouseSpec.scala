@@ -191,6 +191,25 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.load().triples.count() === Fixture.quads.size)
   }
 
+  test("persist() re-clusters a single-file store to the session's parallelism") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val loaded = Build.load(spark, dir)
+    val pinned = loaded.persist()
+    try {
+      val cores = spark.sparkContext.defaultParallelism
+      // the tiny store is one file per table; the pinned cache must not
+      // inherit that (every scan would be single-threaded all session)
+      assert(pinned.triples.rdd.getNumPartitions >= cores,
+        s"pinned triples cache kept ${pinned.triples.rdd.getNumPartitions} partitions")
+      assert(pinned.literals.rdd.getNumPartitions >= cores)
+      // re-clustering is a layout change only
+      assert(pinned.triples.count() === loaded.triples.count())
+      assert(pinned.dict.count() === loaded.dict.count())
+    } finally { pinned.unpersist(); () }
+  }
+
   test("warehouse parquet layout clusters by predicate for row-group skipping") {
     import spark.implicits._
     val dir = freshDir()
