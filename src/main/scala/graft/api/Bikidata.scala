@@ -288,9 +288,15 @@ final class Bikidata(
     r
   }
 
-  /** Escape hatch (reference `raw()`): register temp views and hand back
-    * the session for ad-hoc Spark SQL. */
-  def raw(): SparkSession = { ctx.graph.registerViews(); spark }
+  /** Escape hatch (reference `raw()`): register temp views AND the
+    * engine's SQL functions (seed-0 xxhash64, cosine metrics — the
+    * tools needed to join the hash-encoded views by hand), then hand
+    * back the session for ad-hoc Spark SQL. */
+  def raw(): SparkSession = {
+    ctx.graph.registerViews()
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
 
   /** Export the store back to N-Triples/N-Quads text (inverse of
     * [[build]]) — backup / hand-off / engine-migration path. */
