@@ -68,7 +68,7 @@ final class Bikidata(
     }
   }
 
-  private def invalidate(): Unit = synchronized {
+  private def invalidate(dropFts: Boolean = true): Unit = synchronized {
     ctxOpt.foreach { c =>
       // release EVERY frame the retiring context pinned — graph, FTS
       // posting lists, semantic table, ANN cells; leaving any of them
@@ -91,12 +91,17 @@ final class Bikidata(
     ftssIdx.foreach(_.unpersist())
     ftssIdx = None
     cache.clear()
-    // mutations make the stored derived indexes stale — drop them so the
+    // mutations make the TRIPLES-derived indexes stale — drop them so the
     // next session rebuilds (and re-persists) them; Hadoop FS so the
-    // invalidation also works on an HDFS/S3 warehouse
-    for (sub <- Seq("fts_postings", "fts_termstats", "fts_lists",
-        "ftss_postings", "ftss_termstats", "ftss_lists",
-        "literals_semantic", "semantic_ann", "fts_meta.json", "ftss_meta.json"))
+    // invalidation also works on an HDFS/S3 warehouse. The LITERALS fts
+    // index is NOT triples-derived and survives mutations exactly:
+    // deletes never touch dictionary rows, and insert() appends the new
+    // literals to it in O(delta) (FtsIndex.appendDelta) — dropFts=true
+    // (full rebuild, e.g. build() or a failed delta append) is the only
+    // path that discards it.
+    if (dropFts) graft.fts.FtsIndex.drop(spark, warehouseDir)
+    graft.fts.FtsIndex.drop(spark, warehouseDir, name = "ftss")
+    for (sub <- Seq("literals_semantic", "semantic_ann"))
       graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
   }
 
@@ -276,15 +281,29 @@ final class Bikidata(
   private val mutationLock = new Object
 
   def insert(quads: Seq[Quad]): MutationResult = mutationLock.synchronized {
-    val r = warehouse.insert(quads)
-    if (r.error.isEmpty) invalidate()
+    // new literals ride into the FTS index as an O(delta) append (exact —
+    // FtsIndex.appendDelta scaladoc); a failed append falls back to
+    // dropping the index so the next context rebuilds it cleanly
+    var ftsDeltaOk = true
+    val r = warehouse.insert(quads, onNewLiterals = lits =>
+      try { graft.fts.FtsIndex.appendDelta(spark, warehouseDir, lits); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bikidata] fts delta append failed, index will rebuild: $e")
+        ftsDeltaOk = false
+      })
+    if (r.error.isEmpty) invalidate(dropFts = !ftsDeltaOk)
     r
   }
 
   def delete(items: Seq[(String, String, Option[String], String)],
       areHashes: Boolean = false): MutationResult = mutationLock.synchronized {
     val r = warehouse.delete(items, areHashes)
-    if (r.error.isEmpty) invalidate()
+    // the literals index is untouched by deletes (tombstones suppress
+    // triples; dictionary rows and their postings stay — the fts filter
+    // re-joins matches to the composed triples, so deleted subjects drop
+    // out there, and BM25 stats over never-removed literal VALUES are
+    // exactly what a full rebuild over the dictionary would compute)
+    if (r.error.isEmpty) invalidate(dropFts = false)
     r
   }
 

@@ -176,6 +176,18 @@ object FtsIndex {
       s"$warehouseDir/${name}_meta.json", meta)
   }
 
+  // settings persisted with the index so query-side analysis always
+  // matches how the postings were built (older metas → defaults)
+  private def settingsFrom(j: org.json4s.JValue): FtsSettings = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    FtsSettings(
+      ignore = (j \ "ignore").extractOrElse[String](FtsSettings().ignore),
+      stripAccents = (j \ "strip_accents").extractOrElse[Boolean](true),
+      lower = (j \ "lower").extractOrElse[Boolean](true),
+      stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
+      stopwords = (j \ "stopwords").extractOrElse[String]("english"))
+  }
+
   /** Load a previously written index; None if absent. */
   def load(spark: org.apache.spark.sql.SparkSession, warehouseDir: String,
       name: String = "fts"): Option[FtsIndex] = {
@@ -187,22 +199,18 @@ object FtsIndex {
       import org.json4s.jackson.JsonMethods
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       val j = JsonMethods.parse(graft.store.StoreIO.readString(spark, metaPath))
-      // settings persisted with the index so query-side analysis always
-      // matches how the postings were built (older metas → defaults)
-      val st = FtsSettings(
-        ignore = (j \ "ignore").extractOrElse[String](FtsSettings().ignore),
-        stripAccents = (j \ "strip_accents").extractOrElse[Boolean](true),
-        lower = (j \ "lower").extractOrElse[Boolean](true),
-        stemmer = (j \ "stemmer").extractOrElse[String]("porter"),
-        stopwords = (j \ "stopwords").extractOrElse[String]("english"))
+      val st = settingsFrom(j)
       val listsDir = s"$warehouseDir/${name}_lists"
       val lists =
         if (graft.store.StoreIO.exists(spark, listsDir))
           Some(spark.read.parquet(listsDir))
         else None
+      // termstats may carry one row per (term, delta append) — sum to
+      // the true df (appendDelta's doc sets are disjoint, so dfs add)
       Some(FtsIndex(
         spark.read.parquet(s"$warehouseDir/${name}_postings"),
-        spark.read.parquet(s"$warehouseDir/${name}_termstats"),
+        spark.read.parquet(s"$warehouseDir/${name}_termstats")
+          .groupBy("term").agg(sum("df").as("df")),
         (j \ "numDocs").extract[Long],
         (j \ "avgdl").extract[Double],
         (j \ "k1").extract[Double],
@@ -211,6 +219,78 @@ object FtsIndex {
         listsStored = lists))
     }
   }
+
+  /** Exact O(delta) index maintenance for freshly INSERTED documents.
+    *
+    * Only inserts can stale the literals index: deletes tombstone
+    * triples, never dictionary rows, and the fts filter joins matches
+    * back to the composed triples anyway — so appending the analysis of
+    * just the new (hash, value) rows keeps BM25 EXACT, not approximate:
+    * the doc sets are disjoint (insert validation only admits absent
+    * hashes), [[FtsIndex.matchBm25]]'s df is a window sum over ALL of a
+    * term's list rows (base + delta), exploded entries union, and the
+    * merged numDocs/avgdl below are the same values a full rebuild
+    * computes. The reference's DuckDB FTS index, by contrast, is simply
+    * stale after every mutation until a manual rebuild.
+    *
+    * Append order is the crash contract: postings (source of truth)
+    * first, then the query-path lists, then termstats, meta last. A torn
+    * append degrades scores slightly (stale meta) or hides only the new
+    * docs (missing lists rows) — never corrupts existing entries; the
+    * caller may drop the index dirs to force a clean rebuild on any
+    * failure. No-op (false) when the index was never built.
+    */
+  def appendDelta(spark: SparkSession, warehouseDir: String, newDocs: DataFrame,
+      hashCol: String = "hash", valueCol: String = "value",
+      name: String = "fts"): Boolean = {
+    val metaPath = s"$warehouseDir/${name}_meta.json"
+    if (!graft.store.StoreIO.exists(spark, metaPath)) return false
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = JsonMethods.parse(graft.store.StoreIO.readString(spark, metaPath))
+    val st = settingsFrom(j)
+    val (k1, b) = ((j \ "k1").extract[Double], (j \ "b").extract[Double])
+    val (n0, avgdl0) = ((j \ "numDocs").extract[Long], (j \ "avgdl").extract[Double])
+    val tokenizeUdf = udf((s: String) => st.indexTokens(s))
+    val withLen = newDocs
+      .select(col(hashCol).as("hash"), tokenizeUdf(col(valueCol)).as("tokens"))
+      .withColumn("len", size(col("tokens")))
+      .persist()
+    try {
+      val stats = withLen.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("len")), lit(0L)).as("lensum")).collect()(0)
+      val nDelta = stats.getLong(0)
+      if (nDelta == 0L) return true
+      val postings = withLen
+        .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
+        .groupBy("hash", "term")
+        .agg(count(lit(1)).as("tf"), first("len").as("len"))
+        .persist()
+      try {
+        postings.select("hash", "term", "tf", "len")
+          .write.mode("append").parquet(s"$warehouseDir/${name}_postings")
+        // point/small-batch deltas → one term-sorted file (the shuffle
+        // fan-out would mint shuffle.partitions tiny files per mutation);
+        // batch-stat term pruning works per file either way
+        listsFrom(postings).coalesce(1).sortWithinPartitions("term")
+          .write.mode("append").parquet(s"$warehouseDir/${name}_lists")
+        postings.groupBy("term").agg(countDistinct("hash").as("df"))
+          .write.mode("append").parquet(s"$warehouseDir/${name}_termstats")
+        val n1 = n0 + nDelta
+        val avgdl1 = if (n1 == 0) 0.0 else (avgdl0 * n0 + stats.getLong(1)) / n1
+        graft.store.StoreIO.writeString(spark, metaPath,
+          s"""{"numDocs":$n1,"avgdl":$avgdl1,"k1":$k1,"b":$b,${st.toJsonFragment}}""")
+        true
+      } finally { postings.unpersist(); () }
+    } finally { withLen.unpersist(); () }
+  }
+
+  /** Delete a stored index (rebuild-on-next-load fallback). */
+  def drop(spark: SparkSession, warehouseDir: String, name: String = "fts"): Unit =
+    for (sub <- Seq(s"${name}_postings", s"${name}_termstats",
+        s"${name}_lists", s"${name}_meta.json"))
+      graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
 
   /** Per-subject FTS document table — `build_ftss` equivalent
     * (main.py:229-272): 1-hop distinct literal values newline-joined,

@@ -143,8 +143,14 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   }
 
   /** Validated point insert: appends delta parts (query.py:529-617
-    * semantics — whole batch refused on invalid/duplicate). */
-  def insert(quads: Seq[Quad]): MutationResult = {
+    * semantics — whole batch refused on invalid/duplicate).
+    * `onNewLiterals` fires with the (hash, value) rows that entered the
+    * literals dictionary — the hook derived-index maintainers use
+    * (Bikidata appends the rows to the FTS index, O(delta) instead of a
+    * rebuild); the frame is persisted by the validation pass, so
+    * consuming it re-runs nothing. */
+  def insert(quads: Seq[Quad],
+      onNewLiterals: DataFrame => Unit = _ => ()): MutationResult = {
     import spark.implicits._
     val graph = load()
     val (_, res, newIris, newLits) = Mutations.insertWithDeltas(graph, quads)
@@ -158,8 +164,10 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // (persisted there) — no recomputation against the loaded graph
     if (res.irisInserted > 0)
       newIris.write.mode(SaveMode.Append).parquet(s"$dir/iris_delta")
-    if (res.literalsInserted > 0)
+    if (res.literalsInserted > 0) {
       newLits.write.mode(SaveMode.Append).parquet(s"$dir/literals_delta")
+      onNewLiterals(newLits)
+    }
     res
   }
 

@@ -220,8 +220,23 @@ object Streaming {
         // delta-internal groupBy dedups the torn copies — or (b) a
         // complete batch. Triples-first would strand a state where
         // load() fails on missing dicts forever.
-        newTerms.filter(substring(col("value"), 1, 1) === "\"")
-          .write.mode(SaveMode.Append).parquet(s"$warehouseDir/literals_delta")
+        val newLits = newTerms.filter(substring(col("value"), 1, 1) === "\"")
+          .persist()
+        try {
+          newLits.write.mode(SaveMode.Append).parquet(s"$warehouseDir/literals_delta")
+          // ride the new literals into the stored FTS index (exact
+          // O(delta) append, same as Warehouse.insert's hook); a failed
+          // append drops the index so the next context rebuilds — the
+          // BATCH must not fail over a derived structure. Checkpoint
+          // retries cannot double-append: newLits is anti-joined against
+          // the composed dictionary, which already holds the literals a
+          // torn batch managed to write, so the retry's delta is empty
+          try { graft.fts.FtsIndex.appendDelta(spark, warehouseDir, newLits); () }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streamNt] fts delta append failed, dropping index: $e")
+            graft.fts.FtsIndex.drop(spark, warehouseDir)
+          }
+        } finally { newLits.unpersist(); () }
         // empty default-graph name is not decodable (Build quirk parity)
         newTerms.filter(substring(col("value"), 1, 1) =!= "\"" && col("value") =!= "")
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/iris_delta")

@@ -7,7 +7,7 @@ import graft.ingest.Quad
   * persisted FTS index and its invalidation on mutation. */
 class BikidataApiSpec extends SparkSpec {
 
-  test("build → query → fts → mutate → stale-index rebuild") {
+  test("build → query → fts → mutate → delta-maintained index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toString
     val nt = s"$dir/data.nt"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
@@ -28,17 +28,33 @@ class BikidataApiSpec extends SparkSpec {
     val r2 = bk.queryJson("""{"filters":[{"p":"fts","o":"alpha"}]}""")
     assert(r1 eq r2)
 
-    // insert invalidates the cache and the stored index
+    // insert invalidates the cache but KEEPS the stored index: the new
+    // literal rides in as an O(delta) append (FtsIndex.appendDelta), not
+    // a corpus rebuild — the base postings files must survive untouched
+    def postingFiles(): Set[String] = {
+      val d = new java.io.File(s"$dir/wh/fts_postings")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val baseFiles = postingFiles()
+    assert(baseFiles.nonEmpty)
     val ins = bk.insert(Seq(Quad("<http://ex/c>",
       "<http://www.w3.org/2000/01/rdf-schema#label>", "\"gamma thing\"", "")))
     assert(ins.error.isEmpty)
-    assert(!new java.io.File(s"$dir/wh/fts_meta.json").exists())
+    assert(new java.io.File(s"$dir/wh/fts_meta.json").exists(),
+      "insert must not drop the literals fts index")
+    assert(baseFiles.subsetOf(postingFiles()),
+      "base postings must survive a mutation (delta append, not rebuild)")
+    assert(postingFiles().size > baseFiles.size, "delta postings appended")
 
-    // new literal is findable after rebuild; index re-persisted
+    // new literal findable through the delta-appended index
     val r3 = bk.queryJson("""{"filters":[{"p":"fts","o":"gamma"}]}""")
     assert(r3.contains("<http://ex/c>"))
-    assert(new java.io.File(s"$dir/wh/fts_meta.json").exists())
     assert(bk.total() === 3)
+
+    // old literals still findable alongside the delta
+    assert(bk.queryJson("""{"filters":[{"p":"fts","o":"beta"}]}""")
+      .contains("<http://ex/b>"))
 
     // delete with o wildcard
     val del = bk.delete(Seq(("<http://ex/c>",

@@ -44,6 +44,40 @@ class FtsSpec extends SparkSpec {
     assert(idx.matchBm25("nosuchterm quick").collect().isEmpty)
   }
 
+  test("appendDelta == full rebuild: identical match sets AND scores") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ftsdelta").toString
+    val base = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the lazy brown dog"),
+      (3L, "quick quick fox fox fox")).toDF("hash", "value")
+    val delta = Seq(
+      (10L, "a quick silver fox appears"),
+      (11L, "entirely unrelated prose")).toDF("hash", "value")
+    FtsIndex.write(FtsIndex.build(base), wh)
+    assert(FtsIndex.appendDelta(spark, wh, delta))
+    val incremental = FtsIndex.load(spark, wh).get
+    val full = FtsIndex.build(base.union(delta))
+    assert(incremental.numDocs === full.numDocs)
+    assert(math.abs(incremental.avgdl - full.avgdl) < 1e-9)
+    for (q <- Seq("quick fox", "brown", "quick", "unrelated prose")) {
+      val a = incremental.matchBm25(q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val b = full.matchBm25(q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(a.keySet === b.keySet, s"[$q] match sets differ")
+      for ((h, s) <- b)
+        assert(math.abs(a(h) - s) < 1e-9, s"[$q] score drift for doc $h")
+    }
+    // termstats dfs sum across the base + delta appends
+    val df = incremental.termstats
+      .filter(org.apache.spark.sql.functions.col("term") === "quick")
+      .collect()(0).getLong(1)
+    assert(df === 3L, "df must sum base and delta document frequencies")
+    // no index on disk → append is a no-op signal, not an error
+    assert(!FtsIndex.appendDelta(spark, wh + "/nowhere", delta))
+  }
+
   test("inverted-list df spans chunks: 64-doc term scores like a 64-df corpus") {
     import spark.implicits._
     // 64 docs sharing one term land in many pmod(hash, 32) chunks — the
