@@ -51,8 +51,24 @@ final class Bikidata(
       val graph = warehouse.load().persist()
       // prefer the warehouse-persisted FTS index (written at build time,
       // like the reference's in-database index); rebuild only if absent
-      // or stale (mutations invalidate via invalidate())
+      // or stale (mutations invalidate via invalidate()).
+      // Torn-append heal: a HARD crash (kill/OOM — no exception to
+      // catch) between a literals append and its FtsIndex.appendDelta
+      // leaves the stored index silently missing documents forever.
+      // The doc count is the cheap exactness witness — appendDelta
+      // writes meta LAST, so a meta whose numDocs matches the
+      // dictionary implies the postings/lists appends completed too.
       val fts = FtsIndex.load(spark, warehouseDir)
+        .filter { idx =>
+          val nLiterals = graph.literals.count()
+          val ok = idx.numDocs == nLiterals
+          if (!ok) {
+            System.err.println(s"[bikidata] stored fts index covers ${idx.numDocs} " +
+              s"docs but the dictionary holds $nLiterals — rebuilding")
+            FtsIndex.drop(spark, warehouseDir)
+          }
+          ok
+        }
         .getOrElse {
           val idx = FtsIndex.build(graph.literals)
           try FtsIndex.write(idx, warehouseDir)

@@ -270,11 +270,16 @@ object FtsIndex {
       try {
         postings.select("hash", "term", "tf", "len")
           .write.mode("append").parquet(s"$warehouseDir/${name}_postings")
-        // point/small-batch deltas → one term-sorted file (the shuffle
+        // append to the lists layout only when one is STORED: an index
+        // without lists derives postingLists from the (just-appended)
+        // flat postings at load — creating a delta-only lists dir here
+        // would shadow the whole base corpus out of matchBm25.
+        // Point/small-batch deltas → one term-sorted file (the shuffle
         // fan-out would mint shuffle.partitions tiny files per mutation);
         // batch-stat term pruning works per file either way
-        listsFrom(postings).coalesce(1).sortWithinPartitions("term")
-          .write.mode("append").parquet(s"$warehouseDir/${name}_lists")
+        if (graft.store.StoreIO.exists(spark, s"$warehouseDir/${name}_lists"))
+          listsFrom(postings).coalesce(1).sortWithinPartitions("term")
+            .write.mode("append").parquet(s"$warehouseDir/${name}_lists")
         postings.groupBy("term").agg(countDistinct("hash").as("df"))
           .write.mode("append").parquet(s"$warehouseDir/${name}_termstats")
         val n1 = n0 + nDelta
@@ -286,10 +291,14 @@ object FtsIndex {
     } finally { withLen.unpersist(); () }
   }
 
-  /** Delete a stored index (rebuild-on-next-load fallback). */
+  /** Delete a stored index (rebuild-on-next-load fallback). The meta
+    * file goes FIRST — it is the index's existence marker ([[load]]
+    * keys on it; [[appendDelta]] writes it last), so a crash mid-drop
+    * leaves "no index" plus overwritable garbage, never a meta that
+    * points at half-deleted dirs. */
   def drop(spark: SparkSession, warehouseDir: String, name: String = "fts"): Unit =
-    for (sub <- Seq(s"${name}_postings", s"${name}_termstats",
-        s"${name}_lists", s"${name}_meta.json"))
+    for (sub <- Seq(s"${name}_meta.json", s"${name}_postings",
+        s"${name}_termstats", s"${name}_lists"))
       graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
 
   /** Per-subject FTS document table — `build_ftss` equivalent

@@ -60,9 +60,13 @@ object GraftFunctions {
   /** Inject into a session being built (`spark.sql.extensions`). */
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, usage, builder) =>
+      // 5-arg form: (className, db, name, usage, extended) — the 3-arg
+      // constructor is (className, db, name) and would misfile the usage
+      // text as the function NAME in DESCRIBE FUNCTION output
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, name, usage),
+        new ExpressionInfo(
+          GraftFunctions.getClass.getCanonicalName, null, name, usage, ""),
         builder))
     }
 }

@@ -235,6 +235,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // everything new is live — only now drop the old copy + write garbage
     StoreIO.delete(spark, staging)
     StoreIO.delete(spark, tmp)
+    // fold the per-mutation FTS delta files too: each insert appends
+    // small postings/lists/termstats parts (FtsIndex.appendDelta) that
+    // nothing else ever merges — compact is the offline O(corpus) fold,
+    // so paying one index rebuild alongside it (next context init)
+    // bounds the file count; dropping is crash-safe (meta goes first)
+    graft.fts.FtsIndex.drop(spark, dir)
+    graft.fts.FtsIndex.drop(spark, dir, name = "ftss")
   }
 
   /** Roll back a compact() that crashed mid-swap.

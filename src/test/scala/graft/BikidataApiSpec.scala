@@ -63,6 +63,33 @@ class BikidataApiSpec extends SparkSpec {
     assert(bk.total() === 2)
   }
 
+  test("a stored fts index out of sync with the dictionary is healed at ctx init") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.nt"),
+      """<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> "alpha thing" .
+        |<http://ex/b> <http://www.w3.org/2000/01/rdf-schema#label> "beta thing" .
+        |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(s"$dir/data.nt"))
+    assert(bk.queryJson("""{"filters":[{"p":"fts","o":"alpha"}]}""")
+      .contains("<http://ex/a>"))
+    // simulate the torn-append crash window: meta numDocs no longer
+    // matches the dictionary (appendDelta never ran after an append)
+    // tamper through StoreIO (Hadoop local FS keeps a CRC sidecar that a
+    // raw java.nio write would invalidate)
+    val metaPath = s"$dir/wh/fts_meta.json"
+    val meta = graft.store.StoreIO.readString(spark, metaPath)
+    graft.store.StoreIO.writeString(spark, metaPath,
+      meta.replaceFirst("\"numDocs\":\\d+", "\"numDocs\":1"))
+    // a fresh facade over the same warehouse detects the mismatch,
+    // rebuilds, and serves exact results
+    val bk2 = new Bikidata(spark, s"$dir/wh")
+    assert(bk2.queryJson("""{"filters":[{"p":"fts","o":"beta"}]}""")
+      .contains("<http://ex/b>"))
+    val healed = graft.store.StoreIO.readString(spark, metaPath)
+    assert(!healed.contains("\"numDocs\":1"), "meta must be rewritten by the rebuild")
+  }
+
   test("buildFromQuads + async mutations round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bfq").toString
