@@ -167,4 +167,19 @@ class PlanContractSpec extends SparkSpec {
     // not join (or broadcast) a corpus-scale side at query time
     assert(!p.contains("Join"), s"fts match should be join-free:\n$p")
   }
+
+  test("a delta-appended stored index keeps the join-free term-pruned match plan") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-fts").toString
+    val base = Seq((1L, "alpha skywalker"), (2L, "beta thing")).toDF("hash", "value")
+    graft.fts.FtsIndex.write(graft.fts.FtsIndex.build(base), wh)
+    assert(graft.fts.FtsIndex.appendDelta(spark, wh,
+      Seq((3L, "gamma skywalker appended")).toDF("hash", "value")))
+    val idx = graft.fts.FtsIndex.load(spark, wh).get
+    val p = plan(idx.matchBm25("skywalker"))
+    assert(p.toLowerCase.contains("skywalk"), s"delta index scan not term-pruned:\n$p")
+    assert(!p.contains("Join"), s"delta-appended match should stay join-free:\n$p")
+    // and both the base and the appended doc match
+    assert(idx.matchBm25("skywalker").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }
