@@ -49,6 +49,11 @@ final class Bikidata(
   def ctx: EngineContext = synchronized {
     ctxOpt.getOrElse {
       val graph = warehouse.load().persist()
+      // serving sessions run page-bounded queries whose shuffles carry
+      // subject sets bounded by the store — size reduce partitions to
+      // the store, not the builder default (Graph.servingShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graph.servingShufflePartitions.toString)
       // prefer the warehouse-persisted FTS index (written at build time,
       // like the reference's in-database index); rebuild only if absent
       // or stale (mutations invalidate via invalidate()).

@@ -181,6 +181,11 @@ object Rdfize {
           val g = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
           (g, FtsIndex.build(g.literals))
         }
+      // serving-session shuffle sizing: reduce partitions scaled to the
+      // store (see Graph.servingShufflePartitions) — the gate/bench
+      // sessions are serving sessions over this one warehouse
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graph.servingShufflePartitions.toString)
       graph.triples.count() // materialize the persisted tables once
       EngineContext.withDictBroadcast(
         EngineContext(graph, fts = Some(fts.persist()), embedder = HashingEmbedder(64)))

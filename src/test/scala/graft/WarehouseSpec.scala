@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.{Build, Quad}
-import graft.store.Warehouse
+import graft.store.{Graph, Warehouse}
 import org.apache.spark.sql.functions._
 
 /** Disk-backed warehouse round trip: build → load → insert (delta) →
@@ -191,7 +191,7 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.load().triples.count() === Fixture.quads.size)
   }
 
-  test("persist() re-clusters a single-file store to the session's parallelism") {
+  test("persist() sizes the pinned cache to the data, not the file layout") {
     import spark.implicits._
     val dir = freshDir()
     Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
@@ -199,11 +199,20 @@ class WarehouseSpec extends SparkSpec {
     val pinned = loaded.persist()
     try {
       val cores = spark.sparkContext.defaultParallelism
-      // the tiny store is one file per table; the pinned cache must not
-      // inherit that (every scan would be single-threaded all session)
-      assert(pinned.triples.rdd.getNumPartitions >= cores,
-        s"pinned triples cache kept ${pinned.triples.rdd.getNumPartitions} partitions")
-      assert(pinned.literals.rdd.getNumPartitions >= cores)
+      // a tiny store pins into FEW partitions (per-task dispatch would
+      // dwarf the data at one partition per core), never more than the
+      // session's parallelism
+      val np = pinned.triples.rdd.getNumPartitions
+      assert(np >= 1 && np <= cores, s"pinned triples cache has $np partitions")
+      assert(Graph.sizedPartitions(loaded.triples, cores) === np)
+      // a wide-but-tiny frame is narrowed, a frame already at its size
+      // target is left alone
+      assert(pinned.literals.rdd.getNumPartitions <=
+        math.max(1, loaded.literals.rdd.getNumPartitions))
+      // serving shuffle sizing follows the same scale: small store, few
+      // reduce partitions (floor 2)
+      val sp = pinned.servingShufflePartitions
+      assert(sp >= 2 && sp <= cores, s"servingShufflePartitions = $sp")
       // re-clustering is a layout change only
       assert(pinned.triples.count() === loaded.triples.count())
       assert(pinned.dict.count() === loaded.dict.count())
