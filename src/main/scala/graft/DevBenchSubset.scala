@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: Bench's exact timing protocol (1 untimed codegen run, then
+  * median of 5) over a named subset of queries — fast iteration on
+  * individual plans without the full 85-query sweep. Not product surface.
+  * Usage: runMain graft.DevBenchSubset <sfDir> <query1> [query2 ...] */
+object DevBenchSubset {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.warmup(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[subset] warmup failed: $e") }
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count()
+      val times = Seq.fill(5) {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[subset] $name%-28s median ${times(2)}%.3f s  (min ${times.head}%.3f max ${times.last}%.3f)")
+    }
+    PipelineQueries.clearCaches()
+    spark.stop()
+  }
+}

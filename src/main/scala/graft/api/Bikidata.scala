@@ -54,6 +54,8 @@ final class Bikidata(
       // the store, not the builder default (Graph.servingShufflePartitions)
       spark.conf.set("spark.sql.shuffle.partitions",
         graph.servingShufflePartitions.toString)
+      // one-job bounded probe collects on small stores (see Rdfize.ctx)
+      spark.conf.set("spark.sql.limit.initialNumPartitions", "1024")
       // prefer the warehouse-persisted FTS index (written at build time,
       // like the reference's in-database index); rebuild only if absent
       // or stale (mutations invalidate via invalidate()).

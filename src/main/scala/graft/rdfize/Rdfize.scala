@@ -172,20 +172,35 @@ object Rdfize {
           ()
         }
       }
+      // the engine context lives in its OWN session clone: same
+      // SparkContext, same shared cache manager (the pinned graph is
+      // visible/reusable process-wide), but an isolated SQL conf — the
+      // serving-tier shuffle sizing below must not leak into pipeline
+      // queries sharing the root session, whose corpus aggregations
+      // want the builder's wider reduce parallelism
+      val serving = spark.newSession()
       val (graph, fts) =
         if (complete.exists())
-          (Build.load(spark, wh).persist(),
-            FtsIndex.load(spark, wh).getOrElse(FtsIndex.build(
-              spark.read.parquet(s"$wh/literals"))))
+          (Build.load(serving, wh).persist(),
+            FtsIndex.load(serving, wh).getOrElse(FtsIndex.build(
+              serving.read.parquet(s"$wh/literals"))))
         else {
-          val g = Build.graphFromQuads(spark, quads(spark, sfDir)).persist()
+          val g = Build.graphFromQuads(serving, quads(serving, sfDir)).persist()
           (g, FtsIndex.build(g.literals))
         }
       // serving-session shuffle sizing: reduce partitions scaled to the
       // store (see Graph.servingShufflePartitions) — the gate/bench
       // sessions are serving sessions over this one warehouse
-      spark.conf.set("spark.sql.shuffle.partitions",
+      serving.conf.set("spark.sql.shuffle.partitions",
         graph.servingShufflePartitions.toString)
+      // bounded probe collects (o-IN, subject localization, paths seeds)
+      // run as ONE job instead of CollectLimit's 1→4→16 incremental
+      // ramp-up: a probe that comes back under its cap has to touch
+      // every partition anyway, so the ramp-up only adds scheduling
+      // round-trips. Sized well past any small-store partition count;
+      // a corpus-scale store exceeds it and keeps the incremental ramp
+      // (there, an early-exiting limit IS the win).
+      serving.conf.set("spark.sql.limit.initialNumPartitions", "1024")
       graph.triples.count() // materialize the persisted tables once
       EngineContext.withDictBroadcast(
         EngineContext(graph, fts = Some(fts.persist()), embedder = HashingEmbedder(64)))
@@ -195,6 +210,10 @@ object Rdfize {
     * first use, parquet-cached next to the warehouse. */
   def semantic(spark: SparkSession, sfDir: String): EngineContext = {
     val base = ctx(spark, sfDir)
+    // stay on the context's serving session clone — the index frames
+    // join against the graph's pinned frames and should plan under the
+    // same serving-tier conf
+    val serving = base.graph.spark
     val (sem, ann) = semCache.computeIfAbsent(sfDir, { _ =>
       val semDir = cacheDir(sfDir) + "/literals_semantic"
       val annDir = cacheDir(sfDir) + "/semantic_ann"
@@ -205,17 +224,17 @@ object Rdfize {
         catch { case _: Exception => () }
       }
       val s =
-        if (new java.io.File(semDir).exists()) spark.read.parquet(semDir).persist()
+        if (new java.io.File(semDir).exists()) serving.read.parquet(semDir).persist()
         else {
           val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
           Semantic.buildSemantic(docs, base.embedder).persist()
         }
       s.count()
-      val a = graft.semantic.SemanticAnn.load(spark, annDir).getOrElse {
+      val a = graft.semantic.SemanticAnn.load(serving, annDir).getOrElse {
         val built = graft.semantic.SemanticAnn.build(s)
         try {
           graft.semantic.SemanticAnn.write(built, annDir)
-          graft.semantic.SemanticAnn.load(spark, annDir).getOrElse(built)
+          graft.semantic.SemanticAnn.load(serving, annDir).getOrElse(built)
         } catch { case _: Exception => built } // unwritable cache dir
       }
       a.cells.persist().count()
