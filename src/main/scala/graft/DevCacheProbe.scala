@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: decomposes construction-time vs action-time jobs for the
-  * facet family and times candidate probe shapes. Not product surface. */
+/** Dev tool: decomposes the n-gram pipeline ops (decontam, dup-spans,
+  * top-ngrams) and times hashed-gram variants. Not product surface. */
 object DevCacheProbe {
-  private def time[A](label: String, n: Int = 7)(f: => A): A = {
+  private def time[A](label: String, n: Int = 5)(f: => A): A = {
     f
     var last: A = null.asInstanceOf[A]
     val ts = (1 to n).map { _ =>
@@ -22,38 +22,49 @@ object DevCacheProbe {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ctx = graft.rdfize.Rdfize.ctx(spark, dir)
-    val jc = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jc.incrementAndGet(); () }
-    })
-    def jobs[A](label: String)(f: => A): A = {
-      Thread.sleep(100); jc.set(0)
-      val r = f
-      Thread.sleep(100)
-      println(s"[probe] $label jobs=${jc.get()}")
-      r
-    }
-    val fn = RdfQueries.queries("q_rdf_facet_graphs")
-    val df = jobs("facet_graphs CONSTRUCT")(fn(spark, dir))
-    jobs("facet_graphs COUNT")(df.count())
-    time("facet_graphs end-to-end")(fn(spark, dir).count())
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .repartition(32).localCheckpoint(true)
+    println(s"[probe] docs = ${d.count()}")
 
-    // candidate: isin-probed subject side
-    val t = ctx.graph.triples
-    val pNName = graft.algebra.FilterCompiler.h(graft.rdfize.Rdfize.predIri("nation", "n_name"))
-    def isinShape(): Long = {
-      val probe = t.filter(col("p") === pNName).select("s").limit(10001).collect().map(_.getLong(0))
-      t.filter(col("s").isin(probe.toIndexedSeq: _*))
-        .groupBy(col("g")).agg(count(lit(1)).as("count"))
-        .select(col("count"), ctx.decodeExpr(col("g")).get.as("val")).count()
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+        explode(graft.ops.TextAnalysis.wordGrams(col("text"), 8)).as("gram"))
+
+    val g = grams(d)
+    time("grams explode count")(g.count())
+    time("grams explode + xxhash count")(g.select(col("id"), xxhash64(col("gram")).as("gh")).count())
+
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    time("decontam current")(
+      graft.ops.Decontam.contaminated(d, bench, "doc_id", "text", n = 8).count())
+    def contamHashed(): Long = {
+      val bg = grams(bench).select(xxhash64(col("gram")).as("gh")).distinct()
+      g.select(col("id"), xxhash64(col("gram")).as("gh"))
+        .join(broadcast(bg), "gh")
+        .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 1).count()
     }
-    time("facet isin-probe shape")(isinShape())
-    jobs("facet isin-probe jobs")(isinShape())
+    time("decontam hashed")(contamHashed())
+
+    time("dup_spans current")(
+      graft.ops.Decontam.dupSpanStats(d, "doc_id", "text", n = 8).count())
+    def dupHashed(): Long = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+      g.select(col("id"), xxhash64(col("gram")).as("gh"))
+        .withColumn("docfreq", count(lit(1)).over(w))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .count()
+    }
+    time("dup_spans hashed")(dupHashed())
+
+    time("top_ngrams current")(
+      graft.ops.TextAnalysis.topNgrams(d, "text", n = 2, k = 20).count())
   }
 }

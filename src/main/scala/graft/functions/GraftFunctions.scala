@@ -49,6 +49,26 @@ object GraftFunctions {
       { es: Seq[Expression] =>
         require(es.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(es.head, es(1))
+      }),
+    ("word_grams",
+      "word_grams(tokens, n[, distinct]) - every n-token window of a " +
+        "string array, space-joined; distinct (default true) keeps first " +
+        "occurrences; fewer than n tokens yields an empty array",
+      { es: Seq[Expression] =>
+        require(es.length == 2 || es.length == 3,
+          "word_grams takes 2 or 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"word_grams $what must be an integer literal")
+        }
+        def boolLit(e: Expression): Boolean = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case _ => throw new IllegalArgumentException(
+            "word_grams distinct must be a boolean literal")
+        }
+        WordGrams(es.head, intLit(es(1), "n"),
+          if (es.length == 3) boolLit(es(2)) else true)
       }))
 
   /** Register (or refresh) the functions on a live session's registry. */

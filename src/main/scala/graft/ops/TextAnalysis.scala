@@ -29,11 +29,14 @@ object TextAnalysis {
     * stream — Decontam/Dedup/topNgrams all build on it, so a
     * tokenization change cannot silently diverge between them. */
   def wordGrams(text: Column, n: Int, distinct: Boolean = true): Column = {
-    val words = wsTokens(text)
-    val g = transform(sequence(lit(1), size(words) - n + 1),
-      i => array_join(slice(words, i, lit(n)), " "))
-    when(size(words) >= n, if (distinct) array_distinct(g) else g)
-      .otherwise(array().cast("array<string>"))
+    // the window itself is the native WordGrams expression (one
+    // primitive UTF8String loop inside whole-stage codegen — the
+    // declarative transform/slice/array_join/array_distinct chain runs
+    // interpreted and dominates every gram-based pipeline op);
+    // tokenization stays on the built-ins so the token definition cannot
+    // drift from wsTokens. Null text keeps yielding an empty array.
+    coalesce(graft.functions.WordGrams(wsTokens(text), n, distinct),
+      array().cast("array<string>"))
   }
 
   /** Compact English stopword set, shared with the quality oracle. */

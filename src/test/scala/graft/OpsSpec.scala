@@ -13,6 +13,34 @@ class OpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
     (5L, "unrelated short text")).toDF("id", "text")
 
+  test("native WordGrams is byte-identical to the declarative chain") {
+    // the chain it replaced (TextAnalysis.wordGrams pre-nativization):
+    // transform over a 1-based window sequence + array_join + distinct
+    def declarative(text: org.apache.spark.sql.Column, n: Int, distinct: Boolean) = {
+      val words = TextAnalysis.wsTokens(text)
+      val g = transform(sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " "))
+      when(size(words) >= n, if (distinct) array_distinct(g) else g)
+        .otherwise(array().cast("array<string>"))
+    }
+    val texts = Seq(
+      "a b c d e f g h i j", "a a a a a a a a a a", "one two", "", "   ",
+      "x", "a  b\tc   d e f g h", "the quick brown fox the quick brown fox the quick",
+      "p q r s t u v w", "p q r s t u v w p q r s t u v w").toDF("text")
+    for (n <- Seq(1, 2, 8); distinct <- Seq(true, false)) {
+      val got = texts.select(TextAnalysis.wordGrams(col("text"), n, distinct).as("g"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      val want = texts.select(coalesce(declarative(col("text"), n, distinct),
+          array().cast("array<string>")).as("g"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      assert(got === want, s"n=$n distinct=$distinct")
+    }
+    // null text: empty array, not null (consumers size() it)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.wordGrams(col("text"), 2).as("g")).collect()
+    assert(nullRow(0).getSeq[String](0) === Seq.empty)
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(corpus, "id", "text").collect()
     val dupGroup = groups.find(_.getLong(2) == 2)

@@ -23,6 +23,16 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT cosine_similarity(array(float(3), float(4)), array(float(3), float(4))) AS s")
       .collect()(0).getDouble(0)
     assert(math.abs(s - 1.0) < 1e-9)
+
+    val g = spark.sql(
+      "SELECT word_grams(array('a','b','c','b','c'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(g === Seq("a b", "b c", "c b"),
+      "window order with first-occurrence dedup")
+    val gAll = spark.sql(
+      "SELECT word_grams(array('a','b','c','b','c'), 2, false) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(gAll === Seq("a b", "b c", "c b", "b c"))
   }
 
   test("registration is idempotent and builders validate arity") {
