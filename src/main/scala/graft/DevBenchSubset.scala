@@ -14,6 +14,13 @@ object DevBenchSubset {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode scan parallelism: the testdata tables are single
+      // small parquet files, and the default 4 MB file-open cost floors
+      // maxSplitBytes so a 2 MB table scans as ONE task (the partial
+      // aggregate then runs single-threaded while DuckDB splits by row
+      // group). 128 KB lets bytes/parallelism drive the split; cluster
+      // deployments keep the default (many-file inputs split by file)
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")

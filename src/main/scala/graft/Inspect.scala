@@ -21,6 +21,13 @@ object Inspect {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode scan parallelism: the testdata tables are single
+      // small parquet files, and the default 4 MB file-open cost floors
+      // maxSplitBytes so a 2 MB table scans as ONE task (the partial
+      // aggregate then runs single-threaded while DuckDB splits by row
+      // group). 128 KB lets bytes/parallelism drive the split; cluster
+      // deployments keep the default (many-file inputs split by file)
+      .config("spark.sql.files.openCostInBytes", "131072")
       // dictionaries are classic broadcast dims at bench scale; at true
       // cluster scale AQE falls back to SMJ automatically past the limit
       .config("spark.sql.autoBroadcastJoinThreshold", "134217728")

@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    SparkEntry.t(s, dir, "documents")
 
   /** The events table stores TIMESTAMP(NANOS), which Spark's reader only
     * surfaces as a long (spark.sql.legacy.parquet.nanosAsLong) — convert
     * to a microsecond timestamp at the read edge. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = SparkEntry.t(s, dir, "events")
     val instants =
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         // integer div — `/` would go through double and lose precision at
@@ -32,7 +32,7 @@ object PipelineQueries {
     instants
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    SparkEntry.t(s, dir, "embeddings")
 
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     emb(s, dir).filter(col("vec_id") === 0)

@@ -17,8 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // resolved-relation cache: each spark.read.parquet call pays a
+  // 1-task schema-inference job (footer read) at ACTION time — per
+  // query that is one scheduling floor per referenced table (q3_join
+  // reads three). The cache reuses the analyzed relation (schema +
+  // file index); the DATA is still read from parquet per query, so the
+  // comparison against the DuckDB baseline stays scan-for-scan honest.
+  private val relCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + dir + "/" + name,
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytical query (wikidata.md:45-67): rank
