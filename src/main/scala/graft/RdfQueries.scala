@@ -324,7 +324,7 @@ object RdfQueries {
     "q_rdf_delete" -> ((s, dir) => {
       import s.implicits._
       val ctx = rctx(s, dir)
-      val name = s.read.parquet(s"$dir/region.parquet")
+      val name = SparkEntry.t(s, dir, "region")
         .filter(col("r_regionkey") === 1).select("r_name").collect()(0).getString(0)
       val (g2, res) = Mutations.delete(ctx.graph,
         Seq(("<urn:t:region:1>", LabelIri, Some("\"" + name + "\""), graphIri("region"))))

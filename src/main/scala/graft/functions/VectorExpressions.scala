@@ -163,3 +163,66 @@ object CosineDistance {
   def apply(a: Column, b: Column): Column =
     GraftShims.column(CosineDistance(GraftShims.expression(a), GraftShims.expression(b)))
 }
+
+/** Codegen'd dot product over two `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`
+  * columns. Exists so the all-pairs similarity paths can precompute each
+  * side's squared norm ONCE per row instead of re-accumulating both
+  * norms inside every pair's [[CosineSimilarity]] (3× the flops at
+  * n² pairs). Bit-exactness contract, pinned in OpsSpec:
+  * `DotProduct(a,b) / sqrt(DotProduct(a,a)) / sqrt(DotProduct(b,b))`
+  * equals `CosineSimilarity(a,b)` EXACTLY — the accumulation here is
+  * the same left-to-right `+=` loop (`x*x` for a self-dot matches the
+  * fused loop's norm term), and the division order is the caller's to
+  * preserve. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CosineTyping {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double result = graft.functions.DotProduct.compute(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
+         |if (result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = result.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  /** Hot loop shared by interpreted eval and generated code — the same
+    * left-to-right accumulation as [[CosineSimilarity.compute]]. */
+  def compute(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}

@@ -291,8 +291,7 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBrute: Long = 10000L): DataFrame =
     Similarity.candidatePairs(emb, idCol, vecCol, maxBrute)
-      .select(col("a"), col("b"),
-        round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+      .select(col("a"), col("b"), round(Similarity.pairSim, 4).as("sim"))
       .filter(col("sim") >= threshold)
 
   /** Materialize the near-dup-deduplicated corpus from ANY pair list

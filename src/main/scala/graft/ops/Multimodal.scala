@@ -24,6 +24,13 @@ object Multimodal {
 
   // ImageIO must never touch a display; executors set this once per JVM
   System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache is DISK-backed: every
+  // createImageInputStream/read over an in-memory byte array spills
+  // through a temp file, so a corpus decode pays one file create+write+
+  // delete per image and its latency rides disk state (the observed
+  // 0.2 s ↔ 1.0 s swings on identical inputs). All media arrive as
+  // byte-array columns here — cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaMeta(format: String, width: Int, height: Int, sizeBytes: Long)
   final case class MediaRow(id: Long, bytes: Array[Byte])

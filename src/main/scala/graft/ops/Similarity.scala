@@ -105,8 +105,18 @@ object Similarity {
       .limit(k)
   }
 
-  /** Candidate (a, b, va, vb) pairs with a < b. Small inputs (≤
-    * `maxBrute` rows) get the exact O(n²) nested-loop pass — the
+  /** Pair similarity over [[candidatePairs]] output: the dot of the pair
+    * divided by each side's PRECOMPUTED norm — per pair one array loop
+    * instead of [[cosine]]'s fused three-accumulator pass (at n² pairs
+    * the norms are n²·redundant). Bit-exact with `cosine(va, vb)`:
+    * same left-to-right accumulation per term, same
+    * `dot / sqrt(na) / sqrt(nb)` division order (pinned in OpsSpec). */
+  private[graft] def pairSim: Column =
+    graft.functions.DotProduct(col("va"), col("vb")) /
+      sqrt(col("na2")) / sqrt(col("nb2"))
+
+  /** Candidate (a, b, va, vb, na2, nb2) pairs with a < b. Small inputs
+    * (≤ `maxBrute` rows) get the exact O(n²) nested-loop pass — the
     * verification path. Larger inputs are routed through LSH buckets
     * automatically: only same-bucket pairs are emitted (the standard
     * near-dup candidate contract — highly similar vectors share sign
@@ -115,29 +125,39 @@ object Similarity {
     * unguarded API would silently BroadcastNestedLoopJoin 10¹⁰ row pairs
     * at corpus scale. */
   private[graft] def candidatePairs(emb: DataFrame, idCol: String,
-      vecCol: String, maxBrute: Long): DataFrame =
+      vecCol: String, maxBrute: Long): DataFrame = {
+    // each side carries its squared norm (one self-dot per ROW) so the
+    // n² pair loop only pays the dot — see pairSim
+    val withNorm = emb.withColumn("__n2",
+      graft.functions.DotProduct(col(vecCol), col(vecCol)))
     if (emb.count() <= maxBrute) {
       // small corpora usually sit in ONE parquet file — repartition the
       // stream side or the whole O(n²) pass runs on a single task
       val par = emb.sparkSession.sparkContext.defaultParallelism
-      val a = emb.select(col(idCol).as("a"), col(vecCol).as("va")).repartition(par)
-      val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      val a = withNorm.select(col(idCol).as("a"), col(vecCol).as("va"),
+        col("__n2").as("na2")).repartition(par)
+      val b = withNorm.select(col(idCol).as("b"), col(vecCol).as("vb"),
+        col("__n2").as("nb2"))
       a.join(b, col("a") < col("b"))
     } else {
-      val bucketed = buildLsh(emb, idCol, vecCol)
-      val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+      // buildLsh projects (id, vec, bucket) — re-attach the row-scale norm
+      val bucketed = buildLsh(emb, idCol, vecCol).withColumn("__n2",
+        graft.functions.DotProduct(col(vecCol), col(vecCol)))
+      val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"),
+        col("__n2").as("na2"), col("bucket"))
       val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
-        col("bucket").as("bucket_b"))
+        col("__n2").as("nb2"), col("bucket").as("bucket_b"))
       a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
         .drop("bucket", "bucket_b")
     }
+  }
 
   /** Top-n most similar pairs (see [[candidatePairs]] for the
     * brute-vs-LSH routing contract). */
   def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,
       maxBrute: Long = 10000L): DataFrame = {
     candidatePairs(emb, idCol, vecCol, maxBrute)
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .select(col("a"), col("b"), round(pairSim, 4).as("sim"))
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(n)
   }

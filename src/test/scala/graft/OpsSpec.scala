@@ -41,6 +41,30 @@ class OpsSpec extends SparkSpec {
     assert(nullRow(0).getSeq[String](0) === Seq.empty)
   }
 
+  test("split-norm pair similarity is bit-exact with the fused cosine") {
+    // pairSim precomputes each side's squared norm; the 4-dp-rounded
+    // threshold contract only survives if dot/sqrt/sqrt reproduces the
+    // fused loop EXACTLY (same accumulation order, same division order)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "vec")
+    val a = df.select(col("id").as("a"), col("vec").as("va"),
+      graft.functions.DotProduct(col("vec"), col("vec")).as("na2"))
+    val b = df.select(col("id").as("b"), col("vec").as("vb"),
+      graft.functions.DotProduct(col("vec"), col("vec")).as("nb2"))
+    val pairs = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Similarity.pairSim.as("split"),
+        Similarity.cosine(col("va"), col("vb")).as("fused"))
+      .collect()
+    assert(pairs.length === 40 * 39 / 2)
+    for (r <- pairs)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) diverged")
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(corpus, "id", "text").collect()
     val dupGroup = groups.find(_.getLong(2) == 2)
