@@ -559,13 +559,25 @@ object QueryEngine {
     val sHashes = subjects.map(h)
     var t = ctx.graph.subjectAccess.filter(col("s").isin(sHashes: _*))
     p.foreach(v => t = t.filter(col("p") === h(v)))
-    val iris = ctx.graph.iris
-    val lits = ctx.graph.literals
-    t.as("T")
-      .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
-      .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
-      .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
-      .select(col("U.value").as("s"), coalesce(col("UUU.value"), col("L.value")).as("o"))
+    // both decodes ride the session map when available: the reference's
+    // iris-then-literals coalesce for o IS the combined dictionary, and
+    // a subject never decodes differently (subjects live only in iris) —
+    // three broadcast-join builds collapse into map lookups, leaving the
+    // s-pruned parquet point read as the whole job
+    ctx.decodeExpr(col("s")) match {
+      case Some(_) =>
+        t.select(ctx.decodeExpr(col("s")).get.as("s"),
+          ctx.decodeExpr(col("o")).get.as("o"))
+      case None =>
+        val iris = ctx.graph.iris
+        val lits = ctx.graph.literals
+        t.as("T")
+          .join(iris.as("U"), col("T.s") === col("U.hash"), "left")
+          .join(iris.as("UUU"), col("T.o") === col("UUU.hash"), "left")
+          .join(lits.as("L"), col("T.o") === col("L.hash"), "left")
+          .select(col("U.value").as("s"),
+            coalesce(col("UUU.value"), col("L.value")).as("o"))
+    }
   }
 
   /** count(distinct s) over all triples (query.py:13-17) — a store

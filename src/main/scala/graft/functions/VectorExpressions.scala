@@ -95,14 +95,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // primitive-returning codegen — no per-row Double box (null only
+    // means length mismatch; zero-norm inputs surface as NaN, matching
+    // the fused dot/sqrt/sqrt arithmetic)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double result = graft.functions.CosineSimilarity.compute(
-         |  $a, $b, $leftIsDouble, $rightIsDouble);
-         |if (result == null) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = result.doubleValue();
+         |  ${ev.value} = graft.functions.CosineSimilarity.computePrim(
+         |    $a, $b, $leftIsDouble, $rightIsDouble);
          |}
        """.stripMargin
     })
@@ -123,8 +125,14 @@ object CosineSimilarity {
   def compute(a: ArrayData, b: ArrayData,
       aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
+    if (a.numElements() != b.numElements()) return null
+    java.lang.Double.valueOf(computePrim(a, b, aDouble, bDouble))
+  }
+
+  /** Hot loop; callers have checked nulls and length equality. */
+  def computePrim(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): Double = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -133,7 +141,7 @@ object CosineSimilarity {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / math.sqrt(na) / math.sqrt(nb))
+    dot / math.sqrt(na) / math.sqrt(nb)
   }
 
   def apply(a: Column, b: Column): Column =
@@ -185,14 +193,17 @@ case class DotProduct(left: Expression, right: Expression)
       leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // primitive-returning codegen: the boxed-wrapper form allocates one
+    // java.lang.Double PER PAIR, which at n² pair evaluations turns the
+    // loop into an allocation benchmark (null here only means length
+    // mismatch, checked inline)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double result = graft.functions.DotProduct.compute(
-         |  $a, $b, $leftIsDouble, $rightIsDouble);
-         |if (result == null) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = result.doubleValue();
+         |  ${ev.value} = graft.functions.DotProduct.computePrim(
+         |    $a, $b, $leftIsDouble, $rightIsDouble);
          |}
        """.stripMargin
     })
@@ -205,13 +216,21 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
-  /** Hot loop shared by interpreted eval and generated code — the same
-    * left-to-right accumulation as [[CosineSimilarity.compute]]. */
+  /** Boxed wrapper for interpreted eval (nulls for null/mismatched
+    * inputs). */
   def compute(a: ArrayData, b: ArrayData,
       aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
+    if (a.numElements() != b.numElements()) return null
+    java.lang.Double.valueOf(computePrim(a, b, aDouble, bDouble))
+  }
+
+  /** Hot loop shared by interpreted eval and generated code — the same
+    * left-to-right accumulation as [[CosineSimilarity.compute]].
+    * Callers have already checked nulls and length equality. */
+  def computePrim(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): Double = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -220,7 +239,7 @@ object DotProduct {
       dot += x * y
       i += 1
     }
-    java.lang.Double.valueOf(dot)
+    dot
   }
 
   def apply(a: Column, b: Column): Column =
