@@ -2,8 +2,9 @@ package graft.api
 
 import graft.algebra.{EngineContext, QueryEngine, QueryOpts, QueryResult}
 import graft.fts.FtsIndex
+import graft.functions.Hash64
 import graft.ingest.{Build, Quad}
-import graft.semantic.{Embedder, HashingEmbedder, Semantic}
+import graft.semantic.{Embedder, HashingEmbedder, Semantic, SemanticMaintenance}
 import graft.store.{Graph, MutationResult, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -91,7 +92,8 @@ final class Bikidata(
     }
   }
 
-  private def invalidate(dropFts: Boolean = true): Unit = synchronized {
+  private def invalidate(dropFts: Boolean = true,
+      dropSemantic: Boolean = true): Unit = synchronized {
     ctxOpt.foreach { c =>
       // release EVERY frame the retiring context pinned — graph, FTS
       // posting lists, semantic table, ANN cells; leaving any of them
@@ -124,8 +126,13 @@ final class Bikidata(
     // path that discards it.
     if (dropFts) graft.fts.FtsIndex.drop(spark, warehouseDir)
     graft.fts.FtsIndex.drop(spark, warehouseDir, name = "ftss")
-    for (sub <- Seq("literals_semantic", "semantic_ann"))
-      graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
+    // the semantic index is O(delta) across mutations when the affected
+    // subjects were marked (SemanticMaintenance.markStale — the next
+    // buildSemantic re-embeds just those); dropSemantic=true (build(),
+    // or a failed marking) is the full-invalidation path
+    if (dropSemantic)
+      for (sub <- graft.semantic.SemanticMaintenance.AllDirs)
+        graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
   }
 
   /** Ingest N-Triples/TriG files into the warehouse (refuses if data
@@ -192,30 +199,70 @@ final class Bikidata(
   /** Subject-level embedding index (semantic.py:41-87): built once,
     * persisted into the warehouse as `literals_semantic` parquet (the
     * reference stores the same table in its DB file), loaded on later
-    * sessions. */
+    * sessions. After mutations, the index is REPAIRED in O(stale) — only
+    * the marked subjects' 2-hop docs re-embed
+    * ([[SemanticMaintenance.repair]]); the ANN cell index patches against
+    * its existing centroids under the `semGen` consistency invariant,
+    * falling back to a (compute-only, embed-free) rebuild on any
+    * mismatch it cannot close. */
   def buildSemantic(): Unit = {
-    val semDir = s"$warehouseDir/literals_semantic"
-    val annDir = s"$warehouseDir/semantic_ann"
-    val sem =
-      if (graft.store.StoreIO.exists(spark, semDir)) spark.read.parquet(semDir)
-      else {
+    val semDir = s"$warehouseDir/${SemanticMaintenance.SemDir}"
+    val annDir = s"$warehouseDir/${SemanticMaintenance.AnnDir}"
+    if (!graft.store.StoreIO.exists(spark, semDir)) {
+      val docs = buildFtss()
+      val built = Semantic.buildSemantic(docs, embedder)
+      try { built.write.mode("overwrite").parquet(semDir); () }
+      catch { case _: Exception => () } // read-only warehouse
+    } else {
+      // O(delta) repair of outstanding mutation staleness; an oversized
+      // stale set (or a failed repair) falls back to a fresh full build
+      val ok =
+        try SemanticMaintenance.repair(spark, warehouseDir,
+          ctx.graph.triples, ctx.graph.literals, embedder)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bikidata] semantic delta repair failed, rebuilding: $e")
+          false
+        }
+      if (!ok) {
+        for (sub <- SemanticMaintenance.AllDirs)
+          graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
         val docs = buildFtss()
         val built = Semantic.buildSemantic(docs, embedder)
-        try { built.write.mode("overwrite").parquet(semDir); spark.read.parquet(semDir) }
-        catch { case _: Exception => built } // read-only warehouse
+        try { built.write.mode("overwrite").parquet(semDir); () }
+        catch { case _: Exception => () }
+      }
+    }
+    val (sem, gen) = SemanticMaintenance.composeWithGen(spark, warehouseDir)
+      .getOrElse { // read-only warehouse: serve the in-memory build
+        (Semantic.buildSemantic(buildFtss(), embedder), 0L)
       }
     val persisted = sem.persist()
     persisted.count() // materialize
-    val ann = graft.semantic.SemanticAnn.load(spark, annDir).getOrElse {
-      val built = graft.semantic.SemanticAnn.build(persisted)
+    val annBase = graft.semantic.SemanticAnn.load(spark, annDir) match {
+      case Some(a) if a.semGen == gen => Some(a)
+      case Some(a) => // lagging gen: O(delta) patch against its centroids
+        try Some(graft.semantic.SemanticAnn.patch(spark, annDir, a,
+          SemanticMaintenance.deltaSince(spark, warehouseDir, a.semGen), gen))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bikidata] semantic ann patch failed, rebuilding: $e")
+          graft.store.StoreIO.delete(spark, annDir)
+          None
+        }
+      case None => None
+    }
+    val ann = annBase.getOrElse {
+      val built = graft.semantic.SemanticAnn.build(persisted).copy(semGen = gen)
       try {
         graft.semantic.SemanticAnn.write(built, annDir)
         graft.semantic.SemanticAnn.load(spark, annDir).getOrElse(built)
       } catch { case _: Exception => built } // read-only warehouse
     }
-    ann.cells.persist().count()
+    // a delta-bearing index may hold superseded/removed cell rows —
+    // score through the composed frame (SemanticAnn.authoritative)
+    val served = if (gen > 0) ann.copy(authoritative = Some(persisted)) else ann
+    served.cells.persist().count()
     def attach(c: EngineContext) =
-      c.copy(semantic = Some(persisted), semanticAnn = Some(ann))
+      c.copy(semantic = Some(persisted), semanticAnn = Some(served))
     ctxOpt = ctxOpt.map(attach)
     if (ctxOpt.isEmpty) ctxOpt = Some(attach(ctx))
   }
@@ -314,7 +361,10 @@ final class Bikidata(
         System.err.println(s"[bikidata] fts delta append failed, index will rebuild: $e")
         ftsDeltaOk = false
       })
-    if (r.error.isEmpty) invalidate(dropFts = !ftsDeltaOk)
+    if (r.error.isEmpty) {
+      val marked = markSemanticStale(quads.map(q => Hash64.hashString(q.s)))
+      invalidate(dropFts = !ftsDeltaOk, dropSemantic = !marked)
+    }
     r
   }
 
@@ -326,9 +376,26 @@ final class Bikidata(
     // re-joins matches to the composed triples, so deleted subjects drop
     // out there, and BM25 stats over never-removed literal VALUES are
     // exactly what a full rebuild over the dictionary would compute)
-    if (r.error.isEmpty) invalidate(dropFts = false)
+    if (r.error.isEmpty) {
+      val subjects = items.map { case (s, _, _, _) =>
+        if (areHashes) java.lang.Long.parseUnsignedLong(s) else Hash64.hashString(s)
+      }
+      val marked = markSemanticStale(subjects)
+      invalidate(dropFts = false, dropSemantic = !marked)
+    }
     r
   }
+
+  /** Mark the mutation's subjects (+ their 2-hop parents) stale in the
+    * persisted semantic index; false (→ the caller drops the index
+    * wholesale) when there is no index or the marking itself failed. */
+  private def markSemanticStale(subjects: Seq[Long]): Boolean =
+    try graft.semantic.SemanticMaintenance.markStale(
+      spark, warehouseDir, subjects, warehouse.currentSeq())
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bikidata] semantic stale marking failed, index will rebuild: $e")
+      false
+    }
 
   /** Escape hatch (reference `raw()`): register temp views AND the
     * engine's SQL functions (seed-0 xxhash64, cosine metrics — the

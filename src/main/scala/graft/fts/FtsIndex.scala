@@ -321,4 +321,33 @@ object FtsIndex {
       .groupBy("s")
       .agg(array_join(collect_list(col("values")), "\t").as("values"))
   }
+
+  /** [[buildFtss]] restricted to a subject set — the O(delta) repair
+    * path re-documents only mutation-affected subjects
+    * ([[graft.semantic.SemanticMaintenance]]). The 1-hop docs are built
+    * for the restricted subjects PLUS everything they point at (their
+    * 2-hop parts concatenate those), then the same union/distinct/join
+    * shape as the full build, filtered back to the restriction. The
+    * subject set is delta-sized by contract, so it rides broadcast
+    * semi-joins — the triples never shuffle. */
+  def buildFtssFor(triples: DataFrame, literals: DataFrame,
+      subjects: DataFrame): DataFrame = {
+    val s0 = broadcast(subjects.select("s").distinct())
+    val sTriples = triples.join(s0, Seq("s"), "left_semi")
+    val needed =
+      broadcast(s0.union(sTriples.select(col("o").as("s"))).distinct())
+    val trip1 = triples.join(needed, Seq("s"), "left_semi")
+    val fts1 = trip1.join(literals, trip1("o") === literals("hash"))
+      .groupBy(trip1("s").as("s"))
+      .agg(array_join(array_distinct(collect_list(col("value"))), "\n").as("values"))
+      .select(col("s"), col("values"))
+    val fts2 = sTriples.as("T")
+      .join(fts1.as("R"), col("T.o") === col("R.s"))
+      .groupBy(col("T.s").as("s"))
+      .agg(array_join(collect_list(col("R.values")), "\n").as("values"))
+      .select(col("s"), col("values"))
+    fts1.join(s0, Seq("s"), "left_semi").union(fts2).distinct()
+      .groupBy("s")
+      .agg(array_join(collect_list(col("values")), "\t").as("values"))
+  }
 }

@@ -25,14 +25,31 @@ import org.apache.spark.sql.functions._
 final case class SemanticAnn(
     cells: DataFrame, // (hash, vec, cell)
     centroids: Array[Array[Float]],
-    radii: Array[Double]) {
+    radii: Array[Double],
+    /** Max `literals_semantic_delta` seq folded into `cells` — the
+      * consistency witness against the composed embedding frame
+      * ([[SemanticMaintenance.composeWithGen]]); 0 = pristine build. */
+    semGen: Long = 0L,
+    /** When an O(delta) [[SemanticAnn.patch]] has appended rows, `cells`
+      * may hold superseded (old-vec) and removed rows; the authoritative
+      * composed frame re-joins candidates by hash so scoring always sees
+      * the CURRENT vector and dropped subjects vanish. None = pristine
+      * cells (exactly one live row per hash) — skip the join. */
+    authoritative: Option[DataFrame] = None) {
 
   /** Candidate rows (hash, vec) for a `distance < maxDist` query —
     * a strict superset of the matches. */
   def candidates(q: Array[Float], maxDist: Double): DataFrame = {
     val probe = probeCells(q, maxDist)
-    if (probe.isEmpty) cells.select("hash", "vec").filter(lit(false))
-    else cells.filter(col("cell").isin(probe: _*)).select("hash", "vec")
+    val raw =
+      if (probe.isEmpty) cells.select("hash", "vec").filter(lit(false))
+      else cells.filter(col("cell").isin(probe: _*)).select("hash", "vec")
+    authoritative match {
+      case Some(sem) =>
+        raw.select("hash").distinct()
+          .join(sem.select("hash", "vec"), Seq("hash"))
+      case None => raw
+    }
   }
 
   /** Cells whose cap can intersect the query cap. Zero-norm queries match
@@ -73,12 +90,10 @@ object SemanticAnn {
     else math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(nv * nc))))
   }
 
-  /** Build over a (hash, vec) table. Zero vectors go to cell -1, which is
-    * never probed (they can never pass a cosine threshold). */
-  def build(sem: DataFrame, nLists: Int = 16): SemanticAnn = {
-    val centroids = Ivf.trainCentroids(sem, "vec", nLists)
-    val bc = sem.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf { (vec: Seq[Float]) =>
+  /** Nearest-centroid assignment (euclidean, matching k-means training)
+    * plus the member's angle to it. Zero vectors assign to cell -1. */
+  private def assignUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+    udf { (vec: Seq[Float]) =>
       val v = vec.toArray
       var norm = 0.0
       var i = 0
@@ -97,7 +112,13 @@ object SemanticAnn {
         (best, if (a.isNaN) 0.0 else a)
       }
     }
-    val assigned = sem.select(col("hash"), col("vec"), assign(col("vec")).as("ca"))
+
+  /** Build over a (hash, vec) table. Zero vectors go to cell -1, which is
+    * never probed (they can never pass a cosine threshold). */
+  def build(sem: DataFrame, nLists: Int = 16): SemanticAnn = {
+    val centroids = Ivf.trainCentroids(sem, "vec", nLists)
+    val bc = sem.sparkSession.sparkContext.broadcast(centroids)
+    val assigned = sem.select(col("hash"), col("vec"), assignUdf(bc)(col("vec")).as("ca"))
       .select(col("hash"), col("vec"), col("ca._1").as("cell"), col("ca._2").as("angle"))
       .persist()
     val radii = new Array[Double](centroids.length)
@@ -106,14 +127,55 @@ object SemanticAnn {
     SemanticAnn(assigned.drop("angle"), centroids, radii)
   }
 
+  /** O(delta) update for a persisted ANN whose `semGen` lags the composed
+    * embedding frame: assign the new/updated vectors to the EXISTING
+    * centroids, widen the touched cells' radii (monotone — removals
+    * leave a radius conservatively wide, which only costs pruning), and
+    * append the rows to the cells store. The meta (with the new gen) is
+    * written LAST: a crash between the cells append and the meta write
+    * leaves the old gen on disk, so the next load re-patches the same
+    * delta — duplicate cell rows are harmless because a patched ANN
+    * always serves through the authoritative re-join.
+    *
+    * Losslessness: every current subject keeps ≥1 cells row holding its
+    * current vector inside its (possibly widened) cell radius, so the
+    * cap-intersection prune still upper-bounds the match set; superseded
+    * and removed rows add candidates that the re-join resolves or drops.
+    */
+  def patch(spark: SparkSession, dir: String, ann: SemanticAnn,
+      delta: DataFrame, newGen: Long): SemanticAnn = {
+    val adds = delta.filter(col("vec").isNotNull)
+    val bc = spark.sparkContext.broadcast(ann.centroids)
+    val assigned = adds.select(col("hash"), col("vec"), assignUdf(bc)(col("vec")).as("ca"))
+      .select(col("hash"), col("vec"), col("ca._1").as("cell"), col("ca._2").as("angle"))
+      .persist()
+    try {
+      val widened = ann.radii.clone()
+      assigned.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          widened(c) = math.max(widened(c), r.getDouble(1))
+        }
+      assigned.drop("angle")
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      writeMeta(spark, dir, ann.centroids, widened, newGen)
+      SemanticAnn(spark.read.parquet(s"$dir/cells"), ann.centroids, widened,
+        semGen = newGen)
+    } finally { assigned.unpersist(); () }
+  }
+
   /** Persist cells partitioned by cell id + centroid/radius metadata. */
   def write(ann: SemanticAnn, dir: String): Unit = {
     ann.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    val spark = ann.cells.sparkSession
+    writeMeta(ann.cells.sparkSession, dir, ann.centroids, ann.radii, ann.semGen)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      centroids: Array[Array[Float]], radii: Array[Double], semGen: Long): Unit = {
     import spark.implicits._
-    ann.centroids.indices
-      .map(c => (c, ann.centroids(c).toSeq, ann.radii(c)))
-      .toDF("cell", "centroid", "radius")
+    centroids.indices
+      .map(c => (c, centroids(c).toSeq, radii(c), semGen))
+      .toDF("cell", "centroid", "radius", "semGen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -123,7 +185,13 @@ object SemanticAnn {
       val meta = spark.read.parquet(s"$dir/meta").orderBy("cell").collect()
       val centroids = meta.map(_.getSeq[Float](1).toArray)
       val radii = meta.map(_.getDouble(2))
-      Some(SemanticAnn(spark.read.parquet(s"$dir/cells"), centroids, radii))
+      // pre-semGen metas (older stores) load as pristine gen 0
+      val gen =
+        if (meta.nonEmpty && meta(0).schema.fieldNames.contains("semGen"))
+          meta(0).getLong(meta(0).fieldIndex("semGen"))
+        else 0L
+      Some(SemanticAnn(spark.read.parquet(s"$dir/cells"), centroids, radii,
+        semGen = gen))
     } catch { case _: Exception => None }
   }
 }

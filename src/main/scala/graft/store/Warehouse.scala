@@ -66,6 +66,14 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * single-writer counter as [[insert]]/[[delete]]. */
   def nextMutationSeq(): Long = nextSeq()
 
+  /** The last issued mutation sequence number, without consuming one —
+    * derived-index staleness markers (`semantic_stale`) stamp with this
+    * so their rows rank with (never above) the mutation they describe. */
+  def currentSeq(): Long = synchronized {
+    val p = s"$dir/_seq"
+    if (StoreIO.exists(spark, p)) StoreIO.readString(spark, p).trim.toLong else 1L
+  }
+
   /** Default `seq` for parts written before versioning: deltas sort as
     * early inserts (1), tombstones as latest (MaxValue) — both reproduce
     * the old unordered behavior. */
@@ -242,6 +250,11 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // bounds the file count; dropping is crash-safe (meta goes first)
     graft.fts.FtsIndex.drop(spark, dir)
     graft.fts.FtsIndex.drop(spark, dir, name = "ftss")
+    // fold the semantic delta into its base the same way — a columnar
+    // rewrite, NO re-embedding (the expensive step stays O(delta) at
+    // repair time); the ANN resets alongside so its superseded cell rows
+    // and conservatively-wide radii are rebuilt fresh
+    graft.semantic.SemanticMaintenance.foldAtCompact(spark, dir)
   }
 
   /** Roll back a compact() that crashed mid-swap.

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.functions.Hash64
 import graft.ingest.NtParser
+import graft.semantic.SemanticMaintenance
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -244,7 +245,21 @@ object Streaming {
         // schema uniform with Warehouse.insert's rows (no mixed parquet
         // footers) and lets a stream-re-asserted quad outrank an earlier
         // tombstone instead of being stuck at the legacy default seq=1
-        newTriples.withColumn("seq", lit(wh.nextMutationSeq()))
+        val seq = wh.nextMutationSeq()
+        // mark the batch's subjects semantic-stale BEFORE the triples
+        // land: a crash between the append and a post-append marking
+        // would leave the embedding index silently stale forever,
+        // whereas pre-marking a batch whose append then fails only
+        // costs a wasted re-embed on the retry. Derived-index failures
+        // must not fail the batch — fall back to dropping the index.
+        try SemanticMaintenance.markStaleDf(spark, warehouseDir,
+          hashed.select(col("s").as("hash")).distinct(), seq)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[streamNt] semantic stale marking failed, dropping index: $e")
+          for (sub <- SemanticMaintenance.AllDirs)
+            graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
+        }
+        newTriples.withColumn("seq", lit(seq))
           .write.mode(SaveMode.Append).parquet(s"$warehouseDir/triples_delta")
         ()
       }

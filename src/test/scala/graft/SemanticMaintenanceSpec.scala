@@ -1,0 +1,138 @@
+package graft
+
+import graft.api.Bikidata
+import graft.fts.FtsIndex
+import graft.functions.Hash64
+import graft.ingest.Quad
+import graft.semantic.{HashingEmbedder, Semantic, SemanticMaintenance}
+import graft.store.Warehouse
+
+/** O(delta) semantic-index maintenance across mutations: repairs must
+  * reproduce exactly what a full rebuild over the mutated store computes
+  * (HashingEmbedder is token-multiset-based, so doc part ordering — the
+  * one nondeterminism in the 2-hop doc build — cannot leak into vectors),
+  * the ANN patch must stay lossless, and the compact-time fold must be
+  * invisible to queries. */
+class SemanticMaintenanceSpec extends SparkSpec {
+
+  private val Label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+  private val Rel = "<http://ex/rel>"
+
+  private def freshStore(): (String, Bikidata) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    val nt = s"$dir/data.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
+      s"""<http://ex/a> $Label "alpha ember" .
+         |<http://ex/b> $Label "beta stone" .
+         |<http://ex/c> $Label "gamma cloud" .
+         |<http://ex/a> $Rel <http://ex/b> .
+         |""".stripMargin)
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(nt))
+    bk.buildSemantic()
+    (s"$dir/wh", bk)
+  }
+
+  /** What a from-scratch rebuild over the CURRENT composed store
+    * computes — the exactness oracle for every repair. */
+  private def fullRebuild(wh: String): Map[Long, Seq[Float]] = {
+    val g = new Warehouse(spark, wh).load()
+    Semantic.buildSemantic(FtsIndex.buildFtss(g.triples, g.literals), HashingEmbedder())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+  }
+
+  private def composed(wh: String): Map[Long, Seq[Float]] =
+    SemanticMaintenance.composeWithGen(spark, wh).get._1
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  test("insert repairs only the touched subjects and matches a full rebuild") {
+    val (wh, bk) = freshStore()
+    val before = composed(wh)
+    assert(before.keySet ===
+      Set("<http://ex/a>", "<http://ex/b>", "<http://ex/c>").map(Hash64.hashString))
+
+    val r = bk.insert(Seq(Quad("<http://ex/b>", Label, "\"beta granite\"", "")))
+    assert(r.error.isEmpty)
+    // the mutation marked instead of dropping: base survives, stale recorded
+    assert(new java.io.File(s"$wh/literals_semantic").exists())
+    assert(new java.io.File(s"$wh/semantic_stale").exists())
+
+    bk.buildSemantic() // repair
+    assert(!new java.io.File(s"$wh/semantic_stale").exists())
+    assert(new java.io.File(s"$wh/literals_semantic_delta").exists())
+    val after = composed(wh)
+    val expect = fullRebuild(wh)
+    assert(after === expect)
+    // b changed; a (parent via rel edge, 2-hop doc) changed; c untouched
+    val hb = Hash64.hashString("<http://ex/b>")
+    val ha = Hash64.hashString("<http://ex/a>")
+    val hc = Hash64.hashString("<http://ex/c>")
+    assert(after(hb) !== before(hb))
+    assert(after(ha) !== before(ha))
+    assert(after(hc) === before(hc))
+  }
+
+  test("deleting a subject's only literal removes it from the index") {
+    val (wh, bk) = freshStore()
+    val r = bk.delete(Seq(("<http://ex/c>", Label, Some("\"gamma cloud\""), "")))
+    assert(r.error.isEmpty)
+    bk.buildSemantic()
+    val after = composed(wh)
+    assert(after === fullRebuild(wh))
+    assert(!after.contains(Hash64.hashString("<http://ex/c>")))
+  }
+
+  test("patched ANN stays lossless: semantic query == brute scan") {
+    val (wh, bk) = freshStore()
+    bk.insert(Seq(Quad("<http://ex/d>", Label, "\"delta ember glow\"", "")))
+    bk.buildSemantic()
+    val ctx = bk.ctx
+    assert(ctx.semanticAnn.nonEmpty)
+    assert(ctx.semanticAnn.get.semGen > 0)
+    assert(ctx.semanticAnn.get.authoritative.nonEmpty)
+    def subjects(c: graft.algebra.EngineContext): Set[String] = {
+      val r = graft.algebra.QueryEngine.query(c,
+        graft.algebra.QueryOpts(filters = Seq(
+          graft.algebra.FilterQ(p = "semantic", o = "ember glow"))))
+      r.results.keySet
+    }
+    val annRows = subjects(ctx)
+    assert(annRows.nonEmpty)
+    assert(annRows === subjects(ctx.copy(semanticAnn = None)))
+  }
+
+  test("repair is idempotent and a re-delivered stale batch is harmless") {
+    val (wh, bk) = freshStore()
+    bk.insert(Seq(Quad("<http://ex/b>", Label, "\"beta slate\"", "")))
+    bk.buildSemantic()
+    val once = composed(wh)
+    // crash-retry simulation: the same subjects marked again at a later
+    // seq, repaired again — the newer rows win and nothing duplicates
+    val wh2 = new Warehouse(spark, wh)
+    assert(SemanticMaintenance.markStale(spark, wh,
+      Seq(Hash64.hashString("<http://ex/b>")), wh2.nextMutationSeq()))
+    val g = wh2.load()
+    assert(SemanticMaintenance.repair(spark, wh, g.triples, g.literals, HashingEmbedder()))
+    val twice = composed(wh)
+    assert(twice === once)
+    assert(twice === fullRebuild(wh))
+  }
+
+  test("compact folds the delta into the base without changing results") {
+    val (wh, bk) = freshStore()
+    bk.insert(Seq(Quad("<http://ex/b>", Label, "\"beta quartz\"", "")))
+    bk.buildSemantic()
+    val before = composed(wh)
+    new Warehouse(spark, wh).compact()
+    assert(!new java.io.File(s"$wh/literals_semantic_delta").exists())
+    assert(!new java.io.File(s"$wh/semantic_ann").exists())
+    val (sem, gen) = SemanticMaintenance.composeWithGen(spark, wh).get
+    assert(gen === 0L)
+    assert(sem.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap === before)
+  }
+
+  test("markStale without a persisted index reports false (caller drops)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-none").toString
+    assert(!SemanticMaintenance.markStale(spark, dir, Seq(1L), 2L))
+  }
+}
