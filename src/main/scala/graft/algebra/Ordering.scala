@@ -61,16 +61,20 @@ object Ordering {
 
     // The literals lookup is a DECODE restricted to literal hashes: with
     // the session decode map in hand it is a broadcast-map expression
-    // plus a surface-form test (literal N3 never starts with '<', IRIs
-    // always do — the dictionaries are disjoint on that first byte), so
+    // plus a surface-form test (literal N3 always starts with '"'; IRIs
+    // and blank nodes never do — disjoint on that first byte), so
     // the per-query BroadcastExchange of the whole literals dictionary
     // disappears from the plan. The dictionary join stays as the
     // fallback for stores past the broadcast-map bound.
     def literalValue(df: DataFrame, oCol: Column): DataFrame =
       ctx.decodeExpr(oCol) match {
         case Some(e) =>
+          // keep only literal surface forms (N3 literals always start
+          // with '"') — `!startsWith("<")` would also admit blank-node
+          // labels ('_:b1'), which the literals-join fallback excludes,
+          // making the sort key path-dependent
           df.withColumn("lbl_val", e)
-            .filter(col("lbl_val").isNotNull && !col("lbl_val").startsWith("<"))
+            .filter(col("lbl_val").isNotNull && col("lbl_val").startsWith("\""))
         case None =>
           df.join(literals.as("L"), col("L.hash") === oCol)
             .withColumn("lbl_val", col("L.value"))

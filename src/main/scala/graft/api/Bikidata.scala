@@ -49,14 +49,21 @@ final class Bikidata(
     * persist a graph + FTS index, leaking the loser's copies. */
   def ctx: EngineContext = synchronized {
     ctxOpt.getOrElse {
-      val graph = warehouse.load().persist()
+      // the serving context lives in its OWN session clone (the
+      // Rdfize.ctx pattern): same SparkContext and shared cache manager,
+      // but an isolated SQL conf — the serving-tier sizing below must
+      // not leak into an application's other work on the root session
+      // (a corpus ETL job sharing `spark` wants its own wide shuffles,
+      // not this store's page-bounded reduce count)
+      val serving = spark.newSession()
+      val graph = new Warehouse(serving, warehouseDir).load().persist()
       // serving sessions run page-bounded queries whose shuffles carry
       // subject sets bounded by the store — size reduce partitions to
       // the store, not the builder default (Graph.servingShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
+      serving.conf.set("spark.sql.shuffle.partitions",
         graph.servingShufflePartitions.toString)
       // one-job bounded probe collects on small stores (see Rdfize.ctx)
-      spark.conf.set("spark.sql.limit.initialNumPartitions", "1024")
+      serving.conf.set("spark.sql.limit.initialNumPartitions", "1024")
       // prefer the warehouse-persisted FTS index (written at build time,
       // like the reference's in-database index); rebuild only if absent
       // or stale (mutations invalidate via invalidate()).
@@ -66,19 +73,25 @@ final class Bikidata(
       // The doc count is the cheap exactness witness — appendDelta
       // writes meta LAST, so a meta whose numDocs matches the
       // dictionary implies the postings/lists appends completed too.
-      val fts = FtsIndex.load(spark, warehouseDir)
+      var healedSettings: Option[graft.fts.FtsSettings] = None
+      val fts = FtsIndex.load(serving, warehouseDir)
         .filter { idx =>
           val nLiterals = graph.literals.count()
           val ok = idx.numDocs == nLiterals
           if (!ok) {
             System.err.println(s"[bikidata] stored fts index covers ${idx.numDocs} " +
               s"docs but the dictionary holds $nLiterals — rebuilding")
+            // carry the stored analyzer settings through the heal: the
+            // rebuild must not silently swap a build(paths, stemmer)
+            // choice for the defaults
+            healedSettings = Some(idx.settings)
             FtsIndex.drop(spark, warehouseDir)
           }
           ok
         }
         .getOrElse {
-          val idx = FtsIndex.build(graph.literals)
+          val idx = FtsIndex.build(graph.literals,
+            settings = healedSettings.getOrElse(graft.fts.FtsSettings.resolve()))
           try FtsIndex.write(idx, warehouseDir)
           catch { case _: Exception => () } // read-only warehouse: keep in-memory
           idx
@@ -174,7 +187,7 @@ final class Bikidata(
     val g = ctx.graph
     val docs = FtsIndex.buildFtss(g.triples, g.literals)
     if (ftssIdx.isEmpty) {
-      val settings = FtsIndex.load(spark, warehouseDir)
+      val settings = FtsIndex.load(g.spark, warehouseDir)
         .map(_.settings).getOrElse(graft.fts.FtsSettings.resolve())
       val idx = FtsIndex.build(docs, "s", "values", settings)
       try FtsIndex.write(idx, warehouseDir, name = "ftss")
@@ -190,7 +203,7 @@ final class Bikidata(
     * first use if the warehouse has none persisted. */
   def ftssIndex: FtsIndex =
     ftssIdx.getOrElse {
-      val idx = FtsIndex.load(spark, warehouseDir, name = "ftss")
+      val idx = FtsIndex.load(ctx.graph.spark, warehouseDir, name = "ftss")
         .getOrElse { buildFtss(); ftssIdx.get }
       ftssIdx = Some(idx)
       idx
@@ -208,44 +221,49 @@ final class Bikidata(
   def buildSemantic(): Unit = {
     val semDir = s"$warehouseDir/${SemanticMaintenance.SemDir}"
     val annDir = s"$warehouseDir/${SemanticMaintenance.AnnDir}"
-    if (!graft.store.StoreIO.exists(spark, semDir)) {
-      val docs = buildFtss()
-      val built = Semantic.buildSemantic(docs, embedder)
-      try { built.write.mode("overwrite").parquet(semDir); () }
-      catch { case _: Exception => () } // read-only warehouse
-    } else {
-      // O(delta) repair of outstanding mutation staleness; an oversized
-      // stale set (or a failed repair) falls back to a fresh full build
-      val ok =
-        try SemanticMaintenance.repair(spark, warehouseDir,
-          ctx.graph.triples, ctx.graph.literals, embedder)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bikidata] semantic delta repair failed, rebuilding: $e")
-          false
-        }
-      if (!ok) {
-        for (sub <- SemanticMaintenance.AllDirs)
-          graft.store.StoreIO.delete(spark, s"$warehouseDir/$sub")
-        val docs = buildFtss()
-        val built = Semantic.buildSemantic(docs, embedder)
-        try { built.write.mode("overwrite").parquet(semDir); () }
-        catch { case _: Exception => () }
-      }
+    // every read composes against the context's graph frames — stay in
+    // their serving session so no plan mixes frames across sessions
+    val serving = ctx.graph.spark
+    // full corpus embed + persist; on a read-only warehouse the built
+    // frame itself is returned so the embedding work is never repeated
+    def fullBuild(): Option[DataFrame] = {
+      val built = Semantic.buildSemantic(buildFtss(), embedder)
+      try { built.write.mode("overwrite").parquet(semDir); None }
+      catch { case _: Exception => Some(built) } // read-only warehouse
     }
-    val (sem, gen) = SemanticMaintenance.composeWithGen(spark, warehouseDir)
-      .getOrElse { // read-only warehouse: serve the in-memory build
+    val inMemory: Option[DataFrame] =
+      if (!graft.store.StoreIO.exists(serving, semDir)) fullBuild()
+      else {
+        // O(delta) repair of outstanding mutation staleness; an oversized
+        // stale set (or a failed repair) falls back to a fresh full build
+        val ok =
+          try SemanticMaintenance.repair(serving, warehouseDir,
+            ctx.graph.triples, ctx.graph.literals, embedder)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bikidata] semantic delta repair failed, rebuilding: $e")
+            false
+          }
+        if (!ok) {
+          for (sub <- SemanticMaintenance.AllDirs)
+            graft.store.StoreIO.delete(serving, s"$warehouseDir/$sub")
+          fullBuild()
+        } else None
+      }
+    val (sem, gen) = inMemory.map((_, 0L)).orElse(
+      SemanticMaintenance.composeWithGen(serving, warehouseDir))
+      .getOrElse { // unreadable after a failed write: last-resort rebuild
         (Semantic.buildSemantic(buildFtss(), embedder), 0L)
       }
     val persisted = sem.persist()
     persisted.count() // materialize
-    val annBase = graft.semantic.SemanticAnn.load(spark, annDir) match {
+    val annBase = graft.semantic.SemanticAnn.load(serving, annDir) match {
       case Some(a) if a.semGen == gen => Some(a)
       case Some(a) => // lagging gen: O(delta) patch against its centroids
-        try Some(graft.semantic.SemanticAnn.patch(spark, annDir, a,
-          SemanticMaintenance.deltaSince(spark, warehouseDir, a.semGen), gen))
+        try Some(graft.semantic.SemanticAnn.patch(serving, annDir, a,
+          SemanticMaintenance.deltaSince(serving, warehouseDir, a.semGen), gen))
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bikidata] semantic ann patch failed, rebuilding: $e")
-          graft.store.StoreIO.delete(spark, annDir)
+          graft.store.StoreIO.delete(serving, annDir)
           None
         }
       case None => None
@@ -254,7 +272,7 @@ final class Bikidata(
       val built = graft.semantic.SemanticAnn.build(persisted).copy(semGen = gen)
       try {
         graft.semantic.SemanticAnn.write(built, annDir)
-        graft.semantic.SemanticAnn.load(spark, annDir).getOrElse(built)
+        graft.semantic.SemanticAnn.load(serving, annDir).getOrElse(built)
       } catch { case _: Exception => built } // read-only warehouse
     }
     // a delta-bearing index may hold superseded/removed cell rows —
@@ -402,9 +420,13 @@ final class Bikidata(
     * tools needed to join the hash-encoded views by hand), then hand
     * back the session for ad-hoc Spark SQL. */
   def raw(): SparkSession = {
+    // views register in the frames' own session — the serving clone;
+    // returning the root session would hand back a session where the
+    // views are invisible
+    val serving = ctx.graph.spark
     ctx.graph.registerViews()
-    graft.functions.GraftFunctions.register(spark)
-    spark
+    graft.functions.GraftFunctions.register(serving)
+    serving
   }
 
   /** Export the store back to N-Triples/N-Quads text (inverse of

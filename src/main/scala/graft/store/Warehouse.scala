@@ -210,7 +210,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     *
     * Crash contract: nothing live is DELETED until the new base is fully
     * installed. The swap stages the old store (base + deltas +
-    * tombstones + _seq) under `_pre_compact` with cheap renames, then
+    * tombstones) under `_pre_compact` with cheap renames, then
     * renames the new base in, then drops the staging dir — so a crash at
     * any point leaves either the old store intact (plus `_compact`
     * write garbage) or a complete old copy under `_pre_compact`;
@@ -230,8 +230,14 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     g.literals.write.mode(SaveMode.Overwrite).parquet(s"$tmp/literals")
     val staging = s"$dir/_pre_compact"
     StoreIO.mkdirs(spark, staging)
+    // _seq is NOT staged/reset: the mutation counter must stay monotonic
+    // across compactions — derived artifacts (`semantic_stale`,
+    // `literals_semantic_delta`) persist seq-stamped rows that survive
+    // the fold, and a restarted counter would mint new mutations that
+    // sort BELOW them (a post-compact delete of a pre-compact-repaired
+    // subject would lose to the old embedding forever)
     for (sub <- Seq("triples", "triples_by_s", "iris", "literals", "triples_delta",
-        "iris_delta", "literals_delta", "tombstones", "tombstones_spg", "_seq"))
+        "iris_delta", "literals_delta", "tombstones", "tombstones_spg"))
       if (exists(sub)) StoreIO.rename(spark, s"$dir/$sub", s"$staging/$sub")
     // completion marker: only a FULLY staged copy may be treated as
     // authoritative by recovery — a crash inside the loop above leaves

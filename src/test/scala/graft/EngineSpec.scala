@@ -164,6 +164,29 @@ class EngineSpec extends SparkSpec {
     assert(positions === Set("<http://ex/luke>", "<http://ex/leia>", "_:b0"))
   }
 
+  test("sort labels ignore blank-node objects on both decode paths") {
+    import spark.implicits._
+    val prop = "<http://ex/note>"
+    val g = graft.ingest.Build.graphFromQuads(spark, Seq(
+      Quad("<http://ex/s1>", prop, "_:note1", ""),
+      Quad("<http://ex/s1>", prop, "\"Alpha\"", ""),
+      Quad("<http://ex/s2>", prop, "\"Beta\"", "")).toDF())
+    val base = EngineContext(g, embedder = Fixture.ctx(spark).embedder)
+    val subjects = QueryEngine.subjects(base,
+      QueryOpts(filters = Seq(FilterQ(p = prop)))).get
+    def labels(c: EngineContext): Map[Long, String] =
+      Ordering.sortedSubjects(c, subjects,
+        OrderRule(by = "property", prop = Some(prop)))._1
+        .select("s", "sort_label").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joined = labels(base)                       // literals-join path
+    val mapped = labels(EngineContext.withDictBroadcast(base)) // decode-map path
+    // the blank-node object must not become s1's (empty) sort label on
+    // either path: both pick the real literal
+    assert(joined(graft.functions.Hash64.hashString("<http://ex/s1>")) === "alpha")
+    assert(mapped === joined)
+  }
+
   test("natural sort puts 2 before 10") {
     val (sorted, cols) = Ordering.sortedSubjects(ctx,
       QueryEngine.subjects(ctx, QueryOpts(filters = Seq(FilterQ(p = a, o = "<http://ex/Film>")))).get,

@@ -131,6 +131,28 @@ class SemanticMaintenanceSpec extends SparkSpec {
     assert(sem.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap === before)
   }
 
+  test("mutation seq stays monotonic across compact: post-compact delete wins") {
+    val (wh, bk) = freshStore()
+    // two mutations push the counter up; the stale list (not yet
+    // repaired) survives the compact with those seqs
+    assert(bk.insert(Seq(Quad("<http://ex/b>", Label, "\"beta slate\"", ""))).error.isEmpty)
+    assert(bk.insert(Seq(Quad("<http://ex/b>", Label, "\"beta granite\"", ""))).error.isEmpty)
+    new Warehouse(spark, wh).compact()
+    bk.buildSemantic() // repair stamps delta rows with the pre-compact max seq
+    // a counter RESET by compact would mint this delete a LOWER seq than
+    // the repair's rows — the old embedding would outrank the removal
+    // forever; the preserved counter keeps it strictly above
+    val r = bk.delete(Seq(
+      ("<http://ex/b>", Label, Some("\"beta stone\""), ""),
+      ("<http://ex/b>", Label, Some("\"beta slate\""), ""),
+      ("<http://ex/b>", Label, Some("\"beta granite\""), "")))
+    assert(r.error.isEmpty)
+    bk.buildSemantic()
+    val after = composed(wh)
+    assert(after === fullRebuild(wh))
+    assert(!after.contains(Hash64.hashString("<http://ex/b>")))
+  }
+
   test("markStale without a persisted index reports false (caller drops)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sem-none").toString
     assert(!SemanticMaintenance.markStale(spark, dir, Seq(1L), 2L))
