@@ -394,6 +394,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-level line dedup (CCNet-style boilerplate removal): a
+    // footer line planted on every 10th document becomes
+    // corpus-boilerplate under the df threshold and is stripped from
+    // all of them; the oracle replants and re-thresholds in SQL
+    "q_doc_boilerplate" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit("\nShared Footer Line"))).otherwise(col("text")))
+      TextAnalysis.stripBoilerplateLines(planted, "doc_id", "text",
+          minDocs = 3, maxDocFrac = 0.05)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("lines_kept"), col("lines_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: concat-and-chunk documents into fixed-budget
     // training sequences, sharded (id % 8) so the pack parallelizes —
     // pure integer window arithmetic, oracle-checked exactly
@@ -816,6 +831,28 @@ object PipelineQueries {
         |  round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_boilerplate" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN text || chr(10) || 'Shared Footer Line'
+        |       ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+        |lines AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+        |                 ls[generate_subscripts(ls, 1)] AS line FROM d),
+        |n AS (SELECT count(*) AS total FROM src),
+        |boiler AS (SELECT line FROM
+        |    (SELECT line, count(DISTINCT doc_id) AS df FROM lines
+        |     WHERE trim(line) <> '' GROUP BY 1), n
+        |  WHERE df >= greatest(3, CAST(ceil(0.05 * total) AS BIGINT))),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |         WHERE trim(line) = '' OR line NOT IN (SELECT line FROM boiler)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_total
+        |        FROM lines GROUP BY 1)
+        |SELECT k.doc_id,
+        |  md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_md5,
+        |  CAST(count(*) AS BIGINT) AS lines_kept,
+        |  min(t.lines_total) - CAST(count(*) AS BIGINT) AS lines_dropped
+        |FROM kept k JOIN tot t USING (doc_id)
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "q_doc_unigram_nll" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |           FROM documents),

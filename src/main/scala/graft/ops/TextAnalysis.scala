@@ -101,6 +101,50 @@ object TextAnalysis {
     topTfidfTermsFromTf(termFrequencies(df, idCol, textCol), idCol,
       df.count().toDouble, k)
 
+  /** CCNet-style corpus-level line deduplication (boilerplate removal):
+    * a non-blank line occurring in at least
+    * `max(minDocs, ceil(maxDocFrac · totalDocs))` DISTINCT documents is
+    * boilerplate (navigation, footers, cookie banners — text repeated
+    * verbatim across a corpus is structure, not content) and is dropped
+    * from every document; blank lines always survive (paragraph
+    * structure) and never count toward boilerplate. Documents whose
+    * every line was boilerplate drop out of the corpus. Returns
+    * (id, text [cleaned, original line order], lines_kept,
+    * lines_dropped).
+    *
+    * Scale: one line-level doc-frequency aggregate (map-side-combined —
+    * the (line, id) pre-dedup bounds the count-distinct state), one
+    * equi-join of the line stream against the boilerplate set (plain
+    * shuffle join: the boilerplate relation is NOT bounded small at
+    * corpus scale, so no broadcast assumption), and one per-document
+    * reassembly aggregate. Nothing pairwise, nothing driver-side except
+    * the document count.
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, maxDocFrac: Double = 0.5,
+      totalDocs: Option[Long] = None): DataFrame = {
+    require(minDocs >= 2, s"minDocs ($minDocs) below 2 would strip unique lines")
+    val n = totalDocs.getOrElse(df.count())
+    val threshold = math.max(minDocs.toLong, math.ceil(maxDocFrac * n).toLong)
+    // -1 limit keeps trailing empty lines, matching SQL string_split
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .groupBy("line").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= threshold)
+      .select("line")
+    val kept = lines.join(boiler.withColumnRenamed("line", "b"),
+        lines("line") === col("b") && trim(lines("line")) =!= "", "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol),
+        count(lit(1)).as("lines_kept"))
+      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).as("lines_total")), Seq(idCol))
+      .withColumn("lines_dropped", col("lines_total") - col("lines_kept"))
+      .drop("lines_total")
+  }
+
   /** Per-(document, term) counts over lower-cased whitespace tokens —
     * the shared substrate tf-idf and unigram-LM surprisal both reduce
     * to. One (id, term) aggregate over the exploded token stream; a

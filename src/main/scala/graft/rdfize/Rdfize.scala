@@ -217,15 +217,33 @@ object Rdfize {
     val (sem, ann) = semCache.computeIfAbsent(sfDir, { _ =>
       val semDir = cacheDir(sfDir) + "/literals_semantic"
       val annDir = cacheDir(sfDir) + "/semantic_ann"
+      // publish atomically (write to a pid tmp dir, one rename): a
+      // KILLED writer must never leave a half-written dir that later
+      // sessions mistake for a valid cache — and tolerate exactly that
+      // from older writers by falling back to an in-memory build when
+      // the read fails (a torn cache once turned every q_rdf_semantic
+      // run into UNABLE_TO_INFER_SCHEMA)
       if (!new java.io.File(semDir).exists()) {
-        val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
-        try Semantic.buildSemantic(docs, base.embedder)
-          .write.mode("overwrite").parquet(semDir)
-        catch { case _: Exception => () }
+        val tmp = semDir + ".tmp-" + ProcessHandle.current().pid()
+        try {
+          val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
+          Semantic.buildSemantic(docs, base.embedder)
+            .write.mode("overwrite").parquet(tmp)
+          if (!new java.io.File(tmp).renameTo(new java.io.File(semDir)))
+            new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+        } catch { case _: Exception =>
+          new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+          ()
+        }
       }
-      val s =
-        if (new java.io.File(semDir).exists()) serving.read.parquet(semDir).persist()
-        else {
+      val s = (try Some(serving.read.parquet(semDir).persist())
+               catch { case _: Exception =>
+                 // torn cache from an older (pre-atomic-publish) writer:
+                 // drop it so the NEXT session rebuilds the disk cache
+                 new scala.reflect.io.Directory(new java.io.File(semDir)).deleteRecursively()
+                 None
+               })
+        .getOrElse {
           val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)
           Semantic.buildSemantic(docs, base.embedder).persist()
         }

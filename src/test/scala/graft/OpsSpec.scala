@@ -13,6 +13,31 @@ class OpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
     (5L, "unrelated short text")).toDF("id", "text")
 
+  test("corpus-level line dedup strips boilerplate, keeps blanks and order") {
+    val docs = Seq(
+      (1L, "unique alpha\nCopyright Footer\n\nbody one"),
+      (2L, "body two\nCopyright Footer"),
+      (3L, "Copyright Footer\nbody three"),
+      (4L, "only original content here"),
+      (5L, "Copyright Footer")).toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(docs, "id", "text",
+        minDocs = 3, maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // "Copyright Footer" is in 4 of 5 docs (>= max(3, ceil(2.5)) = 3)
+    assert(out(1L) === (("unique alpha\n\nbody one", 3L, 1L))) // blank kept
+    assert(out(2L) === (("body two", 1L, 1L)))
+    assert(out(3L) === (("body three", 1L, 1L)))
+    assert(out(4L) === (("only original content here", 1L, 0L)))
+    // doc 5 was ALL boilerplate — dropped from the corpus
+    assert(!out.contains(5L))
+    // raising the threshold past the footer's df keeps everything
+    val loose = TextAnalysis.stripBoilerplateLines(docs, "id", "text",
+      minDocs = 5, maxDocFrac = 1.0)
+    assert(loose.count() === 5)
+    assert(loose.agg(sum("lines_dropped")).head.getLong(0) === 0L)
+  }
+
   test("native WordGrams is byte-identical to the declarative chain") {
     // the chain it replaced (TextAnalysis.wordGrams pre-nativization):
     // transform over a 1-based window sequence + array_join + distinct
