@@ -245,14 +245,20 @@ object FilterCompiler {
       return base.join(broadcast(hs), col("o") === col("__oh")).select("s")
     // the bounded collect both SIZES the set and, in the selective
     // (≤ cap) case, IS the materialization — the probe array feeds the
-    // scan predicate directly, one job, nothing checkpointed. Only the
-    // over-cap fallback pays a localCheckpoint so its broadcast side
-    // does not re-run the upstream match plan.
-    val probe = hs.limit(cap + 1).collect().map(_.getLong(0))
-    if (probe.length <= cap)
-      base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s")
-    else
-      base.join(broadcast(hs.localCheckpoint()), col("o") === col("__oh")).select("s")
+    // scan predicate directly, one job, nothing checkpointed. The set
+    // is transiently pinned across the probe so the over-cap fallback's
+    // localCheckpoint re-reads what the probe computed instead of
+    // re-running the upstream match plan (an aggregated upstream cannot
+    // early-stop under limit, so without the pin an over-cap frontier
+    // paid its match plan twice).
+    val pinned = hs.persist()
+    try {
+      val probe = pinned.limit(cap + 1).collect().map(_.getLong(0))
+      if (probe.length <= cap)
+        base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s")
+      else // eager localCheckpoint copies the blocks before the unpersist
+        base.join(broadcast(pinned.localCheckpoint()), col("o") === col("__oh")).select("s")
+    } finally { pinned.unpersist(); () }
   }
 
   /** The triples-scan predicate of a SIMPLE filter — p/o/g/id equality

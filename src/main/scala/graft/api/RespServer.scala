@@ -59,7 +59,7 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     val n = q.synchronized {
       if (lists.get(key) eq q) {
         vs.foreach(v => if (head) q.addFirst(v) else q.addLast(v))
-        lastPush.put(key, System.currentTimeMillis())
+        lastPush.put(key, newStamp())
         q.size().toLong
       } else -1L
     }
@@ -86,8 +86,19 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     * (workers.py:124 re-BLPOPs every few seconds). */
   private val lastPush = new ConcurrentHashMap[String, java.lang.Long]()
 
+  // Stamps are UNIQUE, not bare millis: the sweeper's drained-list
+  // branch removes by value equality, and two pushes in the same
+  // millisecond would make a stale stamp compare equal to a fresh one —
+  // the remove would then orphan a live list from the sweep map (its
+  // envelope retained forever, the exact leak the sweeper closes).
+  // millis ride the high bits so age/ordering comparisons still hold;
+  // the low 20 bits serialize up to ~1M pushes per millisecond.
+  private val stampSerial = new java.util.concurrent.atomic.AtomicLong()
+  private def newStamp(): Long =
+    (System.currentTimeMillis() << 20) | (stampSerial.incrementAndGet() & 0xFFFFFL)
+
   private def sweepIdleLists(): Unit = {
-    val cutoff = System.currentTimeMillis() - ticketTtlMillis
+    val cutoff = (System.currentTimeMillis() - ticketTtlMillis) << 20
     val it = lastPush.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -74,7 +74,12 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def runMutation(parsed: JValue): String = {
+  /** Runs the mutation and reports (envelope JSON, store changed?) — the
+    * epoch must bump only when the store actually changed: a refused
+    * batch (validation error, unknown action) flushing the whole pool
+    * cache would cost every cached result for no correctness gain
+    * (the facade invalidates only on success for the same reason). */
+  private def runMutation(parsed: JValue): (String, Boolean) = {
     implicit val fmts: Formats = DefaultFormats
     val action = (parsed \ "action").extract[String]
     val areHashes = (parsed \ "are_hashes").extractOrElse[Boolean](false)
@@ -104,7 +109,7 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
       "literals_inserted" -> JInt(res.literalsInserted),
       "triples_deleted" -> JInt(res.triplesDeleted)) ++
       res.error.map(e => JField("error", JString(e))).toList
-    JsonMethods.compact(JsonMethods.render(JObject(fields)))
+    (JsonMethods.compact(JsonMethods.render(JObject(fields))), res.error.isEmpty)
   }
 
   private val manager = new Thread(() => {
@@ -123,8 +128,8 @@ final class WorkerPool(bk: Bikidata, numWorkers: Int = 1, cacheSize: Int = 1024,
               // Redis cache keeps serving pre-mutation envelopes for up
               // to 7 days, workers.py:104-107; the facade cache already
               // invalidates, Bikidata.invalidate — the pool now agrees.)
-              val resJson = runMutation(parsed)
-              storeEpoch.incrementAndGet()
+              val (resJson, changed) = runMutation(parsed)
+              if (changed) storeEpoch.incrementAndGet()
               req.promise.complete(resJson)
             case _ => readyQ.put(req)
           }

@@ -83,9 +83,18 @@ object Build {
     */
   def write(graph: Graph, warehouseDir: String): Unit = {
     val dir = new java.io.File(warehouseDir)
-    if (new java.io.File(dir, "triples").exists())
+    // Refuse on ANY output dir, not just triples: the four writes below
+    // run concurrently, so a crashed build can leave iris/literals
+    // behind while triples is absent — a triples-only guard would let a
+    // retry half-overwrite that wreckage into a silently torn store
+    // (and the writers' ErrorIfExists would abort it midway anyway).
+    val leftover = Seq("triples", "triples_by_s", "iris", "literals")
+      .filter(new java.io.File(dir, _).exists())
+    if (leftover.nonEmpty)
       throw new IllegalStateException(
-        s"The warehouse [$warehouseDir] already has data, doing nothing")
+        s"The warehouse [$warehouseDir] already has data " +
+          s"(${leftover.mkString(", ")}), doing nothing — remove the " +
+          "directory to rebuild after a crashed build")
     dir.mkdirs()
     // File counts derive from ROW COUNTS, not the builder session's
     // shuffle setting: the warehouse layout must be identical no matter

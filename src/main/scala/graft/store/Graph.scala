@@ -70,9 +70,27 @@ final case class Graph(
     * re-clustering kicked in). */
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Graph = {
     val cores = spark.sparkContext.defaultParallelism
+    // The np probe (Dataset.rdd) must not EXECUTE the plan: under AQE,
+    // building the final physical plan materializes every intermediate
+    // query stage — for a delta-composed load() (union + anti-joins)
+    // that runs the join shuffles as real jobs just to learn a partition
+    // count, then the cache build runs them again. Probing with adaptive
+    // planning off binds these frames' (lazily-created) physical plans
+    // non-adaptively — which is the serving-tier plan shape anyway
+    // (fixed, store-sized partition counts; see the Bench/serving conf).
+    val adaptiveWas = spark.conf.getOption("spark.sql.adaptive.enabled")
     def sized(df: DataFrame, recluster: (DataFrame, Int) => DataFrame): DataFrame = {
       val target = Graph.sizedPartitions(df, cores)
-      val np = df.rdd.getNumPartitions
+      val np =
+        try {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          df.rdd.getNumPartitions
+        } finally {
+          adaptiveWas match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+            case None => spark.conf.unset("spark.sql.adaptive.enabled")
+          }
+        }
       if (np < target) recluster(df, target)
       // only narrow SMALL stores (target below the core cap implies the
       // whole relation is under cores×4MB): a corpus-scale relation hits
