@@ -13,6 +13,29 @@ class PlanContractSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("semantic delta compose: the corpus-sized base never shuffles") {
+    // base ∪ delta resolution must exclude superseded base rows via a
+    // BROADCAST anti-join on the (delta-sized) hash set — a shuffled
+    // anti-join would move the whole embedding corpus per context init
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-sem").toString
+    import spark.implicits._
+    Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("hash", "vec")
+      .write.parquet(s"$dir/literals_semantic")
+    Seq((2L, Some(Array(1f, 1f)), 5L), (3L, None: Option[Array[Float]], 5L))
+      .toDF("hash", "vec", "seq")
+      .write.parquet(s"$dir/literals_semantic_delta")
+    val (sem, gen) =
+      graft.semantic.SemanticMaintenance.composeWithGen(spark, dir).get
+    assert(gen === 5L)
+    val p = plan(sem)
+    assert(p.contains("BroadcastExchange"), s"compose must broadcast the delta side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"compose shuffled the base:\n$p")
+    // and the resolution itself is correct: 1 kept, 2 replaced, 3 removed
+    val rows = sem.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(2L) === Seq(1f, 1f))
+  }
+
   test("facet joins broadcast the known-small filtered subject set") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
