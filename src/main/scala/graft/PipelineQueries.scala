@@ -38,6 +38,15 @@ object PipelineQueries {
     emb(s, dir).filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
+  /** Embeddings with vec 0 cloned as id 1000000 — the planted corpus
+    * both ANN recall gates index ([[plantedRecallOracle]] is its brute
+    * SQL counterpart; plant id/threshold change in those two spots
+    * only). */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    e.union(e.filter(col("vec_id") === 0).withColumn("vec_id", lit(1000000L)))
+  }
+
   // MinHash pairs (docs + planted dup) shared by q_doc_minhash and
   // q_doc_clusters — computed once per sfDir. minhashDedup returns an
   // eagerly-materialized (localCheckpoint'd) frame, so the cache holds no
@@ -283,10 +292,7 @@ object PipelineQueries {
     // spot — that probabilistic recall is measured in OpsSpec, and the
     // q_emb_lsh entry above stays rows-only at production settings.
     "q_emb_lsh_recall" -> ((s, dir) => {
-      val e = emb(s, dir).select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") === 0)
-        .withColumn("vec_id", lit(1000000L))
-      val bucketed = Similarity.buildLsh(e.union(planted), "vec_id", "embedding")
+      val bucketed = Similarity.buildLsh(plantedEmb(s, dir), "vec_id", "embedding")
       Similarity.lshTopK(bucketed, "vec_id", "embedding", queryVec(s, dir), 10)
         .filter(col("sim") >= 0.9)
         .orderBy(col("sim").desc, col("vec_id"))
@@ -326,10 +332,7 @@ object PipelineQueries {
     // recall on weak neighbors stays in OpsSpec, q_emb_ivf stays
     // rows-only at production settings.
     "q_emb_ivf_recall" -> ((s, dir) => {
-      val e = emb(s, dir).select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") === 0)
-        .withColumn("vec_id", lit(1000000L))
-      val idx = graft.ops.Ivf.build(e.union(planted), "vec_id", "embedding")
+      val idx = graft.ops.Ivf.build(plantedEmb(s, dir), "vec_id", "embedding")
       graft.ops.Ivf.topK(idx, "vec_id", "embedding", queryVec(s, dir), 10)
         .filter(col("sim") >= 0.9)
         .orderBy(col("sim").desc, col("vec_id"))
@@ -535,6 +538,20 @@ object PipelineQueries {
   private val cosSql =
     "list_dot_product(va, vb) / sqrt(list_dot_product(va, va)) / sqrt(list_dot_product(vb, vb))"
 
+  /** Shared oracle for the two ANN recall gates: brute force over the
+    * planted corpus (vec 0 cloned as 1000000), top-10 cut at sim ≥ 0.9 —
+    * the plant id and threshold live HERE and in [[plantedEmb]] only. */
+  private val plantedRecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+       |  UNION ALL
+       |  SELECT 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, sim FROM (
+       |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
+       |  ORDER BY sim DESC, vec_id LIMIT 10)
+       |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_doc_tokens" ->
       s"""SELECT doc_id,
@@ -701,27 +718,11 @@ object PipelineQueries {
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings), q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     // brute force over the same planted corpus, cut at the same sim
-    // threshold — hash-green iff LSH retrieved the planted duplicate
-    "q_emb_lsh_recall" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
-         |  UNION ALL
-         |  SELECT 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
-         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, sim FROM (
-         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
-         |  ORDER BY sim DESC, vec_id LIMIT 10)
-         |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin,
-    "q_emb_ivf_recall" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
-         |  UNION ALL
-         |  SELECT 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
-         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, sim FROM (
-         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
-         |  ORDER BY sim DESC, vec_id LIMIT 10)
-         |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin,
+    // threshold — hash-green iff the ANN retrieved the planted
+    // duplicate. ONE oracle for both ANN families: the planted-clone
+    // contract is identical, only the Spark-side index differs.
+    "q_emb_lsh_recall" -> plantedRecallOracle,
+    "q_emb_ivf_recall" -> plantedRecallOracle,
     "q_events_window" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -462,12 +462,25 @@ object QueryEngine {
           if (pe.singleParent) {
             // no node has two parents (tested once at edge-cache time),
             // so |stepped| == |frontier| ≤ maxDriverChains by induction —
-            // the round is exactly ONE job: walk k levels, collect.
-            val joined = walkLevels(fdf, edges, k)
-              .as[(Long, Seq[Long], Option[Long])].collect()
-            finished ++= joined.collect { case (src, p, None) => (src, p) }
-            frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
-            i += k
+            // the round is exactly ONE job: walk k levels, collect. The
+            // induction needs its base case: the FIRST round's page has
+            // seen no cap yet, so only that collect is limit-bounded
+            // (later rounds ride the induction unbounded — the limit
+            // measurably costs ~15% a round); an over-cap page restarts
+            // distributed instead of growing the driver.
+            val walked = walkLevels(fdf, edges, k)
+              .as[(Long, Seq[Long], Option[Long])]
+            val joined =
+              if (frontier == null) walked.limit(ctx.maxDriverChains + 1).collect()
+              else walked.collect()
+            if (joined.length > ctx.maxDriverChains) {
+              distributed = Some(pathsDistributed(fdf, edges,
+                ctx.maxPathIterations - i))
+            } else {
+              finished ++= joined.collect { case (src, p, None) => (src, p) }
+              frontier = joined.collect { case (src, p, Some(par)) => (src, p, par) }
+              i += k
+            }
           } else {
             // multi-parent graph: the collect is guarded. k chained
             // levels can multiply the chain count by fanout^k INSIDE a

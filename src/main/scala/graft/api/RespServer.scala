@@ -258,8 +258,13 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
       case "LPUSH" | "RPUSH" =>
         val key = str(0)
         if (key == inboundQueue) {
+          // reply with the pushed count, honoring the wire contract
+          // (real Redis returns the resulting list length; the inbound
+          // queue drains immediately, so the count of values accepted
+          // is the faithful equivalent — a stock client pushing a batch
+          // checks this)
           args.drop(1).foreach(dispatch)
-          integer(out, 1)
+          integer(out, args.length - 1L)
         } else {
           integer(out, push(key, args.drop(1), head = name == "LPUSH"))
         }

@@ -287,11 +287,17 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       val baseComplete = Seq("triples", "triples_by_s", "iris", "literals")
         .forall(exists)
       if (!baseComplete) {
-        // drop any half-installed new dirs, then restore the old store
+        // drop any half-installed new dirs, then restore the old store.
+        // The marker is deleted BEFORE the restore loop: a crash mid-
+        // restore leaves some entries live (renamed out of staging) as
+        // the only copies, and a rerun still seeing the marker would
+        // delete them as "half-installed new dirs" — with the marker
+        // gone, the rerun takes the partial-staging path below, which
+        // moves entries back beside the live ones deleting nothing.
         for (sub <- Seq("triples", "triples_by_s", "iris", "literals"))
           if (exists(sub)) StoreIO.delete(spark, s"$dir/$sub")
-        for (name <- StoreIO.list(spark, staging)
-            if name != Warehouse.StagedMarker)
+        StoreIO.delete(spark, s"$staging/${Warehouse.StagedMarker}")
+        for (name <- StoreIO.list(spark, staging))
           StoreIO.rename(spark, s"$staging/$name", s"$dir/$name")
       }
     } else {
