@@ -119,6 +119,29 @@ class WarehouseSpec extends SparkSpec {
       "the marker must not be restored into the live dir")
   }
 
+  test("recovery crashed MID-RESTORE is idempotent: rerun loses nothing") {
+    import spark.implicits._
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark, Fixture.quads.toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    val before = wh.load().triples.count()
+    // crash mid-install, then a FIRST recovery run crashes mid-restore:
+    // it deleted the marker and moved SOME entries (triples) back live,
+    // leaving the rest (iris/literals/by_s) still staged — the live
+    // triples dir is now the ONLY copy. A rerun must not delete it.
+    val staging = new java.io.File(dir, "_pre_compact")
+    staging.mkdirs()
+    for (sub <- Seq("triples", "triples_by_s", "iris", "literals")) {
+      val src = new java.io.File(dir, sub)
+      assert(src.renameTo(new java.io.File(staging, sub)))
+    }
+    assert(new java.io.File(staging, "triples")
+      .renameTo(new java.io.File(dir, "triples"))) // first run got this far
+    val recovered = wh.load()
+    assert(recovered.triples.count() === before)
+    assert(!staging.exists(), "staging dir cleaned up after recovery")
+  }
+
   test("delete then re-insert brings the triple back (sequenced tombstones)") {
     import spark.implicits._
     val dir = freshDir()

@@ -167,6 +167,27 @@ class WorkerSpec extends SparkSpec {
       // BLPOP on a never-pushed ticket times out to a null array
       assert(c.cmd("BLPOP", "t-nothing", "0.2") === null)
 
+      // inbound-queue pushes answer with the PUSHED COUNT (wire
+      // contract: real Redis returns the resulting list length; a
+      // batching client checks it) — and both payloads dispatch
+      val batch1 = """{"filters":[{"p":"fts","o":"alpha"}],"query_ticket":"t-b1","query_hash":"h-b"}"""
+      val batch2 = """{"filters":[{"p":"fts","o":"beta"}],"query_ticket":"t-b2","query_hash":"h-b2"}"""
+      assert(c.cmd("LPUSH", RespServer.DefaultQueue, batch1, batch2) === 2L)
+      assert(c.cmd("BLPOP", "t-b1", "60") !== null)
+      assert(c.cmd("BLPOP", "t-b2", "60") !== null)
+
+      // a REFUSED mutation must not flush the pool cache: the store did
+      // not change, so the epoch must not bump
+      val cached = queryAsync("""{"filters":[{"p":"fts","o":"alpha"}]}""", "t-c1", "h-c")
+      val refused = queryAsync(
+        """{"action":"delete","data":[{"s":"<http://ex/nope>","p":"<http://ex/nope>","o":"\"x\"","g":""}]}""",
+        "t-c2", "h-del")
+      assert(refused.contains("error"), refused)
+      val hitsBefore = srv.pool.cacheHits.get()
+      assert(queryAsync("""{"filters":[{"p":"fts","o":"alpha"}]}""", "t-c3", "h-c") === cached)
+      assert(srv.pool.cacheHits.get() > hitsBefore,
+        "refused mutation flushed the cache (epoch bumped without a store change)")
+
       // generic list/string commands work as plain Redis state
       assert(c.cmd("LPUSH", "mylist", "x", "y") === 2L)
       assert(c.cmd("LLEN", "mylist") === 2L)
