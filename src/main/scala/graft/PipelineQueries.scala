@@ -271,9 +271,12 @@ object PipelineQueries {
     }),
 
     // winnowing fingerprint sketch sizes
+    // winnowing document fingerprints, md5-hashed so DuckDB reproduces
+    // the selection bit-for-bit (the XxHash64 single-pass variant stays
+    // spec-tested in OpsSpec) — every (doc, fingerprint) row hash-checked
     "q_doc_winnow" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-          size(TextAnalysis.winnowingUdf()(col("text"))).as("n_fps")).orderBy("doc_id")
+      TextAnalysis.winnowMd5Fingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "fp")
     }),
 
     // LSH-bucketed approximate top-k (recall vs brute tested in OpsSpec)
@@ -832,6 +835,17 @@ object PipelineQueries {
         |  round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_winnow" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        |h AS (SELECT doc_id,
+        |  [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 15)) AS BIGINT)
+        |   for i in range(1, greatest(CAST(len(s) AS BIGINT) - 5 + 2, 1))] AS hs FROM n),
+        |m AS (SELECT doc_id,
+        |  [list_min(hs[j:j+3])
+        |   for j in range(1, greatest(CAST(len(hs) AS BIGINT) - 4 + 2, 1))] AS mins FROM h)
+        |SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS fp
+        |FROM m ORDER BY doc_id, fp""".stripMargin,
     "q_doc_boilerplate" ->
       """WITH src AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN text || chr(10) || 'Shared Footer Line'

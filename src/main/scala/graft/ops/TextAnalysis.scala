@@ -318,6 +318,34 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling-hash all k-grams, keep the minimum per sliding window of w —
     * the standard near-dup/plagiarism sketch. Single-pass scalar UDF. */
+  /** Winnowing fingerprints as PURE column expressions (codegen'd, no
+    * UDF), hashing each k-gram with the low 60 bits of its md5 — a hash
+    * both engines can compute, so the selection is oracle-checkable
+    * end-to-end (60 bits keep the value positive: signed min == unsigned
+    * min on both sides). Same selection rule as [[winnowingUdf]]:
+    * normalize whitespace/case, hash every k-char gram, keep the min of
+    * each w-window, distinct. Returns (id, fp) rows. */
+  def winnowMd5Fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val out = df
+      .withColumn("__norm", norm)
+      // sequence(1, 0) DESCENDS in Spark, so short inputs need explicit
+      // empty-array branches rather than a greatest() clamp
+      .withColumn("__hs", expr(
+        s"CASE WHEN length(__norm) >= $k THEN " +
+          s"transform(sequence(1, length(__norm) - $k + 1), " +
+          s"i -> cast(conv(substr(md5(substr(__norm, i, $k)), 1, 15), 16, 10) as bigint)) " +
+          "ELSE cast(array() as array<bigint>) END"))
+      .withColumn("__mins", expr(
+        s"CASE WHEN size(__hs) >= $w THEN " +
+          s"transform(sequence(1, size(__hs) - $w + 1), " +
+          s"j -> array_min(slice(__hs, j, $w))) " +
+          "ELSE cast(array() as array<bigint>) END"))
+      .select(col(idCol), explode(array_distinct(col("__mins"))).as("fp"))
+    out
+  }
+
   def winnowingUdf(k: Int = 5, w: Int = 4) = udf { (text: String) =>
     if (text == null) Array.empty[Long]
     else {

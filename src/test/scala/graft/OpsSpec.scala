@@ -13,6 +13,27 @@ class OpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
     (5L, "unrelated short text")).toDF("id", "text")
 
+  test("md5 winnowing: same laws as the UDF variant, empty below k") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // identical text → identical fps
+      (3L, "tiny"),                // shorter than k=5 → no fingerprints
+      (4L, "zzz the quick brown fox zzz")) // superstring → shares fps with 1
+      .toDF("id", "text")
+    val fps = TextAnalysis.winnowMd5Fingerprints(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    assert(!fps.contains(3L))
+    assert(fps(1L).subsetOf(fps(4L)) || (fps(1L) & fps(4L)).nonEmpty)
+    assert(fps(1L).forall(_ >= 0L), "60-bit hashes must stay non-negative")
+    // whitespace/case normalization folds into the same fingerprints
+    val norm = TextAnalysis.winnowMd5Fingerprints(
+        Seq((9L, "THE  quick \n brown   fox")).toDF("id", "text"), "id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(norm === fps(1L))
+  }
+
   test("corpus-level line dedup strips boilerplate, keeps blanks and order") {
     val docs = Seq(
       (1L, "unique alpha\nCopyright Footer\n\nbody one"),
