@@ -98,7 +98,12 @@ final class RespServer(bk: Bikidata, port: Int = 0, numWorkers: Int = 1,
     (System.currentTimeMillis() << 20) | (stampSerial.incrementAndGet() & 0xFFFFFL)
 
   private def sweepIdleLists(): Unit = {
-    val cutoff = (System.currentTimeMillis() - ticketTtlMillis) << 20
+    // a TTL past the clock origin (e.g. Long.MaxValue to disable
+    // sweeping) would overflow the shifted cutoff into "everything is
+    // stale" — clamp to never-stale instead; drained-stamp cleanup
+    // below still runs
+    val cutoffMs = System.currentTimeMillis() - ticketTtlMillis
+    val cutoff = if (cutoffMs <= 0) Long.MinValue else cutoffMs << 20
     val it = lastPush.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

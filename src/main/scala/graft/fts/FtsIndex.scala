@@ -332,11 +332,12 @@ object FtsIndex {
     * semi-joins — the triples never shuffle. */
   def buildFtssFor(triples: DataFrame, literals: DataFrame,
       subjects: DataFrame): DataFrame = {
-    val s0 = broadcast(subjects.select("s").distinct())
-    val sTriples = triples.join(s0, Seq("s"), "left_semi")
-    val needed =
-      broadcast(s0.union(sTriples.select(col("o").as("s"))).distinct())
-    val trip1 = triples.join(needed, Seq("s"), "left_semi")
+    // hint broadcast only at the join sites — a hint riding through the
+    // union would be consumed by nothing and logs a warning per repair
+    val s0 = subjects.select("s").distinct()
+    val sTriples = triples.join(broadcast(s0), Seq("s"), "left_semi")
+    val needed = s0.union(sTriples.select(col("o").as("s"))).distinct()
+    val trip1 = triples.join(broadcast(needed), Seq("s"), "left_semi")
     val fts1 = trip1.join(literals, trip1("o") === literals("hash"))
       .groupBy(trip1("s").as("s"))
       .agg(array_join(array_distinct(collect_list(col("value"))), "\n").as("values"))
@@ -346,7 +347,7 @@ object FtsIndex {
       .groupBy(col("T.s").as("s"))
       .agg(array_join(collect_list(col("R.values")), "\n").as("values"))
       .select(col("s"), col("values"))
-    fts1.join(s0, Seq("s"), "left_semi").union(fts2).distinct()
+    fts1.join(broadcast(s0), Seq("s"), "left_semi").union(fts2).distinct()
       .groupBy("s")
       .agg(array_join(collect_list(col("values")), "\t").as("values"))
   }

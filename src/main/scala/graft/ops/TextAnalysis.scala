@@ -315,9 +315,6 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    * rolling-hash all k-grams, keep the minimum per sliding window of w —
-    * the standard near-dup/plagiarism sketch. Single-pass scalar UDF. */
   /** Winnowing fingerprints as PURE column expressions (codegen'd, no
     * UDF), hashing each k-gram with the low 60 bits of its md5 — a hash
     * both engines can compute, so the selection is oracle-checkable
@@ -346,6 +343,9 @@ object TextAnalysis {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling-hash all k-grams, keep the minimum per sliding window of w —
+    * the standard near-dup/plagiarism sketch. Single-pass scalar UDF. */
   def winnowingUdf(k: Int = 5, w: Int = 4) = udf { (text: String) =>
     if (text == null) Array.empty[Long]
     else {

@@ -133,6 +133,21 @@ object Rdfize {
     * dictionaries + FTS index once; later processes just load parquet —
     * which also makes the gate exercise the real warehouse read path
     * (p,o,s-clustered row groups) instead of an in-memory rebuild. */
+  /** Remove `<base>.tmp-<pid>` leftovers from crashed writers — each
+    * kill mid-write would otherwise strand one corpus-sized directory
+    * in the cache dir forever. A LIVE concurrent writer's tmp may be
+    * swept too; it only loses the publish race it could already lose
+    * (its rename fails and it falls back to the in-memory build). */
+  private def sweepStaleTmp(base: String): Unit = {
+    val f = new java.io.File(base)
+    val parent = f.getParentFile
+    if (parent == null || !parent.exists()) return
+    val prefix = f.getName + ".tmp-"
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
+  }
+
   private def cacheDir(sfDir: String): String =
     // the v-suffix versions the WAREHOUSE LAYOUT (v2 = value-sorted
     // dictionaries): bumping it orphans caches written by older builds
@@ -151,6 +166,7 @@ object Rdfize {
       // publish race just means another JVM finished first.
       val complete = new java.io.File(s"$wh/_complete")
       if (!complete.exists()) {
+        sweepStaleTmp(wh)
         val tmp = wh + ".tmp-" + ProcessHandle.current().pid()
         try {
           Build.writeFromQuads(spark, quads(spark, sfDir), tmp)
@@ -224,6 +240,7 @@ object Rdfize {
       // the read fails (a torn cache once turned every q_rdf_semantic
       // run into UNABLE_TO_INFER_SCHEMA)
       if (!new java.io.File(semDir).exists()) {
+        sweepStaleTmp(semDir)
         val tmp = semDir + ".tmp-" + ProcessHandle.current().pid()
         try {
           val docs = FtsIndex.buildFtss(base.graph.triples, base.graph.literals)

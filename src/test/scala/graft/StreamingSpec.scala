@@ -188,6 +188,43 @@ class StreamingSpec extends SparkSpec {
     assert(graph.iris.filter(col("value") === "<http://ex/a>").count() === 1)
   }
 
+  test("streamNt marks streamed subjects semantic-stale; repair catches up") {
+    import graft.semantic.{HashingEmbedder, SemanticMaintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
+    val watch = s"$dir/watch"; val whDir = s"$dir/wh"; val ckpt = s"$dir/ckpt"
+    new java.io.File(watch).mkdirs()
+    // seed store + semantic index through the facade
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/seed.nt"),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha ember\" .\n")
+    val bk = new graft.api.Bikidata(spark, whDir)
+    bk.build(Seq(s"$dir/seed.nt"))
+    bk.buildSemantic()
+    assert(new java.io.File(s"$whDir/literals_semantic").exists())
+    // stream a batch touching an EXISTING subject and a new one
+    val q = Streaming.streamNt(spark, watch, whDir, ckpt)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(watch, "b1.nt"),
+      "<http://ex/a> <http://www.w3.org/2000/01/rdf-schema#label> \"alpha glow\" .\n" +
+      "<http://ex/d> <http://www.w3.org/2000/01/rdf-schema#label> \"delta spark\" .\n")
+    q.processAllAvailable()
+    q.stop()
+    // the batch marked BOTH subjects stale instead of dropping the index
+    assert(new java.io.File(s"$whDir/literals_semantic").exists(),
+      "stream must not drop a maintainable semantic index")
+    assert(new java.io.File(s"$whDir/semantic_stale").exists(),
+      "streamed subjects must be marked stale")
+    // repair against the post-stream graph converges to a full rebuild
+    val g = new graft.store.Warehouse(spark, whDir).load()
+    assert(SemanticMaintenance.repair(spark, whDir, g.triples, g.literals,
+      HashingEmbedder()))
+    val composed = SemanticMaintenance.composeWithGen(spark, whDir).get._1
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = graft.semantic.Semantic.buildSemantic(
+        graft.fts.FtsIndex.buildFtss(g.triples, g.literals), HashingEmbedder())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(composed === expect)
+    assert(composed.contains(graft.functions.Hash64.hashString("<http://ex/d>")))
+  }
+
   test("streamNt appends are seq-stamped: re-asserted quad outranks a delete") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val watch = s"$dir/watch"; val whDir = s"$dir/wh"; val ckpt = s"$dir/ckpt"
