@@ -273,9 +273,14 @@ object PipelineQueries {
     // winnowing fingerprint sketch sizes
     // winnowing document fingerprints, md5-hashed so DuckDB reproduces
     // the selection bit-for-bit (the XxHash64 single-pass variant stays
-    // spec-tested in OpsSpec) — every (doc, fingerprint) row hash-checked
+    // spec-tested in OpsSpec) — every (doc, fingerprint) row
+    // hash-checked over a deterministic 10% document sample: md5-ing
+    // every k-gram of every doc is ~2 µs/gram on BOTH engines, and the
+    // sample keeps the gate exact (full texts, full selection rule)
+    // without making this the slowest query in the suite
     "q_doc_winnow" -> ((s, dir) => {
-      TextAnalysis.winnowMd5Fingerprints(docs(s, dir), "doc_id", "text")
+      TextAnalysis.winnowMd5Fingerprints(
+          docs(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .orderBy("doc_id", "fp")
     }),
 
@@ -837,7 +842,8 @@ object PipelineQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 10 = 0),
         |h AS (SELECT doc_id,
         |  [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 15)) AS BIGINT)
         |   for i in range(1, greatest(CAST(len(s) AS BIGINT) - 5 + 2, 1))] AS hs FROM n),
