@@ -153,6 +153,53 @@ class SemanticMaintenanceSpec extends SparkSpec {
     assert(!after.contains(Hash64.hashString("<http://ex/b>")))
   }
 
+  test("randomized mutation sequences: repair always equals a full rebuild") {
+    // seeded random walk over inserts/deletes with repairs at random
+    // points — the property the whole design rests on. Literal values
+    // embed their subject so no two subjects ever share a 1-hop doc
+    // (doc-string ordering between runs can then never change dedup
+    // behavior; the embedder itself is token-multiset-invariant).
+    val rnd = new scala.util.Random(42)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-prop").toString
+    val subjects = (0 until 8).map(i => s"<http://ex/s$i>")
+    val nt = s"$dir/seed.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
+      subjects.take(4).zipWithIndex.map { case (s, i) =>
+        s"""$s $Label "seed label $i" .""" }.mkString("", "\n", "\n") +
+        s"${subjects(0)} $Rel ${subjects(1)} .\n")
+    val bk = new Bikidata(spark, s"$dir/wh")
+    bk.build(Seq(nt))
+    bk.buildSemantic()
+    val live = scala.collection.mutable.Set.empty[(String, String, String)]
+    subjects.take(4).zipWithIndex.foreach { case (s, i) =>
+      live += ((s, Label, s""""seed label $i"""")) }
+    live += ((subjects(0), Rel, subjects(1)))
+    var nextVal = 0
+    for (step <- 1 to 12) {
+      val doInsert = live.isEmpty || rnd.nextBoolean()
+      if (doInsert) {
+        val s = subjects(rnd.nextInt(subjects.length))
+        val (p, o) =
+          if (rnd.nextInt(4) == 0) (Rel, subjects(rnd.nextInt(subjects.length)))
+          else { nextVal += 1; (Label, s""""${s.drop(1).dropRight(1)} v$nextVal"""") }
+        if (!live((s, p, o))) {
+          assert(bk.insert(Seq(Quad(s, p, o, ""))).error.isEmpty, s"step $step insert")
+          live += ((s, p, o))
+        }
+      } else {
+        val victim = live.toSeq(rnd.nextInt(live.size))
+        assert(bk.delete(Seq((victim._1, victim._2, Some(victim._3), ""))).error.isEmpty,
+          s"step $step delete")
+        live -= victim
+      }
+      if (rnd.nextInt(3) == 0 || step == 12) {
+        bk.buildSemantic() // repair
+        assert(composed(s"$dir/wh") === fullRebuild(s"$dir/wh"),
+          s"repair diverged from full rebuild at step $step")
+      }
+    }
+  }
+
   test("markStale without a persisted index reports false (caller drops)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sem-none").toString
     assert(!SemanticMaintenance.markStale(spark, dir, Seq(1L), 2L))
