@@ -340,10 +340,14 @@ object QueryEngine {
     agg match {
       case "graphs" | "properties" =>
         val keyCol = if (agg == "graphs") "g" else "p"
-        // decode AFTER the aggregation: tiny row set, bijective via hash
+        // decode AFTER the aggregation: tiny row set, bijective via hash.
+        // The reference leaves this order undefined (no ORDER BY,
+        // query.py:746-748); (count desc, val asc) makes the envelope
+        // deterministic across runs AND across the decode-map/join paths
         decoded(ctx, joined.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
             keyCol, "val", inner = true)
           .select(col("count"), col("val"))
+          .orderBy(col("count").desc, col("val").asc)
       case propIri =>
         val filtered = joined.filter(col("p") === h(propIri))
         val counts = filtered.groupBy(col("o")).agg(count(lit(1)).as("count"))
@@ -366,7 +370,8 @@ object QueryEngine {
         .select(col("count"), col("val"))
         .persist()
       df.count()
-      df
+      // deterministic envelope order over the pinned base (see facet())
+      df.orderBy(col("count").desc, col("val").asc)
     }
   }
 

@@ -164,6 +164,25 @@ class EngineSpec extends SparkSpec {
     assert(positions === Set("<http://ex/luke>", "<http://ex/leia>", "_:b0"))
   }
 
+  test("decode-map and dictionary-join paths produce identical envelopes") {
+    // the broadcast decode map is an optimization with an automatic
+    // join fallback past the dictionary bound (corpus scale) — the two
+    // paths must be observationally identical across the query surface
+    val mapped = EngineContext.withDictBroadcast(ctx)
+    assert(mapped.decodeExpr(org.apache.spark.sql.functions.col("s")).nonEmpty,
+      "fixture dictionary should fit the broadcast bound")
+    val probes = Seq(
+      QueryOpts(filters = Seq(FilterQ(p = a, o = human))),
+      QueryOpts(filters = Seq(FilterQ(p = a, o = human)),
+        order = Seq(OrderRule(by = "label", lang = Seq("de", "en")))),
+      QueryOpts(filters = Seq(FilterQ(o = "<http://ex/tatooine>"))),
+      QueryOpts(filters = Seq(FilterQ(p = "id", o = "<http://ex/luke>")),
+        aggregates = Seq("properties")))
+    for (opts <- probes)
+      assert(QueryEngine.query(ctx, opts).toJson ===
+        QueryEngine.query(mapped, opts).toJson, s"paths diverge on $opts")
+  }
+
   test("sort labels ignore blank-node objects on both decode paths") {
     import spark.implicits._
     val prop = "<http://ex/note>"
