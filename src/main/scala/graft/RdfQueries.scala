@@ -69,6 +69,15 @@ object RdfQueries {
         .select("s", "p", "o", "g").orderBy("p", "o")
     }),
 
+    // multi-point id lookup: a space-separated IRI list is an s-IN over
+    // the per-IRI hashes (the reference's `s{oo}`, query.py:33-44 with
+    // the shared oo fragment of query.py:134-144)
+    "q_rdf_multi_id" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      decodeS(ctx, subjects(ctx,
+        FilterQ(p = "id", o = "<urn:t:region:1> <urn:t:region:3>")))
+    }),
+
     // §2.7 INTERSECT
     "q_rdf_and" -> ((s, dir) => {
       val ctx = rctx(s, dir)
@@ -410,6 +419,10 @@ object RdfQueries {
          |  SELECT '<urn:t:region:1>', '$LabelIri', '"' || r_name || '"',
          |         '${graphIri("region")}'
          |  FROM region WHERE r_regionkey=1) ORDER BY p, o""".stripMargin,
+    "q_rdf_multi_id" ->
+      """SELECT s FROM (
+        |  SELECT '<urn:t:region:1>' AS s UNION ALL SELECT '<urn:t:region:3>')
+        |ORDER BY s""".stripMargin,
     "q_rdf_and" ->
       s"""SELECT $custS AS s FROM customer
          |WHERE c_mktsegment='BUILDING' AND c_nationkey=7 ORDER BY s""".stripMargin,

@@ -152,7 +152,14 @@ object FilterCompiler {
     var prop: Option[String] = None
     if (toks.length >= 2) {
       if (toks(1).forall(_.isDigit) && toks(1).nonEmpty) {
-        hops = toks(1).toInt
+        // toIntOption, not toInt: an all-digit token past Int range must
+        // flag the filter MALFORMED (hops = -1 → no compile branch
+        // matches → silently dropped), not abort the query with a
+        // NumberFormatException and not degrade to a 0-hop filter the
+        // user never wrote. (The reference's unbounded int(toks[1])
+        // would try to build a hops-join SQL string of that length —
+        // there is no sane behavior to be faithful to.)
+        hops = toks(1).toIntOption.getOrElse(-1)
         if (toks.length >= 3 && toks(2).startsWith("<") && toks(2).endsWith(">"))
           prop = Some(toks(2))
       } else if (toks(1).startsWith("<") && toks(1).endsWith(">"))
@@ -162,6 +169,18 @@ object FilterCompiler {
   }
 
   def h(term: String): Long = Hash64.hashString(term)
+
+  /** The reference's `oo` fragment (query.py:134-144): a space-separated
+    * multi-IRI object list becomes an IN over the per-IRI hashes, any
+    * other o an equality on the whole-string hash (N3 surface equality,
+    * lang/datatype included). The SAME fragment applies to the column
+    * the branch matches on — `o` for property/reverse filters, `s` for
+    * the id branch (query.py:33-44 interpolates `s{oo}`) — so it is ONE
+    * definition here, shared by [[compile]] and [[simplePredicate]]. */
+  private[graft] def oMatch(target: org.apache.spark.sql.Column, o: String): org.apache.spark.sql.Column =
+    if (o.startsWith("<") && o.endsWith(">") && o.split(" ").length > 1)
+      target.isin(o.split(" ").map(h).toIndexedSeq: _*)
+    else target === h(o)
 
   /** Longest leading run of regex-literal characters in a pattern — the
     * chars every match must start with. Stops at the first metacharacter
@@ -276,18 +295,14 @@ object FilterCompiler {
     val gCond: Option[org.apache.spark.sql.Column] =
       if (g.isEmpty) None
       else Some(col("g").isin(g.split(" ").map(h).toIndexedSeq: _*))
-    def oCond =
-      if (o.startsWith("<") && o.endsWith(">") && o.split(" ").length > 1)
-        col("o").isin(o.split(" ").map(h).toIndexedSeq: _*)
-      else col("o") === h(o)
     val base: Option[org.apache.spark.sql.Column] =
       if (p.isEmpty && (o.startsWith("<") || o.startsWith("_:")))
-        Some(oCond) // reverse reference
+        Some(oMatch(col("o"), o)) // reverse reference
       else if (p == "id" && !(o.startsWith("random") || o.startsWith("sample")))
-        Some(col("s") === h(o)) // point lookup
+        Some(oMatch(col("s"), o)) // point lookup (or multi-point IN)
       else if (p.startsWith("<") && hops == 0) {
         val pc = col("p") === h(pHead)
-        Some(if (o.nonEmpty) pc && oCond else pc)
+        Some(if (o.nonEmpty) pc && oMatch(col("o"), o) else pc)
       } else None
     base.map(b => gCond.fold(b)(gc => b && gc))
   }
@@ -298,19 +313,16 @@ object FilterCompiler {
     val o = f.o.trim
     val g = f.g.trim
     val (hops, pProp, pHead) = parseHopsAndProp(p)
+    // malformed hop count (parseHopsAndProp sentinel): drop the filter
+    if (hops < 0) return None
 
     // named-graph restriction on the T0 scan (query.py:145-148)
     def withG(df: DataFrame): DataFrame =
       if (g.isEmpty) df
       else df.filter(col("g").isin(g.split(" ").map(h).toIndexedSeq: _*))
 
-    // o equality: multi-IRI list → IN, else whole-string hash (incl.
-    // lang/datatype — N3 surface equality) (query.py:134-144)
-    def oCond = {
-      if (o.startsWith("<") && o.endsWith(">") && o.split(" ").length > 1)
-        col("o").isin(o.split(" ").map(h).toIndexedSeq: _*)
-      else col("o") === h(o)
-    }
+    // o equality: the shared [[oMatch]] fragment (query.py:134-144)
+    def oCond = oMatch(col("o"), o)
 
     def propFilter(df: DataFrame): DataFrame =
       pProp.fold(df)(pp => df.filter(col("p") === h(pp)))
@@ -332,7 +344,8 @@ object FilterCompiler {
           .orderBy(rand(ctx.sampleSeed)).limit(n)
           .select("s"))
       } else {
-        Some(withG(triples).filter(col("s") === h(o)).select("s"))
+        // s{oo} in the reference: a multi-IRI o is a multi-point IN
+        Some(withG(triples).filter(oMatch(col("s"), o)).select("s"))
       }
     } else if (p.startsWith("semantic")) {
       ctx.semantic.map { sem =>

@@ -164,6 +164,22 @@ class EngineSpec extends SparkSpec {
     assert(positions === Set("<http://ex/luke>", "<http://ex/leia>", "_:b0"))
   }
 
+  test("multi-point id lookup: space-separated IRI list is an s-IN") {
+    // the reference's id branch interpolates the shared `oo` fragment
+    // (s IN (...) for a multi-IRI list, query.py:33-44) — both the
+    // per-branch and the fused-scan paths must take it
+    val opts = QueryOpts(filters = Seq(
+      FilterQ(p = "id", o = "<http://ex/luke> <http://ex/leia>")))
+    val r = QueryEngine.query(ctx, opts)
+    assert(r.results.keySet === Set("<http://ex/luke>", "<http://ex/leia>"))
+  }
+
+  test("hop counts past Int range are malformed: silently dropped, not thrown") {
+    val r = QueryEngine.query(ctx, QueryOpts(filters = Seq(
+      FilterQ(p = s"$homeworld 10000000000", o = "<http://ex/tatooine>"))))
+    assert(r.total === 0, "an unparseable hop count must drop the filter")
+  }
+
   test("decode-map and dictionary-join paths produce identical envelopes") {
     // the broadcast decode map is an optimization with an automatic
     // join fallback past the dictionary bound (corpus scale) — the two
