@@ -364,14 +364,20 @@ object QueryEngine {
   def facetWholeDb(ctx: EngineContext, agg: String): DataFrame = {
     val keyCol = if (agg == "graphs") "g" else "p"
     ctx.cachedStatFrame(s"facetWholeDb:$keyCol") {
+      // the PERSISTED frame itself must be what the cache stores:
+      // drainDerivedCaches unpersists the stored frame, and a Sort
+      // wrapper OVER a persisted base would never sameResult the cached
+      // plan — the base's blocks would survive every mutation drain.
+      // Ordering before persist keeps the deterministic envelope order
+      // (see facet()) inside the pinned frame.
       val df = decoded(ctx,
           ctx.graph.triples.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
           keyCol, "val", inner = true)
         .select(col("count"), col("val"))
+        .orderBy(col("count").desc, col("val").asc)
         .persist()
       df.count()
-      // deterministic envelope order over the pinned base (see facet())
-      df.orderBy(col("count").desc, col("val").asc)
+      df
     }
   }
 
@@ -657,7 +663,11 @@ object QueryEngine {
     // all-simple forests fuse into one scan+aggregate; anything with a
     // scoring/derived-index branch keeps the per-branch compilation
     val sResultsOpt = fusedSubjects(ctx, opts).orElse(subjectsFromCompiled(compiled))
-    var aggregates = Map.empty[String, Seq[(Long, String)]]
+    // ListMap for the same insertion-order reason as `results`: past 4
+    // entries a HashMap would emit the aggregates object in key-hash
+    // order instead of the request order the reference's dict preserves
+    var aggregates: Map[String, Seq[(Long, String)]] =
+      scala.collection.immutable.ListMap.empty
 
     try sResultsOpt match {
       case None =>
@@ -694,9 +704,15 @@ object QueryEngine {
                   .as[(Long, String)].collect().toSeq)
             }
             val pageF = Future {
+              // secondary (p, o, g) hash keys: pos alone leaves rows of
+              // one subject in shuffle-fetch order, which is
+              // nondeterministic on a cluster — the envelope must be
+              // byte-stable for the md5-keyed result cache (the
+              // reference's own within-subject order is its SQL fetch
+              // order, equally undefined, so any FIXED order is parity)
               hydrate(ctx, opts, wanted)
                 .select("s", "p", "o", "g", "pos").as[(Long, Long, Long, Long, Int)]
-                .collect().sortBy(_._5)
+                .collect().sortBy(r => (r._5, r._2, r._3, r._4))
             }
             // paths for page subjects
             val pathsF = Future {
@@ -731,12 +747,23 @@ object QueryEngine {
               order.getOrElseUpdate(s, scala.collection.mutable.LinkedHashMap.empty)
                 .getOrElseUpdate(p, scala.collection.mutable.LinkedHashSet.empty) += o
             }
+            // one path per (subject, property), like the reference's
+            // per-row dict overwrite (query.py:820) — but chosen
+            // DETERMINISTICALLY (shortest, then lexicographic) instead
+            // of by collect order: a multi-parent subject has several
+            // finished chains and the reference's winner is just its
+            // undefined SQL fetch order, so any fixed pick is parity
+            // while keeping the envelope byte-stable for the result cache
             val pathsBySubject: Map[Long, Map[String, Seq[Long]]] =
               pathRows.toSeq
                 .flatMap { case (pad, rows) => rows.map { case (src, path) => (src, pad, path) } }
                 .groupBy(_._1)
                 .map { case (src, rows) =>
-                  src -> rows.map { case (_, pad, path) => pad -> path }.toMap }
+                  src -> rows.groupBy(_._2).map { case (pad, cands) =>
+                    pad -> cands.map(_._3)
+                      .minBy(p => (p.length, p.map(java.lang.Long.toUnsignedString(_)).mkString(",")))
+                  }
+                }
 
             // ListMap end-to-end: entities stay in page (pos) order and
             // each property map in first-seen triple order, like the
