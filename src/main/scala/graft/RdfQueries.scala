@@ -21,15 +21,24 @@ object RdfQueries {
 
   private def rctx(s: SparkSession, dir: String) = Rdfize.ctx(s, dir)
 
-  /** Decode a subject-hash set to sorted IRI strings. */
+  /** Decode a subject-hash set to sorted IRI strings.
+    *
+    * The sort is presentational (gate determinism), so it runs as a
+    * single-partition local sort: `coalesce(1)` makes the child
+    * SinglePartition, which satisfies the sort's OrderedDistribution —
+    * no RangePartitioning exchange, and crucially no range-bound
+    * sampling JOB, which would execute the upstream query plan a second
+    * time (gate result sets are bounded; the engine's own serving path
+    * pages through [[QueryEngine.wantedPage]] instead). */
   private def decodeS(ctx: EngineContext, df: DataFrame): DataFrame =
     QueryEngine.decoded(ctx, df.select(col("s").as("sh")), "sh", "s", inner = true)
-      .select("s").orderBy("s")
+      .select("s").coalesce(1).orderBy("s")
 
-  /** Decode the (s, pos) page keeping order. */
+  /** Decode the (s, pos) page keeping order (≤ size rows — same
+    * single-partition sort rationale as [[decodeS]]). */
   private def decodePage(ctx: EngineContext, wanted: DataFrame): DataFrame =
     QueryEngine.decoded(ctx, wanted, "s", "sval", inner = true)
-      .select(col("sval").as("s"), col("pos")).orderBy("pos")
+      .select(col("sval").as("s"), col("pos")).coalesce(1).orderBy("pos")
 
   private def subjects(ctx: EngineContext, filters: FilterQ*): DataFrame =
     QueryEngine.subjects(ctx, QueryOpts(filters = filters)).get

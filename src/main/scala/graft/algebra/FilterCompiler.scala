@@ -280,6 +280,43 @@ object FilterCompiler {
     } finally { pinned.unpersist(); () }
   }
 
+  /** [[oInOrJoin]] with a score ride-along, for the scoring (fts)
+    * filter. The selective (≤ cap) case rebuilds the collected
+    * (mhash, score) rows as a LocalRelation: the match-aggregate plan
+    * (window + explode + groupBy over the inverted lists) executes
+    * exactly ONCE — the collect — and every later execution of the
+    * consumer (notably the range-partitioning sample a global sort runs
+    * over its child) replays a 37-row literal, not the whole chain.
+    * Past the cap, same localCheckpoint contract as [[oInOrJoin]]. */
+  private def scoredOInOrJoin(ctx: EngineContext, base: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val cap = ctx.isinProbeCap
+    def joined(rhs: DataFrame): DataFrame =
+      base.join(broadcast(rhs), col("o") === col("mhash"))
+        .select(col("s"), col("score"))
+    if (cap <= 0) return joined(scored)
+    val pinned = scored.persist()
+    try {
+      val probe = pinned.limit(cap + 1).collect()
+      if (probe.length <= cap) {
+        val spark = base.sparkSession
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(probe: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("mhash",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+        // isin first: the o-IN predicate reaches the (p,o,s)-sorted
+        // scan's batch stats; the broadcast local join only attaches
+        // the score to the pruned rows
+        base.filter(col("o").isin(probe.map(_.getLong(0)).toIndexedSeq: _*))
+          .join(broadcast(local), col("o") === col("mhash"))
+          .select(col("s"), col("score"))
+      } else joined(pinned.localCheckpoint())
+    } finally { pinned.unpersist(); () }
+  }
+
   /** The triples-scan predicate of a SIMPLE filter — p/o/g/id equality
     * or IN, no hops and no derived index — or None when the filter
     * needs its own plan (fts/regex/semantic/sample/hops). A forest
@@ -402,10 +439,18 @@ object FilterCompiler {
       ctx.fts.map { idx =>
         val scored = idx.matchBm25(o).withColumnRenamed("hash", "mhash")
         if (withScore) {
-          val t0 = propFilter(withG(triples))
-            .join(broadcast(scored), col("o") === col("mhash"))
-          hopUp(ctx, t0.select(col("s"), col("score")), hops, Seq("score"))
-            .select("s", "score").distinct()
+          // size-conditional probe, like the set-only path below but
+          // with the score riding along: the match aggregate runs once.
+          // No terminal distinct — every consumer dedups ((s,score)
+          // multiplicity folds into subjectsFromCompiled's terminal
+          // distinct, combineSets' set-ops, or the score chain's
+          // groupBy-max), so the exchange would be pure overhead. The
+          // hop path keeps one distinct BEFORE the walk: it bounds the
+          // frontier hopUp broadcasts at each level.
+          val t0 = scoredOInOrJoin(ctx, propFilter(withG(triples)), scored)
+          if (hops == 0) t0.select("s", "score")
+          else hopUp(ctx, t0.select("s", "score").distinct(), hops,
+            Seq("score")).select("s", "score")
         } else {
           // set-only contract: no score ride-along → a small match set
           // becomes an o-IN scan predicate, and hop frontiers stay

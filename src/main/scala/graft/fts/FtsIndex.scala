@@ -81,7 +81,19 @@ final case class FtsIndex(
     // df per term = Σ list sizes over the term's chunks, computed with a
     // window over the ≤ terms×chunks pruned rows: no termstats scan, no
     // broadcast-exchange job at query time.
-    val pruned = postingLists.filter(col("term").isin(terms.toIndexedSeq: _*))
+    val prunedAll = postingLists.filter(col("term").isin(terms.toIndexedSeq: _*))
+    // small corpus → collapse the pruned lists to ONE task: a single
+    // partition satisfies the window's term-clustering requirement, so
+    // the plan drops the window exchange+sort stage and the aggregate's
+    // partial pass runs in the same task — two scheduling rounds fewer
+    // per match on a latency-bound serving tier. Worst-case single-task
+    // work is nTerms × numDocs exploded entries (every doc matches every
+    // term), bounded by the [[FtsIndex.singleTaskMatchDocs]] gate; past
+    // it the chunked parallel plan stands (a 100 TB corpus explodes a
+    // hot term's lists across postingChunks tasks, as designed).
+    val pruned =
+      if (numDocs <= FtsIndex.singleTaskMatchDocs) prunedAll.coalesce(1)
+      else prunedAll
     val n = numDocs.toDouble
     val dfCol = sum(size(col("plist")))
       .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
@@ -111,6 +123,13 @@ object FtsIndex {
     * largest single posting-list row and spreads a hot term's explode
     * over this many tasks. */
   val postingChunks = 32
+
+  /** Corpus-size gate for the single-task match plan in
+    * [[FtsIndex.matchBm25]]: at ≤4M docs the worst-case one-task explode
+    * (nTerms × numDocs entries of column arithmetic) costs less than the
+    * two shuffle stages it replaces; a larger corpus keeps the chunked
+    * parallel plan. */
+  val singleTaskMatchDocs: Long = 4L << 20
 
   /** The ONE derivation of the term-clustered inverted-list layout from
     * flat postings — used by both the in-memory index and [[write]], so

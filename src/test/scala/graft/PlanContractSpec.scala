@@ -191,6 +191,39 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), s"fts match should be join-free:\n$p")
   }
 
+  test("scored fts filter under the probe cap replays a literal, not the match plan") {
+    val df = graft.algebra.FilterCompiler.compile(
+      ctx, FilterQ(p = "fts", o = "skywalker"), withScore = true).get
+    val p = plan(df)
+    // the match aggregate ran exactly once, at compile (the probe
+    // collect); the consumer's plan must carry its result as a local
+    // literal — a global sort downstream re-executes its child for
+    // range sampling, and replaying the whole inverted-list aggregate
+    // there was the q_rdf_fts_score regression
+    assert(!p.contains("Window"), s"score plan re-runs the match chain:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"scored match set should be a LocalRelation:\n$p")
+    // and the triples probe is an o-IN scan predicate (a 1-hash match
+    // folds to equality), not a shuffled join probe
+    assert("""o#\d+L (IN|=)""".r.findFirstIn(p).isDefined,
+      s"triples scan not o-pruned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scored path shuffled:\n$p")
+  }
+
+  test("small-corpus BM25 match is single-task: no exchange below the window") {
+    val idx = ctx.fts.get
+    assert(idx.numDocs <= graft.fts.FtsIndex.singleTaskMatchDocs)
+    val p = plan(idx.matchBm25("skywalker"))
+    assert(p.contains("Coalesce 1"), s"pruned lists not collapsed:\n$p")
+    // the query-side plan (everything above the cached lists relation)
+    // must be exchange-free; the relation's own BUILD plan below the
+    // InMemoryTableScan legitimately shuffles once
+    val cut = p.indexOf("InMemoryRelation")
+    val queryside = if (cut < 0) p else p.substring(0, cut)
+    assert(!queryside.contains("Exchange"),
+      s"single-task match still exchanges:\n$p")
+  }
+
   test("a delta-appended stored index keeps the join-free term-pruned match plan") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-plan-fts").toString
