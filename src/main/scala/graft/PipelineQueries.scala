@@ -116,12 +116,19 @@ object PipelineQueries {
         .localCheckpoint(eager = true)
     })
 
+  // Row count of the embeddings table per sfDir: a pipeline counts its
+  // input once, not once per operator — candidatePairs' brute-vs-LSH
+  // routing probe rides this instead of a fresh count job per query.
+  private val embCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(dir, { _ => Long.box(emb(s, dir).count()) })
+
   /** Drop cached intermediate frames (their checkpoint blocks are freed
     * once unreferenced). Harness lifecycle hook — not needed between
     * queries. */
   def clearCaches(): Unit = {
     pairsCache.clear(); mediaCache.clear(); audioCache.clear()
-    docsCache.clear(); tfCache.clear()
+    docsCache.clear(); tfCache.clear(); embCountCache.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -230,8 +237,13 @@ object PipelineQueries {
     // the LSH-routed approximate path above maxBrute is recall-tested in
     // OpsSpec) — oracle-checked exactly
     "q_emb_near_dup" -> ((s, dir) => {
-      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45)
-        .orderBy("a", "b")
+      // repartition(1) + local sort, NOT orderBy: the pair result is
+      // bounded, and a global sort's range-sampling pass would execute
+      // the O(n²) similarity scan a second time. The scan stays
+      // parallel on the map side; one reduce task sorts the survivors.
+      Dedup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45,
+          knownCount = Some(embCount(s, dir)))
+        .repartition(1).sortWithinPartitions("a", "b")
     }),
 
     // embedding near-dup KEEP: connected components over the cosine pair
@@ -239,9 +251,13 @@ object PipelineQueries {
     // (recursive CTE) verifies the clusters() component logic exactly
     "q_emb_dedup_keep" -> ((s, dir) => {
       val e = emb(s, dir)
-      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", threshold = 0.45)
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", threshold = 0.45,
+        knownCount = Some(embCount(s, dir)))
+      // single-partition presentational sort: the kept set is bounded
+      // and the broadcast anti-join needs no reduce parallelism, so the
+      // range-sampling job (which would re-run the anti-join) drops out
       Dedup.keepFromPairs(e.select("vec_id", "label"), "vec_id", pairs)
-        .orderBy("vec_id")
+        .coalesce(1).orderBy("vec_id")
     }),
 
     // MinHash+LSH near-dup: planted duplicate must surface (rows-only —
@@ -280,7 +296,7 @@ object PipelineQueries {
     // without making this the slowest query in the suite
     "q_doc_winnow" -> ((s, dir) => {
       TextAnalysis.winnowMd5Fingerprints(
-          docs(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          docsPar(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .orderBy("doc_id", "fp")
     }),
 

@@ -69,6 +69,19 @@ object GraftFunctions {
         }
         WordGrams(es.head, intLit(es(1), "n"),
           if (es.length == 3) boolLit(es(2)) else true)
+      }),
+    ("winnow_md5",
+      "winnow_md5(s, k, w) - winnowing fingerprints of an already-" +
+        "normalized string: low-60-bit md5 of every k-char gram, minimum " +
+        "per sliding w-window, first-occurrence distinct",
+      { es: Seq[Expression] =>
+        require(es.length == 3, "winnow_md5 takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"winnow_md5 $what must be an integer literal")
+        }
+        WinnowMd5(es.head, intLit(es(1), "k"), intLit(es(2), "w"))
       }))
 
   /** Register (or refresh) the functions on a live session's registry. */

@@ -186,12 +186,18 @@ object Dedup {
       maxRounds: Int = 20, maxDriverEdges: Long = 200000L): DataFrame = {
     // materialize the pair list ONCE before mirroring it — the input may
     // be an expensive plan (an O(candidates) similarity scan), and the
-    // both-directions union would otherwise evaluate it twice
-    val p0 = pairs.select(col(aCol).as("x"), col(bCol).as("y")).localCheckpoint()
+    // both-directions union would otherwise evaluate it twice. persist +
+    // count folds the materialization and the driver-path sizing into
+    // ONE job (count computes the plan into the cache and returns the
+    // size); the collect below then reads cached blocks. The lineage cut
+    // the distributed path needs (localCheckpoint) happens only on that
+    // branch — small dedups never pay its extra copy job.
+    val pinned = pairs.select(col(aCol).as("x"), col(bCol).as("y")).persist()
     val isLongKeyed =
-      p0.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (isLongKeyed && p0.count() <= maxDriverEdges) {
-      val es = p0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pinned.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongKeyed && pinned.count() <= maxDriverEdges) {
+      val es = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pinned.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -210,6 +216,11 @@ object Dedup {
       import spark.implicits._
       return out.toDF("id", "cluster")
     }
+    // distributed path: cut lineage (the iterative walk must not re-run
+    // the pair plan per round), then release the cache — the eager
+    // checkpoint copies the blocks first
+    val p0 = pinned.localCheckpoint()
+    pinned.unpersist()
     val edges = p0
       .union(p0.select(col("y").as("x"), col("x").as("y")))
       .distinct().persist()
@@ -289,10 +300,16 @@ object Dedup {
     * similarity is rounded to 4 dp BEFORE thresholding so the kept set is
     * reproducible across engines. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxBrute: Long = 10000L): DataFrame =
-    Similarity.candidatePairs(emb, idCol, vecCol, maxBrute)
+      threshold: Double, maxBrute: Long = 10000L,
+      knownCount: Option[Long] = None): DataFrame =
+    // threshold inside the join condition AFTER a < b (see
+    // candidatePairs: a pushed .filter would lead the conjunction and
+    // double the dot-product work); the projection recomputes sim only
+    // for the surviving pairs
+    Similarity.candidatePairs(emb, idCol, vecCol, maxBrute,
+        pairPred = Some(round(Similarity.pairSim, 4) >= threshold),
+        knownCount = knownCount)
       .select(col("a"), col("b"), round(Similarity.pairSim, 4).as("sim"))
-      .filter(col("sim") >= threshold)
 
   /** Materialize the near-dup-deduplicated corpus from ANY pair list
     * (MinHash, SimHash, Jaccard, or embedding cosine): connected

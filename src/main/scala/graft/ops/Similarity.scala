@@ -125,12 +125,23 @@ object Similarity {
     * unguarded API would silently BroadcastNestedLoopJoin 10¹⁰ row pairs
     * at corpus scale. */
   private[graft] def candidatePairs(emb: DataFrame, idCol: String,
-      vecCol: String, maxBrute: Long): DataFrame = {
+      vecCol: String, maxBrute: Long,
+      pairPred: Option[Column] = None,
+      knownCount: Option[Long] = None): DataFrame = {
     // each side carries its squared norm (one self-dot per ROW) so the
-    // n² pair loop only pays the dot — see pairSim
+    // n² pair loop only pays the dot — see pairSim.
+    // `pairPred` (a [[pairSim]]-based threshold) is ANDed AFTER the
+    // cheap ordering conjunct rather than applied as a .filter: a
+    // pushed-down filter lands FIRST in the join condition, making the
+    // nested loop evaluate the dot product for all n² ordered pairs —
+    // with a < b leading, short-circuit halves the similarity work
+    def withPred(c: Column): Column = pairPred.fold(c)(p => c && p)
     val withNorm = emb.withColumn("__n2",
       graft.functions.DotProduct(col(vecCol), col(vecCol)))
-    if (emb.count() <= maxBrute) {
+    // knownCount skips the sizing job when the caller already holds the
+    // corpus size (a pipeline driving several passes over one table
+    // counts it once, not once per operator)
+    if (knownCount.getOrElse(emb.count()) <= maxBrute) {
       // small corpora usually sit in ONE parquet file — repartition the
       // stream side or the whole O(n²) pass runs on a single task
       val par = emb.sparkSession.sparkContext.defaultParallelism
@@ -138,7 +149,7 @@ object Similarity {
         col("__n2").as("na2")).repartition(par)
       val b = withNorm.select(col(idCol).as("b"), col(vecCol).as("vb"),
         col("__n2").as("nb2"))
-      a.join(b, col("a") < col("b"))
+      a.join(b, withPred(col("a") < col("b")))
     } else {
       // buildLsh projects (id, vec, bucket) — re-attach the row-scale norm
       val bucketed = buildLsh(emb, idCol, vecCol).withColumn("__n2",
@@ -147,7 +158,8 @@ object Similarity {
         col("__n2").as("na2"), col("bucket"))
       val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
         col("__n2").as("nb2"), col("bucket").as("bucket_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
+      a.join(b,
+          withPred(col("bucket") === col("bucket_b") && col("a") < col("b")))
         .drop("bucket", "bucket_b")
     }
   }

@@ -315,15 +315,29 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** Winnowing fingerprints as PURE column expressions (codegen'd, no
-    * UDF), hashing each k-gram with the low 60 bits of its md5 — a hash
-    * both engines can compute, so the selection is oracle-checkable
-    * end-to-end (60 bits keep the value positive: signed min == unsigned
-    * min on both sides). Same selection rule as [[winnowingUdf]]:
-    * normalize whitespace/case, hash every k-char gram, keep the min of
-    * each w-window, distinct. Returns (id, fp) rows. */
+  /** Winnowing fingerprints with the md5 selection rule, hashing each
+    * k-gram with the low 60 bits of its md5 — a hash both engines can
+    * compute, so the selection is oracle-checkable end-to-end (60 bits
+    * keep the value positive: signed min == unsigned min on both
+    * sides). Same selection rule as [[winnowingUdf]]: normalize
+    * whitespace/case, hash every k-char gram, keep the min of each
+    * w-window, distinct. The hash/min/dedup pass is the codegen
+    * [[graft.functions.WinnowMd5]] expression (one primitive loop
+    * inside whole-stage codegen); [[winnowMd5Declarative]] is the
+    * pure-SQL twin it is parity-pinned against. Returns (id, fp). */
   def winnowMd5Fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol),
+      explode(graft.functions.WinnowMd5(norm, k, w)).as("fp"))
+  }
+
+  /** The declarative (built-in HOF) twin of [[winnowMd5Fingerprints]] —
+    * byte-identical output, ~5× slower (interpreted `transform`s +
+    * per-window `slice`); kept as the parity oracle for the codegen
+    * expression (OpsSpec). */
+  private[graft] def winnowMd5Declarative(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val out = df
       .withColumn("__norm", norm)

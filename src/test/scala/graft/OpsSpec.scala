@@ -34,6 +34,35 @@ class OpsSpec extends SparkSpec {
     assert(norm === fps(1L))
   }
 
+  test("codegen winnowing matches the declarative md5 chain byte-for-byte") {
+    // the WinnowMd5 expression must reproduce the interpreted-HOF chain
+    // EXACTLY (same hashes, same window minima, same first-occurrence
+    // dedup) — this is what keeps q_doc_winnow's DuckDB oracle valid
+    val docs = Seq(
+      (1L, "The  Quick\n Brown fox jumps over the lazy dog repeatedly"),
+      (2L, "a"), // below k
+      (3L, "abcdefg"), // grams but below w windows? 3 grams < w=4 → empty
+      (4L, "abcdefgh"), // exactly w grams → one window
+      (5L, "ünïcodéŷ characters förever"), // multi-byte chars
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val fast = TextAnalysis.winnowMd5Fingerprints(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val slow = TextAnalysis.winnowMd5Declarative(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast === slow)
+    assert(fast.nonEmpty && fast.forall(_._2 >= 0L))
+    // and the SQL registration agrees with the column API
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql(
+      """SELECT id, explode(winnow_md5(
+        |  trim(regexp_replace(lower(text), '\\s+', ' ')), 5, 4)) AS fp
+        |FROM winnow_docs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaSql === fast)
+  }
+
   test("corpus-level line dedup strips boilerplate, keeps blanks and order") {
     val docs = Seq(
       (1L, "unique alpha\nCopyright Footer\n\nbody one"),
