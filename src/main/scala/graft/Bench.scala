@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Solo-band ceiling for the measured empty-plan floor on this box
+    * (SCALE.md documents 0.025–0.047 s solo across rounds). A floor
+    * above it is the contention tell: concurrent work inflates every
+    * per-query median ~40%+, and round 4's driver run read five healthy
+    * queries as regressions exactly this way. */
+  val SoloFloorCeiling = 0.045
+
+  /** The loud self-label a contended run must carry — None when the
+    * measured floor sits in the solo band. Pure so the synthetic-load
+    * path is testable without a bench run. */
+  def contentionWarning(floorSec: Double): Option[String] =
+    if (floorSec > SoloFloorCeiling)
+      Some(f"CONTENTION WARNING: measured floor_sec $floorSec%.3f exceeds " +
+        f"the solo band (<= $SoloFloorCeiling%.3f) — this run shared the " +
+        "box with other work; per-query medians are inflated and MUST NOT " +
+        "be read as regressions (re-run solo before comparing)")
+    else None
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,7 +122,10 @@ object Bench {
       "floor_sec = median latency of an empty 1-row plan (per-job local-mode " +
       "scheduling floor, amortized away on a real cluster); jobs = Spark " +
       "jobs per query action chain, measured on a steady-state run — " +
-      "jobs x floor_sec is the exact per-query scheduling overhead"
+      "jobs x floor_sec is the exact per-query scheduling overhead" +
+      contentionWarning(floorSec).map("; " + _).getOrElse("")
+    // stderr only — stdout must stay the single parseable JSON line
+    contentionWarning(floorSec).foreach(w => System.err.println(s"[bench] $w"))
     // sfDir comes from the environment — escape it like every other
     // string so a hostile/odd path cannot corrupt the JSON line
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""

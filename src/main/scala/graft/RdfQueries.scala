@@ -366,6 +366,26 @@ object RdfQueries {
       decodeS(ctx, subjects(ctx, FilterQ(p = "id", o = "random 50")))
     }),
 
+    // the sample CONTRACT as a hash-green gate (the ANN-recall-gate
+    // treatment, SURVEY §7.3): which rows get sampled is engine-specific,
+    // but the laws are not — at most N subjects, every one a live
+    // subject of the composed store (membership via semi-join), no
+    // duplicates, and non-empty on a non-empty store. The oracle states
+    // the laws as constants; the Spark side EARNS them against the data.
+    "q_rdf_sample_contract" -> ((s, dir) => {
+      val ctx = rctx(s, dir)
+      val sampled = subjects(ctx, FilterQ(p = "id", o = "random 50"))
+        .localCheckpoint() // one sample draw feeds all three probes
+      val members = sampled.join(
+        ctx.graph.triples.select("s").distinct(), Seq("s"), "left_semi")
+      val n = sampled.count()
+      val nDistinct = sampled.distinct().count()
+      val nMembers = members.count()
+      import s.implicits._
+      Seq((n <= 50L, nMembers == n, nDistinct == n, n > 0L))
+        .toDF("sampled_le_cap", "all_members", "all_distinct", "nonempty")
+    }),
+
     // §2.2 semantic filter — engine-specific scores => rows-only
     "q_rdf_semantic" -> ((s, dir) => {
       val ctx = Rdfize.semantic(s, dir)
@@ -408,6 +428,12 @@ object RdfQueries {
   private val natS = subj("nation", "n_nationkey")
 
   val oracle: Map[String, String] = Map(
+    // the sample laws (≤cap, membership, distinct, nonempty) as
+    // constants — the Spark side computes each against the actual drawn
+    // sample and the composed store, so a violated law goes hash-RED
+    "q_rdf_sample_contract" ->
+      ("SELECT TRUE AS sampled_le_cap, TRUE AS all_members, " +
+        "TRUE AS all_distinct, TRUE AS nonempty"),
     "q_rdf_filter_po" ->
       s"SELECT $custS AS s FROM customer WHERE c_mktsegment='BUILDING' ORDER BY s",
     "q_rdf_filter_p" ->

@@ -221,9 +221,12 @@ final class Bikidata(
   def buildSemantic(): Unit = {
     val semDir = s"$warehouseDir/${SemanticMaintenance.SemDir}"
     val annDir = s"$warehouseDir/${SemanticMaintenance.AnnDir}"
-    // every read composes against the context's graph frames — stay in
-    // their serving session so no plan mixes frames across sessions
-    val serving = ctx.graph.spark
+    // capture the context ONCE (synchronized getter): every read below
+    // composes against THIS context's graph frames, and the install at
+    // the bottom must verify the same instance is still live
+    val c0 = ctx
+    // stay in its serving session so no plan mixes frames across sessions
+    val serving = c0.graph.spark
     // full corpus embed + persist; on a read-only warehouse the built
     // frame itself is returned so the embedding work is never repeated
     def fullBuild(): Option[DataFrame] = {
@@ -238,7 +241,7 @@ final class Bikidata(
         // stale set (or a failed repair) falls back to a fresh full build
         val ok =
           try SemanticMaintenance.repair(serving, warehouseDir,
-            ctx.graph.triples, ctx.graph.literals, embedder)
+            c0.graph.triples, c0.graph.literals, embedder)
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bikidata] semantic delta repair failed, rebuilding: $e")
             false
@@ -281,8 +284,24 @@ final class Bikidata(
     served.cells.persist().count()
     def attach(c: EngineContext) =
       c.copy(semantic = Some(persisted), semanticAnn = Some(served))
-    ctxOpt = ctxOpt.map(attach)
-    if (ctxOpt.isEmpty) ctxOpt = Some(attach(ctx))
+    // install under the SAME lock ctx/invalidate use, and only if the
+    // context this build composed against is still the live one: a
+    // mutation's invalidate() racing this unlocked assignment could have
+    // its retirement overwritten by a context whose graph frames it just
+    // unpersisted — the stale-reinstall the ctx scaladoc guards against.
+    // On a lost race the disk artifacts are already committed; the next
+    // context init re-composes them against the fresh graph for the
+    // cost of a read, so bail-and-release is correct, not wasteful.
+    val installed = synchronized {
+      val live = ctxOpt.exists(_ eq c0)
+      if (live) ctxOpt = Some(attach(c0))
+      live
+    }
+    if (!installed) {
+      persisted.unpersist()
+      served.cells.unpersist()
+      ()
+    }
   }
 
   def query(opts: QueryOpts): QueryResult = QueryEngine.query(ctx, opts)

@@ -135,17 +135,32 @@ object Rdfize {
     * (p,o,s-clustered row groups) instead of an in-memory rebuild. */
   /** Remove `<base>.tmp-<pid>` leftovers from crashed writers — each
     * kill mid-write would otherwise strand one corpus-sized directory
-    * in the cache dir forever. A LIVE concurrent writer's tmp may be
-    * swept too; it only loses the publish race it could already lose
-    * (its rename fails and it falls back to the in-memory build). */
-  private def sweepStaleTmp(base: String): Unit = {
+    * in the cache dir forever. Only tmps whose OWNING PROCESS is gone
+    * are swept: a live writer's tmp must never be partially deleted,
+    * because `deleteRecursively` racing the owner's publish could strip
+    * part files from a fully-built tmp and still let its rename succeed
+    * — a torn warehouse carrying a valid `_complete` marker that every
+    * later session trusts. Defense in depth for a recycled pid: the
+    * tmp's `_complete` marker is deleted FIRST, so a half-swept dir
+    * that somehow publishes reads as garbage, not as complete. */
+  private[graft] def sweepStaleTmp(base: String): Unit = {
     val f = new java.io.File(base)
     val parent = f.getParentFile
     if (parent == null || !parent.exists()) return
     val prefix = f.getName + ".tmp-"
     Option(parent.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(prefix))
-      .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
+      .filter { d =>
+        val pid = scala.util.Try(
+          d.getName.stripPrefix(prefix).toLong).toOption
+        // unparseable pid → foreign dir, leave it; parseable → sweep
+        // only when no such process exists anymore
+        pid.exists(p => !ProcessHandle.of(p).isPresent)
+      }
+      .foreach { d =>
+        new java.io.File(d, "_complete").delete()
+        new scala.reflect.io.Directory(d).deleteRecursively()
+      }
   }
 
   private def cacheDir(sfDir: String): String =

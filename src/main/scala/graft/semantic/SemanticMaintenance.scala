@@ -100,11 +100,24 @@ object SemanticMaintenance {
       triples: DataFrame, literals: DataFrame, embedder: Embedder): Boolean = {
     val stalePath = s"$warehouseDir/$StaleDir"
     if (!StoreIO.exists(spark, stalePath)) return true
-    val stale = spark.read.parquet(stalePath)
+    // SNAPSHOT the stale dir's data files before reading, and clear only
+    // that snapshot at the end: markStale runs under the facade's
+    // mutation lock but repair does not, and the embed window in between
+    // is long (network/GPU-bound by design). A whole-dir delete here
+    // would drop any mark appended during that window — the index would
+    // then serve those subjects' stale embeddings silently and forever.
+    // Parquet appends only ever CREATE new part files, so marks landing
+    // after the snapshot survive untouched for the next repair.
+    def dataFiles(): Seq[String] = StoreIO.list(spark, stalePath)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$stalePath/$n")
+    val snapshot = dataFiles()
+    if (snapshot.isEmpty) return true
+    val stale = spark.read.parquet(snapshot: _*)
     val staleHashes = stale.select("hash").distinct().persist()
     try {
       val n = staleHashes.count()
-      if (n == 0) { StoreIO.delete(spark, stalePath); return true }
+      if (n == 0) { snapshot.foreach(StoreIO.delete(spark, _)); return true }
       if (n > MaxStaleForDeltaRepair) return false
       val maxSeq = stale.agg(max(col("seq"))).head().getLong(0)
       val docs = graft.fts.FtsIndex.buildFtssFor(
@@ -118,7 +131,7 @@ object SemanticMaintenance {
       vecs.unionByName(removals)
         .withColumn("seq", lit(maxSeq))
         .write.mode(SaveMode.Append).parquet(s"$warehouseDir/$DeltaDir")
-      StoreIO.delete(spark, stalePath)
+      snapshot.foreach(StoreIO.delete(spark, _))
       true
     } finally { staleHashes.unpersist(); () }
   }
@@ -164,6 +177,13 @@ object SemanticMaintenance {
     * delta over the already-folded base. */
   def foldAtCompact(spark: SparkSession, warehouseDir: String): Unit = {
     recoverFold(spark, warehouseDir)
+    // reclaim a corpus-sized _semantic_fold stranded by a crash between
+    // its write and the swap (recoverFold only handles _semantic_old).
+    // Deleted HERE — under the compact caller's single-writer lock — and
+    // not in recoverFold, which composeWithGen also runs: a concurrent
+    // reader must never delete a live compaction's half-written fold
+    // (the rename could then publish a torn frame).
+    StoreIO.delete(spark, s"$warehouseDir/_semantic_fold")
     if (!StoreIO.exists(spark, s"$warehouseDir/$DeltaDir")) return
     composeWithGen(spark, warehouseDir).foreach { case (composed, _) =>
       val tmp = s"$warehouseDir/_semantic_fold"

@@ -58,7 +58,13 @@ class SemanticMaintenanceSpec extends SparkSpec {
     assert(new java.io.File(s"$wh/semantic_stale").exists())
 
     bk.buildSemantic() // repair
-    assert(!new java.io.File(s"$wh/semantic_stale").exists())
+    // repair clears the stale marks it SNAPSHOTTED (file-level deletes,
+    // so marks appended concurrently survive) — the dir husk may remain
+    val staleLeft = Option(new java.io.File(s"$wh/semantic_stale").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(staleLeft.isEmpty,
+      s"stale data files survived repair: ${staleLeft.mkString(",")}")
     assert(new java.io.File(s"$wh/literals_semantic_delta").exists())
     val after = composed(wh)
     val expect = fullRebuild(wh)
@@ -203,5 +209,59 @@ class SemanticMaintenanceSpec extends SparkSpec {
   test("markStale without a persisted index reports false (caller drops)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sem-none").toString
     assert(!SemanticMaintenance.markStale(spark, dir, Seq(1L), 2L))
+  }
+
+  test("a mark appended during the embed window survives repair's stale clear") {
+    // repair snapshots the stale dir's FILES at entry and deletes only
+    // that snapshot: a mutation marking subjects while the (long,
+    // network-bound by design) embed runs must not lose its marks to a
+    // whole-dir delete — they wait for the next repair
+    val (wh, bk) = freshStore()
+    assert(bk.insert(Seq(
+      Quad("<http://ex/c>", Label, "\"gamma basalt\"", ""))).error.isEmpty)
+    val g = new Warehouse(spark, wh).load()
+    GatingEmbedderState.reset()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(SemanticMaintenance.repair(
+      spark, wh, g.triples, g.literals, new GatingEmbedder))
+    assert(GatingEmbedderState.started.await(
+      60, java.util.concurrent.TimeUnit.SECONDS), "embed never started")
+    // the concurrent mark, landing inside repair's embed window
+    val hNew = Hash64.hashString("<http://ex/a>")
+    assert(SemanticMaintenance.markStale(spark, wh, Seq(hNew), 99L))
+    GatingEmbedderState.release.countDown()
+    assert(Await.result(fut, scala.concurrent.duration.Duration(120, "s")))
+    // only repair's snapshot was cleared — the mid-window mark survives
+    val left = spark.read.parquet(s"$wh/semantic_stale")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left.map(_._1).contains(hNew), s"concurrent mark lost: $left")
+    assert(left.forall(_._2 == 99L), s"pre-snapshot marks resurfaced: $left")
+  }
+}
+
+/** Latches for [[GatingEmbedder]] — a top-level object so the executor-
+  * side closure references the module, not a serialized latch. */
+object GatingEmbedderState {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
+/** [[graft.semantic.HashingEmbedder]] that signals its first batch and
+  * blocks until released — deterministically holds repair open inside
+  * its embed window (local mode: executors share the JVM). */
+class GatingEmbedder extends graft.semantic.Embedder {
+  private val inner = HashingEmbedder()
+  override def batchSize: Int = inner.batchSize
+  override def dim: Int = inner.dim
+  def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    GatingEmbedderState.started.countDown()
+    GatingEmbedderState.release.await(
+      120, java.util.concurrent.TimeUnit.SECONDS)
+    inner.embed(texts)
   }
 }
