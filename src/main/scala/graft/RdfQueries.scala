@@ -374,13 +374,16 @@ object RdfQueries {
     // the laws as constants; the Spark side EARNS them against the data.
     "q_rdf_sample_contract" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      val sampled = subjects(ctx, FilterQ(p = "id", o = "random 50"))
-        .localCheckpoint() // one sample draw feeds all three probes
-      val members = sampled.join(
-        ctx.graph.triples.select("s").distinct(), Seq("s"), "left_semi")
-      val n = sampled.count()
-      val nDistinct = sampled.distinct().count()
-      val nMembers = members.count()
+      // the sample is ≤ N rows BY THE OPERATOR'S OWN CAP, so collecting
+      // it is bounded at any store size; cap + distinctness check on the
+      // driver, membership as ONE s-IN pruned scan (never a join or a
+      // corpus-side broadcast)
+      val ids = subjects(ctx, FilterQ(p = "id", o = "random 50"))
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val n = ids.length.toLong
+      val nDistinct = ids.distinct.length.toLong
+      val nMembers = ctx.graph.triples.filter(col("s").isin(ids: _*))
+        .select("s").distinct().count()
       import s.implicits._
       Seq((n <= 50L, nMembers == n, nDistinct == n, n > 0L))
         .toDF("sampled_le_cap", "all_members", "all_distinct", "nonempty")

@@ -69,10 +69,21 @@ final case class EngineContext(
     retired: java.util.concurrent.atomic.AtomicBoolean =
       new java.util.concurrent.atomic.AtomicBoolean(false)) {
 
-  /** Decode column via the broadcast map (None => use the join path). */
+  /** Decode column via the broadcast map (None => use the join path).
+    *
+    * The UDF is marked NONDETERMINISTIC as a plan barrier, not because
+    * it is: decode sits at plan TOPS (envelope/gate presentation over
+    * aggregated, page-bounded rows), but its deterministic form let
+    * Catalyst push the `inner` null-filter `isnotnull(udf(key))` below
+    * the aggregate and join it keys — running the map lookup once per
+    * CORPUS row instead of once per result row (measured 0.27 → 0.40 s
+    * on a 4-row facet; at 100 TB it would be a full-corpus decode).
+    * Nothing downstream needs decode pushdown: every consumer decodes
+    * last by construction. */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
     dictBroadcast.map { b =>
-      org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull).apply(c)
+      org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull)
+        .asNondeterministic().apply(c)
     }
 
   /** Unpersist + clear every derived cache. Remove-then-unpersist per

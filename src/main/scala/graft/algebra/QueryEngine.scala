@@ -334,8 +334,20 @@ object QueryEngine {
     // to broadcast at runtime when the set turns out small) rather than
     // force-collecting a possibly corpus-scale set to the driver.
     val sSide = sResults.select("s").as("S")
+    // a STORE-LEVEL bound needs no sizing job at all: any subject set —
+    // even a raw, multiplicity-carrying one — is derived from the
+    // triples relation, so when the whole pinned relation's plan bytes
+    // fit under the broadcast budget the set is broadcast-safe a
+    // priori. A corpus-scale store fails the bound and falls back to
+    // the caller-known count (or the unhinted plan) as before; without
+    // this, every filtered facet paid a count(s_results) job just to
+    // earn its hint — pure floor on small/medium stores.
+    val storeBounded =
+      graft.store.Graph.planBytes(t) <= maxBroadcastFacetSubjects * 8L
     val hinted =
-      if (sCount.exists(_ <= maxBroadcastFacetSubjects)) broadcast(sSide) else sSide
+      if (storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))
+        broadcast(sSide)
+      else sSide
     val joined = t.join(hinted, Seq("s"), "left_semi")
     agg match {
       case "graphs" | "properties" =>
@@ -343,10 +355,15 @@ object QueryEngine {
         // decode AFTER the aggregation: tiny row set, bijective via hash.
         // The reference leaves this order undefined (no ORDER BY,
         // query.py:746-748); (count desc, val asc) makes the envelope
-        // deterministic across runs AND across the decode-map/join paths
+        // deterministic across runs AND across the decode-map/join paths.
+        // coalesce(1) first: the aggregate's exchange already ran, so
+        // the merge is post-shuffle (map side stays parallel) and the
+        // envelope sort becomes a single-task local sort instead of a
+        // range sort whose SAMPLING job re-executes the semi-join+agg
         decoded(ctx, joined.groupBy(col(keyCol)).agg(count(lit(1)).as("count")),
             keyCol, "val", inner = true)
           .select(col("count"), col("val"))
+          .coalesce(1)
           .orderBy(col("count").desc, col("val").asc)
       case propIri =>
         val filtered = joined.filter(col("p") === h(propIri))
@@ -355,6 +372,7 @@ object QueryEngine {
         // (every hash lives in exactly one dictionary)
         decoded(ctx, counts, "o", "val", inner = true)
           .select(col("count"), col("val"))
+          .coalesce(1) // facet output is envelope-scale; see above
           .orderBy(col("count").desc, col("val").asc)
     }
   }

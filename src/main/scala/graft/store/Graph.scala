@@ -153,7 +153,7 @@ object Graph {
 
   /** Catalyst's size estimate for a frame — file bytes for a parquet
     * scan, computed WITHOUT running a job. */
-  private[store] def planBytes(df: DataFrame): Long = {
+  private[graft] def planBytes(df: DataFrame): Long = {
     val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (b.isValidLong) b.toLong else Long.MaxValue
   }

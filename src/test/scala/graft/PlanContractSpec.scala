@@ -50,15 +50,24 @@ class PlanContractSpec extends SparkSpec {
   test("facet past the broadcast cap drops the broadcast hint") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
-    // a claimed huge subject count must not FORCE the broadcast (the
-    // low-selectivity-filter case that would blow the driver limit);
-    // AQE may still choose to broadcast small actual data — the
-    // contract is on the hint in the analyzed plan, not the runtime pick
-    val hinted = QueryEngine.facet(ctx, "graphs", sres, sCount = Some(1L))
+    // on a SMALL store any subject subset is broadcast-safe a priori
+    // (the set derives from the bounded triples relation), so the hint
+    // appears even with no caller count — the sizing job is gone
+    val hinted = QueryEngine.facet(ctx, "graphs", sres, sCount = None)
       .queryExecution.analyzed.toString
-    val unhinted = QueryEngine.facet(ctx, "graphs", sres, sCount = Some(Long.MaxValue))
+    assert(hinted.toLowerCase.contains("hint"), s"small-store set not hinted:\n$hinted")
+    // on a CORPUS-SCALE store (simulated: a range relation whose plan
+    // stats dwarf the broadcast budget) a claimed-huge count must not
+    // FORCE the broadcast — the low-selectivity-filter case that would
+    // blow the driver limit. AQE may still pick broadcast at runtime
+    // for small actual data; the contract is on the analyzed-plan hint.
+    val spark0 = ctx.graph.spark
+    val bigTriples = spark0.range(2000000000L)
+      .selectExpr("id AS s", "id AS p", "id AS o", "pmod(id, 4) AS g")
+    val bigCtx = ctx.copy(graph = ctx.graph.copy(triples = bigTriples))
+    val unhinted = QueryEngine.facet(bigCtx, "graphs",
+        bigTriples.select("s").limit(10), sCount = Some(Long.MaxValue))
       .queryExecution.analyzed.toString
-    assert(hinted.toLowerCase.contains("hint"), s"small set not hinted:\n$hinted")
     assert(!unhinted.toLowerCase.contains("hint"),
       s"oversized facet subject set still force-broadcast:\n$unhinted")
   }
