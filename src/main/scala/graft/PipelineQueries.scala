@@ -123,12 +123,19 @@ object PipelineQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     embCountCache.computeIfAbsent(dir, { _ => Long.box(emb(s, dir).count()) })
 
+  // Same once-per-input counting for the documents table — boilerplate's
+  // df-threshold needs the corpus size.
+  private val docsCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docsCount(s: SparkSession, dir: String): Long =
+    docsCountCache.computeIfAbsent(dir, { _ => Long.box(docsPar(s, dir).count()) })
+
   /** Drop cached intermediate frames (their checkpoint blocks are freed
     * once unreferenced). Harness lifecycle hook — not needed between
     * queries. */
   def clearCaches(): Unit = {
     pairsCache.clear(); mediaCache.clear(); audioCache.clear()
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
+    docsCountCache.clear()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -430,10 +437,13 @@ object PipelineQueries {
         when(col("doc_id") % 10 === 0,
           concat(col("text"), lit("\nShared Footer Line"))).otherwise(col("text")))
       TextAnalysis.stripBoilerplateLines(planted, "doc_id", "text",
-          minDocs = 3, maxDocFrac = 0.05)
+          minDocs = 3, maxDocFrac = 0.05,
+          totalDocs = Some(docsCount(s, dir)))
         .select(col("doc_id"), md5(col("text")).as("clean_md5"),
           col("lines_kept"), col("lines_dropped"))
-        .orderBy("doc_id")
+        // barrier exchange + one-task sort: a range sort's sampling pass
+        // would re-run the whole explode + df-threshold + rebuild chain
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     // sequence packing: concat-and-chunk documents into fixed-budget

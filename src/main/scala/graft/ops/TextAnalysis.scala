@@ -132,15 +132,29 @@ object TextAnalysis {
     val boiler = lines.filter(trim(col("line")) =!= "")
       .groupBy("line").agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= threshold)
-      .select("line")
-    val kept = lines.join(boiler.withColumnRenamed("line", "b"),
-        lines("line") === col("b") && trim(lines("line")) =!= "", "left_anti")
-    kept.groupBy(col(idCol))
+      .select(col("line").as("b"), lit(1).as("__bf"))
+    // flag-then-aggregate, NOT anti-join + re-aggregate + re-join: a
+    // left join marks boilerplate lines (blank lines never match, so
+    // they always survive), and ONE per-doc aggregate produces the
+    // rebuilt text AND both line counts via conditional aggregation —
+    // the old shape paid a second lines aggregate plus an id-keyed join
+    // just to recover lines_total. The boilerplate side stays unhinted:
+    // its size is corpus-dependent, the planner (or AQE) picks the
+    // join strategy from its aggregated stats.
+    val flagged = lines.join(boiler,
+      lines("line") === col("b") && trim(lines("line")) =!= "", "left")
+    flagged.groupBy(col(idCol))
       .agg(
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        // when() without otherwise is null on boilerplate rows and
+        // collect_list skips nulls — only kept lines enter the rebuild
+        array_join(transform(array_sort(collect_list(
+            when(col("__bf").isNull, struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as(textCol),
-        count(lit(1)).as("lines_kept"))
-      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).as("lines_total")), Seq(idCol))
+        count(when(col("__bf").isNull, lit(1))).as("lines_kept"),
+        count(lit(1)).as("lines_total"))
+      // a doc whose every line was boilerplate leaves the corpus (the
+      // anti-join form dropped it implicitly; the reference SQL agrees)
+      .filter(col("lines_kept") > 0)
       .withColumn("lines_dropped", col("lines_total") - col("lines_kept"))
       .drop("lines_total")
   }
