@@ -3,11 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Solo-band ceiling for the measured empty-plan floor on this box
-    * (SCALE.md documents 0.025–0.047 s solo across rounds). A floor
-    * above it is the contention tell: concurrent work inflates every
-    * per-query median ~40%+, and round 4's driver run read five healthy
-    * queries as regressions exactly this way. */
-  val SoloFloorCeiling = 0.045
+    * (SCALE.md documents 0.025–0.047 s solo across rounds; the ceiling
+    * sits slightly above the band's top so a legitimate solo run at
+    * 0.046–0.047 is not falsely flagged). A floor above it is the
+    * contention tell: concurrent work inflates every per-query median
+    * ~40%+, and round 4's driver run read five healthy queries as
+    * regressions exactly this way. */
+  val SoloFloorCeiling = 0.050
 
   /** The loud self-label a contended run must carry — None when the
     * measured floor sits in the solo band. Pure so the synthetic-load

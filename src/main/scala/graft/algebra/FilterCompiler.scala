@@ -141,18 +141,21 @@ object EngineContext {
 
 /** Compiles one [[FilterQ]] into a subject-set DataFrame — the Spark
   * counterpart of the reference's `q_to_sql` (query.py:122-218). Every
-  * filter produces `(s)` — NOT deduplicated (or `(s, score)` distinct when
-  * `withScore` and the filter scores) — or None for unrecognized shapes,
-  * which the caller silently drops, as the reference does (query.py:659-669).
+  * filter produces `(s)` or, when `withScore` and the filter scores,
+  * `(s, score)` — NEITHER is deduplicated — or None for unrecognized
+  * shapes, which the caller silently drops, as the reference does
+  * (query.py:659-669).
   *
   * Branch outputs carry duplicate subjects on purpose:
   * [[QueryEngine.combineSets]] applies ONE final dedup whose partial
   * (map-side) aggregation removes duplicates before the shuffle, so a
   * single global distinct is strictly cheaper than a distinct per branch
   * — and set-operator joins (`intersect`/`except`) plus semi-join
-  * consumers ([[QueryEngine.facet]]) need no dedup at all. Scoring
-  * branches keep their internal distinct: their frames are persisted by
-  * [[QueryEngine.query]] and the dedup bounds the cached size.
+  * consumers ([[QueryEngine.facet]]) need no dedup at all. Scored
+  * outputs are NOT deduplicated either (the fts branch emits one row
+  * per posting hit; only the semantic branch happens to be internally
+  * distinct): consumers MUST fold multiplicity themselves — the engine's
+  * score path does `max(score) GROUP BY s` before any ordering/paging.
   */
 object FilterCompiler {
 

@@ -336,14 +336,22 @@ object QueryEngine {
     val sSide = sResults.select("s").as("S")
     // a STORE-LEVEL bound needs no sizing job at all: any subject set —
     // even a raw, multiplicity-carrying one — is derived from the
-    // triples relation, so when the whole pinned relation's plan bytes
-    // fit under the broadcast budget the set is broadcast-safe a
-    // priori. A corpus-scale store fails the bound and falls back to
-    // the caller-known count (or the unhinted plan) as before; without
-    // this, every filtered facet paid a count(s_results) job just to
-    // earn its hint — pure floor on small/medium stores.
+    // triples relation, so when the whole pinned relation is provably
+    // row-bounded the set is broadcast-safe a priori. The proof is a
+    // ROW-count from plan stats (a materialized InMemoryRelation always
+    // carries one); bytes alone don't prove rows — dictionary/RLE
+    // compression can pack far more than 4M triples under 32 MB — so
+    // the byte fallback (unmaterialized plans) divides by a 4×
+    // compression pad on the 8 B/subject budget. A corpus-scale store
+    // fails the bound and falls back to the caller-known count (or the
+    // unhinted plan) as before; without this, every filtered facet paid
+    // a count(s_results) job just to earn its hint — pure floor on
+    // small/medium stores.
     val storeBounded =
-      graft.store.Graph.planBytes(t) <= maxBroadcastFacetSubjects * 8L
+      graft.store.Graph.planRowCount(t)
+        .map(_ <= maxBroadcastFacetSubjects)
+        .getOrElse(
+          graft.store.Graph.planBytes(t) <= maxBroadcastFacetSubjects * 2L)
     val hinted =
       if (storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))
         broadcast(sSide)

@@ -153,9 +153,12 @@ object Rdfize {
       .filter { d =>
         val pid = scala.util.Try(
           d.getName.stripPrefix(prefix).toLong).toOption
-        // unparseable pid → foreign dir, leave it; parseable → sweep
-        // only when no such process exists anymore
-        pid.exists(p => !ProcessHandle.of(p).isPresent)
+        // unparseable or non-positive pid → foreign dir, leave it
+        // (ProcessHandle.of throws on pid <= 0); parseable → sweep only
+        // when the liveness check POSITIVELY says the process is gone —
+        // a check that itself throws means "leave it", same as foreign
+        pid.exists(p => p > 0 && scala.util.Try(
+          !ProcessHandle.of(p).isPresent).getOrElse(false))
       }
       .foreach { d =>
         new java.io.File(d, "_complete").delete()

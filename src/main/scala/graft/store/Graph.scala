@@ -158,6 +158,15 @@ object Graph {
     if (b.isValidLong) b.toLong else Long.MaxValue
   }
 
+  /** Row-count estimate from plan statistics, when the plan carries one
+    * (a materialized InMemoryRelation always does; a raw file scan
+    * usually does not). Preferred over [[planBytes]] for ROW-bounded
+    * decisions: dictionary/RLE-compressed bytes say almost nothing
+    * about row counts. */
+  private[graft] def planRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan.stats.rowCount
+      .filter(n => n >= 0 && n.isValidLong).map(_.toLong)
+
   private[store] def clampToInt(v: Long, lo: Int, hi: Int): Int =
     math.max(lo, math.min(hi.toLong, v).toInt)
 

@@ -25,12 +25,16 @@ class SweepSpec extends AnyFunSuite {
     val live = mkTmp(parent, s"wh_v3.tmp-${ProcessHandle.current().pid()}")
     // unparseable suffix: not ours to judge, must survive
     val foreign = mkTmp(parent, "wh_v3.tmp-backup")
+    // parseable-but-negative pid: ProcessHandle.of would throw — must be
+    // treated as foreign (left alone), not crash the sweep (ADVICE r5)
+    val negative = mkTmp(parent, "wh_v3.tmp--5")
     graft.rdfize.Rdfize.sweepStaleTmp(base.getPath)
     assert(!dead.exists(), "dead-pid tmp should be swept")
     assert(live.exists(), "live writer's tmp must never be touched")
     assert(new java.io.File(live, "_complete").exists(),
       "live tmp's completion marker must survive the sweep")
     assert(foreign.exists(), "unparseable tmp name must survive")
+    assert(negative.exists(), "negative-pid tmp must survive, not throw")
   }
 
   test("bench self-labels contention when the floor leaves the solo band") {
