@@ -22,10 +22,11 @@ object Bench {
         "be read as regressions (re-run solo before comparing)")
     else None
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The serving-session config Bench measures under — shared with the
+    * Dev* probes so their timings are comparable to bench numbers. */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,6 +47,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     val w0 = System.nanoTime()
     try SparkEntry.warmup(spark, sfDir)

@@ -71,19 +71,22 @@ final case class EngineContext(
 
   /** Decode column via the broadcast map (None => use the join path).
     *
-    * The UDF is marked NONDETERMINISTIC as a plan barrier, not because
-    * it is: decode sits at plan TOPS (envelope/gate presentation over
-    * aggregated, page-bounded rows), but its deterministic form let
-    * Catalyst push the `inner` null-filter `isnotnull(udf(key))` below
-    * the aggregate and join it keys — running the map lookup once per
-    * CORPUS row instead of once per result row (measured 0.27 → 0.40 s
-    * on a 4-row facet; at 100 TB it would be a full-corpus decode).
-    * Nothing downstream needs decode pushdown: every consumer decodes
-    * last by construction. */
+    * [[graft.functions.DictDecode]] is marked NONDETERMINISTIC as a plan
+    * barrier, not because it is: decode sits at plan TOPS (envelope/gate
+    * presentation over aggregated, page-bounded rows), but a
+    * deterministic form let Catalyst push the `inner` null-filter
+    * `isnotnull(decode(key))` below the aggregate and join it keys —
+    * running the map lookup once per CORPUS row instead of once per
+    * result row (measured 0.27 → 0.40 s on a 4-row facet; at 100 TB it
+    * would be a full-corpus decode). Nothing downstream needs decode
+    * pushdown: every consumer decodes last by construction. A native
+    * expression rather than a Scala UDF: the UDF form paid
+    * ResolveEncodersInUDF/HandleNullInputsForUDF analyzer work on every
+    * decoding query — pure per-query planning cost on the serving path. */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
     dictBroadcast.map { b =>
-      org.apache.spark.sql.functions.udf((h: Long) => b.value.get(h).orNull)
-        .asNondeterministic().apply(c)
+      org.apache.spark.sql.GraftShims.column(graft.functions.DictDecode(
+        org.apache.spark.sql.GraftShims.expression(c), b))
     }
 
   /** Unpersist + clear every derived cache. Remove-then-unpersist per
@@ -91,7 +94,12 @@ final case class EngineContext(
     * removed here or caught by its installer's own retired re-check. */
   def drainDerivedCaches(): Unit = {
     val pi = pathEdges.keySet().iterator()
-    while (pi.hasNext) Option(pathEdges.remove(pi.next())).foreach(_.edges.unpersist())
+    while (pi.hasNext) Option(pathEdges.remove(pi.next())).foreach { pe =>
+      pe.edges.unpersist()
+      // non-blocking release: in-flight queries holding the broadcast
+      // still complete; the blocks just stop being cached
+      pe.parentArrays.foreach(_.unpersist(false))
+    }
     val si = statFrames.keySet().iterator()
     while (si.hasNext) Option(statFrames.remove(si.next())).foreach(_.unpersist())
     stats.clear()
@@ -118,8 +126,18 @@ final case class EngineContext(
   * property's shape: `singleParent` means no node has two parents, so a
   * frontier can never GROW across a walk — the driver-side walk may then
   * collect each round directly instead of materializing executor-side
-  * first to guard against fanout^k blow-up. */
-final case class PathEdges(edges: DataFrame, singleParent: Boolean)
+  * first to guard against fanout^k blow-up.
+  *
+  * `parentArrays` is the walk's broadcast fast path, built once per
+  * (context, property) when the graph is single-parent AND the edge
+  * count fits [[QueryEngine.maxBroadcastPathEdges]]: (sorted child
+  * hashes, parallel parent hashes) — a primitive-array map (binary
+  * search per lookup, no boxing) that lets one projection walk EVERY
+  * level of a chain in a single job, with no per-level join or
+  * broadcast-build job. A corpus-scale property leaves it None and
+  * keeps the iterative join walk. */
+final case class PathEdges(edges: DataFrame, singleParent: Boolean,
+    parentArrays: Option[org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]] = None)
 
 object EngineContext {
   /** Collect + broadcast the dictionary when it is bounded. One

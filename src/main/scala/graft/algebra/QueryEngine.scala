@@ -413,6 +413,11 @@ object QueryEngine {
     * broadcast joins, dividing the per-job scheduling floor by k. */
   private val pathLevelsPerJob = 4
 
+  /** Edge-count bound for the [[PathEdges.parentArrays]] broadcast walk
+    * (~64 MB of long pairs at the cap — same order as the facet
+    * broadcast budget). Corpus-scale properties keep the join walk. */
+  private val maxBroadcastPathEdges = 4000000L
+
   /** One k-level walk step as a DataFrame transform: left-join `cur`
     * (source, path, head) against the edge set `levels` times inside ONE
     * plan; a finished chain (null head) no longer matches and rides
@@ -467,9 +472,48 @@ object QueryEngine {
         .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
       val maxMult = e.groupBy(col("part")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head.get(0)
-      PathEdges(e, maxMult == null || maxMult.asInstanceOf[Long] <= 1L)
+      val single = maxMult == null || maxMult.asInstanceOf[Long] <= 1L
+      // broadcast fast path: a single-parent edge set under the bound is
+      // collected ONCE per (context, property) into sorted primitive
+      // arrays — every later paths() call walks all levels in one job.
+      // The count is ~free (e is persisted); sorting runs driver-side to
+      // avoid a range-exchange job on the bounded set.
+      val arrays =
+        if (single && e.count() <= maxBroadcastPathEdges) {
+          val rows = e.collect()
+          val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          Some(spark.sparkContext.broadcast(
+            (sorted.map(_._1), sorted.map(_._2))))
+        } else None
+      PathEdges(e, single, arrays)
     }
     val edges = pe.edges
+    pe.parentArrays match {
+      case Some(bc) =>
+        val maxIter = ctx.maxPathIterations
+        // whole-chain walk as ONE projection: binary-search the parent
+        // of the head until a root (not found) — finished chain — or the
+        // iteration cap with a parent still present — treated as a cycle
+        // and dropped (null path), matching the join walk's contract
+        val walkUdf = udf { (s: Long) =>
+          val (keys, vals) = bc.value
+          val buf = scala.collection.mutable.ArrayBuffer[Long](s)
+          var cur = s
+          var lvl = 0
+          var idx = java.util.Arrays.binarySearch(keys, cur)
+          while (idx >= 0 && lvl < maxIter) {
+            cur = vals(idx)
+            buf += cur
+            lvl += 1
+            idx = java.util.Arrays.binarySearch(keys, cur)
+          }
+          if (idx >= 0) null else buf.toArray
+        }
+        return wanted.select(col("s").as("source"),
+            walkUdf(col("s")).as("path"))
+          .filter(col("path").isNotNull)
+      case None => ()
+    }
     // the first round walks the page frame DIRECTLY and collects the
     // walked result — folding the old seed-the-driver collect into the
     // first walk job (one job instead of two). Driver exposure is
