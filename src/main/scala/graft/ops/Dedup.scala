@@ -182,6 +182,35 @@ object Dedup {
     * distributed iterative min-label propagation (every round one join +
     * one groupBy, lineage cut per round — the standard DataFrame-native
     * union-find for web-scale dedup). */
+  /** Driver-side union-find over a PERSISTED (x, y) pair frame when it
+    * is long-keyed and under the edge cap: Some(sorted (id, min-label))
+    * — and the pin is released — or None (caller's distributed walk
+    * reuses the still-persisted frame). The persist + count fold the
+    * materialization and the cap decision into ONE job; the collect
+    * then reads cached blocks. */
+  private def driverComponents(pinned: DataFrame,
+      maxDriverEdges: Long): Option[Array[(Long, Long)]] = {
+    val isLongKeyed =
+      pinned.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!isLongKeyed || pinned.count() > maxDriverEdges) return None
+    val es = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
+    pinned.unpersist()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx < ry) parent(ry) = rx else if (ry < rx) parent(rx) = ry
+    }
+    val ids = es.iterator.flatMap { case (x, y) => Iterator(x, y) }.toSet
+    Some(ids.toArray.sorted.map(id => (id, find(id))))
+  }
+
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxRounds: Int = 20, maxDriverEdges: Long = 200000L): DataFrame = {
     // materialize the pair list ONCE before mirroring it — the input may
@@ -193,28 +222,12 @@ object Dedup {
     // the distributed path needs (localCheckpoint) happens only on that
     // branch — small dedups never pay its extra copy job.
     val pinned = pairs.select(col(aCol).as("x"), col(bCol).as("y")).persist()
-    val isLongKeyed =
-      pinned.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (isLongKeyed && pinned.count() <= maxDriverEdges) {
-      val es = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
-      pinned.unpersist()
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (x, y) =>
-        val (rx, ry) = (find(x), find(y))
-        if (rx < ry) parent(ry) = rx else if (ry < rx) parent(rx) = ry
-      }
-      val ids = es.iterator.flatMap { case (x, y) => Iterator(x, y) }.toSet
-      val out = ids.toSeq.sorted.map(id => (id, find(id)))
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return out.toDF("id", "cluster")
+    driverComponents(pinned, maxDriverEdges) match {
+      case Some(out) =>
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return out.toSeq.toDF("id", "cluster")
+      case None => ()
     }
     // distributed path: cut lineage (the iterative walk must not re-run
     // the pair plan per round), then release the cache — the eager
@@ -305,22 +318,61 @@ object Dedup {
     // threshold inside the join condition AFTER a < b (see
     // candidatePairs: a pushed .filter would lead the conjunction and
     // double the dot-product work); the projection recomputes sim only
-    // for the surviving pairs
+    // for the surviving pairs.
+    // The exact 4-dp check is GUARDED by a raw-double compare: Spark
+    // rounds doubles through BigDecimal (~an allocation + decimal
+    // conversion per call), which at n² pairs was the single largest
+    // cost of the pass. round(x,4) >= t implies x >= t - 5e-5, so
+    // `rawSim >= t - 1e-3` can never reject a pair the exact check
+    // accepts — the BigDecimal round now runs only on near-threshold
+    // survivors instead of every candidate pair.
     Similarity.candidatePairs(emb, idCol, vecCol, maxBrute,
-        pairPred = Some(round(Similarity.pairSim, 4) >= threshold),
+        pairPred = Some(Similarity.pairSim >= threshold - 1e-3 &&
+          round(Similarity.pairSim, 4) >= threshold),
         knownCount = knownCount)
       .select(col("a"), col("b"), round(Similarity.pairSim, 4).as("sim"))
 
   /** Materialize the near-dup-deduplicated corpus from ANY pair list
     * (MinHash, SimHash, Jaccard, or embedding cosine): connected
-    * components over the pair graph ([[clusters]]), then keep exactly the
-    * min-id member of each component — rows never paired survive
-    * untouched via the anti-join. */
+    * components over the pair graph (driver union-find under the edge
+    * cap, [[clusters]] past it), then keep exactly the min-id member of
+    * each component — rows never paired survive untouched (the drop-set
+    * IN filter / anti-join only removes paired non-canonicals). */
   def keepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drop = clusters(pairs).filter(col("cluster") =!= col("id"))
-      .select(col("id").as("__drop"))
-    df.join(drop, df(idCol) === col("__drop"), "left_anti")
+    val pinned = pairs.select(col("a").as("x"), col("b").as("y")).persist()
+    driverComponents(pinned, 200000L) match {
+      case Some(out) =>
+        // the drop set is already driver-local — filter with an IN-set
+        // instead of an anti-join: a BroadcastExchange over a
+        // LocalRelation still runs a (pointless) collect JOB for the
+        // build side, while InSet is a plan-free map-side probe. Large
+        // drop sets fall back to the anti-join: a 200k-literal IN would
+        // bloat the expression tree every optimizer rule walks.
+        val dropIds = out.collect { case (id, c) if c != id => id }
+        if (dropIds.isEmpty) df
+        else if (dropIds.length <= maxInSetDrop)
+          df.filter(!col(idCol).isin(dropIds.toSeq: _*))
+        else {
+          val spark = df.sparkSession
+          import spark.implicits._
+          df.join(dropIds.toSeq.toDF("__drop"),
+            df(idCol) === col("__drop"), "left_anti")
+        }
+      case None =>
+        // corpus-scale pair set: distributed component labels. clusters()
+        // re-pins a projection of the still-persisted frame, so the pair
+        // plan is NOT re-executed; its extra cap count reads cache.
+        val drop = clusters(pinned, "x", "y").filter(col("cluster") =!= col("id"))
+          .select(col("id").as("__drop"))
+        val kept = df.join(drop, df(idCol) === col("__drop"), "left_anti")
+        pinned.unpersist()
+        kept
+    }
   }
+
+  /** Driver-local drop sets up to this size filter via IN-set (no join,
+    * no broadcast-build job); larger ones anti-join a local relation. */
+  private val maxInSetDrop = 20000
 
   /** Token streams (id, tok) for Jaccard: distinct whitespace tokens. */
   private def jaccardToks(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -108,14 +108,16 @@ object Similarity {
   /** Pair similarity over [[candidatePairs]] output: the dot of the pair
     * divided by each side's PRECOMPUTED norm — per pair one array loop
     * instead of [[cosine]]'s fused three-accumulator pass (at n² pairs
-    * the norms are n²·redundant). Bit-exact with `cosine(va, vb)`:
-    * same left-to-right accumulation per term, same
-    * `dot / sqrt(na) / sqrt(nb)` division order (pinned in OpsSpec). */
+    * the norms are n²·redundant). The sqrt is hoisted per ROW too
+    * (`na`/`nb` carry `sqrt(self-dot)`): two sqrts per pair were ~n²/2
+    * of pure redundant work. Bit-exact with `cosine(va, vb)`: same
+    * left-to-right accumulation per term, same `dot / sqrt(na2) /
+    * sqrt(nb2)` operation order — hoisting sqrt(na2) to the row changes
+    * WHERE it runs, not the double it produces (pinned in OpsSpec). */
   private[graft] def pairSim: Column =
-    graft.functions.DotProduct(col("va"), col("vb")) /
-      sqrt(col("na2")) / sqrt(col("nb2"))
+    graft.functions.DotProduct(col("va"), col("vb")) / col("na") / col("nb")
 
-  /** Candidate (a, b, va, vb, na2, nb2) pairs with a < b. Small inputs
+  /** Candidate (a, b, va, vb, na, nb) pairs with a < b. Small inputs
     * (≤ `maxBrute` rows) get the exact O(n²) nested-loop pass — the
     * verification path. Larger inputs are routed through LSH buckets
     * automatically: only same-bucket pairs are emitted (the standard
@@ -128,7 +130,7 @@ object Similarity {
       vecCol: String, maxBrute: Long,
       pairPred: Option[Column] = None,
       knownCount: Option[Long] = None): DataFrame = {
-    // each side carries its squared norm (one self-dot per ROW) so the
+    // each side carries its norm (one self-dot + sqrt per ROW) so the
     // n² pair loop only pays the dot — see pairSim.
     // `pairPred` (a [[pairSim]]-based threshold) is ANDed AFTER the
     // cheap ordering conjunct rather than applied as a .filter: a
@@ -136,28 +138,30 @@ object Similarity {
     // nested loop evaluate the dot product for all n² ordered pairs —
     // with a < b leading, short-circuit halves the similarity work
     def withPred(c: Column): Column = pairPred.fold(c)(p => c && p)
-    val withNorm = emb.withColumn("__n2",
-      graft.functions.DotProduct(col(vecCol), col(vecCol)))
+    val withNorm = emb.withColumn("__n",
+      sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
     // knownCount skips the sizing job when the caller already holds the
     // corpus size (a pipeline driving several passes over one table
     // counts it once, not once per operator)
     if (knownCount.getOrElse(emb.count()) <= maxBrute) {
       // small corpora usually sit in ONE parquet file — repartition the
-      // stream side or the whole O(n²) pass runs on a single task
+      // stream side or the whole O(n²) pass runs on a single task (and
+      // the per-pair condition eval is the real cost, so the stream
+      // side wants FULL core fan-out, not just a few file splits)
       val par = emb.sparkSession.sparkContext.defaultParallelism
       val a = withNorm.select(col(idCol).as("a"), col(vecCol).as("va"),
-        col("__n2").as("na2")).repartition(par)
+        col("__n").as("na")).repartition(par)
       val b = withNorm.select(col(idCol).as("b"), col(vecCol).as("vb"),
-        col("__n2").as("nb2"))
+        col("__n").as("nb"))
       a.join(b, withPred(col("a") < col("b")))
     } else {
       // buildLsh projects (id, vec, bucket) — re-attach the row-scale norm
-      val bucketed = buildLsh(emb, idCol, vecCol).withColumn("__n2",
-        graft.functions.DotProduct(col(vecCol), col(vecCol)))
+      val bucketed = buildLsh(emb, idCol, vecCol).withColumn("__n",
+        sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
       val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"),
-        col("__n2").as("na2"), col("bucket"))
+        col("__n").as("na"), col("bucket"))
       val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"),
-        col("__n2").as("nb2"), col("bucket").as("bucket_b"))
+        col("__n").as("nb"), col("bucket").as("bucket_b"))
       a.join(b,
           withPred(col("bucket") === col("bucket_b") && col("a") < col("b")))
         .drop("bucket", "bucket_b")

@@ -117,17 +117,18 @@ class OpsSpec extends SparkSpec {
   }
 
   test("split-norm pair similarity is bit-exact with the fused cosine") {
-    // pairSim precomputes each side's squared norm; the 4-dp-rounded
-    // threshold contract only survives if dot/sqrt/sqrt reproduces the
-    // fused loop EXACTLY (same accumulation order, same division order)
+    // pairSim precomputes each side's norm (sqrt hoisted to the row);
+    // the 4-dp-rounded threshold contract only survives if dot/na/nb
+    // reproduces the fused loop EXACTLY (same accumulation order, same
+    // operation + division order)
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(40)(i =>
       (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
     val df = vecs.toDF("id", "vec")
     val a = df.select(col("id").as("a"), col("vec").as("va"),
-      graft.functions.DotProduct(col("vec"), col("vec")).as("na2"))
+      sqrt(graft.functions.DotProduct(col("vec"), col("vec"))).as("na"))
     val b = df.select(col("id").as("b"), col("vec").as("vb"),
-      graft.functions.DotProduct(col("vec"), col("vec")).as("nb2"))
+      sqrt(graft.functions.DotProduct(col("vec"), col("vec"))).as("nb"))
     val pairs = a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         Similarity.pairSim.as("split"),
