@@ -53,29 +53,33 @@ object RdfQueries {
     // §2.2 p+o property filter
     "q_rdf_filter_po" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      decodeS(ctx, subjects(ctx, FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\"")))
+      ctx.servingPlan("q_rdf_filter_po") {
+      decodeS(ctx, subjects(ctx, FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\""))) }
     }),
 
     // §2.2 p-only filter (any value)
     "q_rdf_filter_p" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      decodeS(ctx, subjects(ctx, FilterQ(p = ParentIri)))
+      ctx.servingPlan("q_rdf_filter_p") {
+        decodeS(ctx, subjects(ctx, FilterQ(p = ParentIri))) }
     }),
 
     // §2.2 reverse reference (o-only)
     "q_rdf_filter_o" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      decodeS(ctx, subjects(ctx, FilterQ(o = "<urn:t:nation:7>")))
+      ctx.servingPlan("q_rdf_filter_o") {
+      decodeS(ctx, subjects(ctx, FilterQ(o = "<urn:t:nation:7>"))) }
     }),
 
     // §2.2 id point lookup + §2.3 hydration join + decode
     "q_rdf_filter_id" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_filter_id") {
       val opts = QueryOpts(filters = Seq(FilterQ(p = "id", o = "<urn:t:region:1>")))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
       QueryEngine.hydrateDecoded(ctx, opts, wanted)
-        .select("s", "p", "o", "g").orderBy("p", "o")
+        .select("s", "p", "o", "g").orderBy("p", "o") }
     }),
 
     // multi-point id lookup: a space-separated IRI list is an s-IN over
@@ -83,24 +87,26 @@ object RdfQueries {
     // the shared oo fragment of query.py:134-144)
     "q_rdf_multi_id" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_multi_id") {
       decodeS(ctx, subjects(ctx,
-        FilterQ(p = "id", o = "<urn:t:region:1> <urn:t:region:3>")))
+        FilterQ(p = "id", o = "<urn:t:region:1> <urn:t:region:3>"))) }
     }),
 
     // §2.7 INTERSECT
     "q_rdf_and" -> ((s, dir) => {
       val ctx = rctx(s, dir)
-      decodeS(ctx, subjects(ctx,
+      ctx.servingPlan("q_rdf_and") { decodeS(ctx, subjects(ctx,
         FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\""),
-        FilterQ(p = ParentIri, o = "<urn:t:nation:7>", op = "and")))
+        FilterQ(p = ParentIri, o = "<urn:t:nation:7>", op = "and"))) }
     }),
 
     // §2.7 UNION
     "q_rdf_or" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_or") {
       decodeS(ctx, subjects(ctx,
         FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\""),
-        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"AUTOMOBILE\"", op = "or")))
+        FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"AUTOMOBILE\"", op = "or"))) }
     }),
 
     // §2.7 EXCEPT applied last even when listed mid-chain
@@ -108,17 +114,19 @@ object RdfQueries {
     // reference quirk at query.py:656-657, covered in EngineSpec)
     "q_rdf_not" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_not") {
       decodeS(ctx, subjects(ctx,
         FilterQ(p = ParentIri, o = "<urn:t:nation:7>"),
         FilterQ(p = predIri("customer", "c_mktsegment"), o = "\"BUILDING\"", op = "not"),
-        FilterQ(p = ParentIri, o = "<urn:t:nation:3>", op = "or")))
+        FilterQ(p = ParentIri, o = "<urn:t:nation:3>", op = "or"))) }
     }),
 
     // §2.2 multi-IRI o => IN
     "q_rdf_multi_o" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_multi_o") {
       decodeS(ctx, subjects(ctx,
-        FilterQ(p = ParentIri, o = "<urn:t:nation:3> <urn:t:nation:7>")))
+        FilterQ(p = ParentIri, o = "<urn:t:nation:3> <urn:t:nation:7>"))) }
     }),
 
     // §2.3 n-hop ancestor walk on a plain property filter:
@@ -132,15 +140,17 @@ object RdfQueries {
     // §2.2 named-graph restriction
     "q_rdf_graph" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_graph") {
       decodeS(ctx, subjects(ctx,
-        FilterQ(p = LabelIri, g = graphIri("nation"))))
+        FilterQ(p = LabelIri, g = graphIri("nation")))) }
     }),
 
     // §2.2 multi-graph restriction (space-separated graph IN-list)
     "q_rdf_multi_graph" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_multi_graph") {
       decodeS(ctx, subjects(ctx,
-        FilterQ(p = LabelIri, g = s"${graphIri("nation")} ${graphIri("region")}")))
+        FilterQ(p = LabelIri, g = s"${graphIri("nation")} ${graphIri("region")}"))) }
     }),
 
     // §2.2 regex filter — SIMILAR TO (full-string) semantics
@@ -178,48 +188,53 @@ object RdfQueries {
     // §3.1 stage 8: only_properties-restricted hydration
     "q_rdf_only_props" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_only_props") {
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = "id", o = "<urn:t:nation:3>")),
         onlyProperties = Seq(LabelIri))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
       QueryEngine.hydrateDecoded(ctx, opts, wanted)
-        .select("s", "p", "o").orderBy("p", "o")
+        .select("s", "p", "o").orderBy("p", "o") }
     }),
 
     // §3.1 stage 8: exclude_properties-restricted hydration
     "q_rdf_exclude_props" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_exclude_props") {
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = "id", o = "<urn:t:region:1>")),
         excludeProperties = Seq(LabelIri))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
       QueryEngine.hydrateDecoded(ctx, opts, wanted)
-        .select("s", "p", "o").orderBy("p", "o")
+        .select("s", "p", "o").orderBy("p", "o") }
     }),
 
     // §2.5 graphs facet over a filtered set
     "q_rdf_facet_graphs" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_facet_graphs") {
       val sres = subjectsRaw(ctx, FilterQ(p = predIri("nation", "n_name")))
-      QueryEngine.facet(ctx, "graphs", sres).orderBy("val")
+      QueryEngine.facet(ctx, "graphs", sres).orderBy("val") }
     }),
 
     // §2.8 order by label with pos
     "q_rdf_order_label" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_order_label") {
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = predIri("nation", "n_name"))),
         order = Seq(OrderRule(by = "label")))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      decodePage(ctx, wanted)
+      decodePage(ctx, wanted) }
     }),
 
     // §2.8 order by arbitrary property
     "q_rdf_order_property" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_order_property") {
       // restrict to customers (suppliers share the parent edge but have
       // no c_name => null labels in hash tie-break order, oracle-hostile)
       val opts = QueryOpts(
@@ -229,54 +244,59 @@ object RdfQueries {
         order = Seq(OrderRule(by = "property", prop = Some(predIri("customer", "c_name")))))
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      decodePage(ctx, wanted)
+      decodePage(ctx, wanted) }
     }),
 
     // §2.8 natural sort + pagination (offset crosses numeric prefixes)
     "q_rdf_order_natural" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_order_natural") {
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = predIri("orders", "o_orderstatus"), o = "\"P\"")),
         order = Seq(OrderRule(by = "label", natural = true)),
         size = 10, start = 5)
       val wanted = QueryEngine.wantedPage(ctx, opts,
         QueryEngine.subjects(ctx, opts).get, None)
-      decodePage(ctx, wanted)
+      decodePage(ctx, wanted) }
     }),
 
     // §2.8 order by label of referenced object (set check; pos ties break
     // on the hash, which the oracle cannot reproduce)
     "q_rdf_order_object_label" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_order_object_label") {
       val sres = subjects(ctx, FilterQ(p = predIri("supplier", "s_nationkey")))
       val (sorted, _) = Ordering.sortedSubjects(ctx, sres,
         OrderRule(by = "object_label", via = Some(ParentIri)))
       QueryEngine.decoded(ctx, sorted, "s", "sval", inner = true)
-        .select(col("sval").as("s"), col("sort_label")).orderBy("s")
+        .select(col("sval").as("s"), col("sort_label")).orderBy("s") }
     }),
 
     // §2.5 facet by property over the filtered set
     "q_rdf_facet" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_facet") {
       // subjects = customers + suppliers of nation 3; suppliers have no
       // mktsegment triples so they contribute nothing to the facet
       val sres = subjectsRaw(ctx, FilterQ(p = ParentIri, o = "<urn:t:nation:3>"))
       QueryEngine.facet(ctx, predIri("customer", "c_mktsegment"), sres)
-        .orderBy(col("count").desc, col("val"))
+        .orderBy(col("count").desc, col("val")) }
     }),
 
     // §2.5 properties facet over the filtered set
     "q_rdf_facet_properties" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_facet_properties") {
       val sres = subjectsRaw(ctx, FilterQ(p = predIri("nation", "n_name")))
-      QueryEngine.facet(ctx, "properties", sres).orderBy("val")
+      QueryEngine.facet(ctx, "properties", sres).orderBy("val") }
     }),
 
     // §2.5 whole-DB properties() lookup
     "q_rdf_agg_properties" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_agg_properties") {
       QueryEngine.properties(ctx)
-        .select(col("value"), col("count")).orderBy("value")
+        .select(col("value"), col("count")).orderBy("value") }
     }),
 
     // §2.5 total() = count(distinct s)
@@ -289,30 +309,34 @@ object RdfQueries {
     // §2.5 count_by_property
     "q_rdf_count_by_property" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_count_by_property") {
       QueryEngine.countByProperty(ctx, ParentIri)
-        .select(col("value"), col("count")).orderBy("value")
+        .select(col("value"), col("count")).orderBy("value") }
     }),
 
     // §2.13 spo lookup with literal-fallback decode
     "q_rdf_spo" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_spo") {
       QueryEngine.spo(ctx, p = Some(LabelIri), o = Some("\"NATION_3\""))
-        .orderBy("s")
+        .orderBy("s") }
     }),
 
     // §2.13 sp batch lookup: all (s, o) rows of the given subjects
     // under one predicate (reference query.py:38-57)
     "q_rdf_sp" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_sp") {
       QueryEngine.sp(ctx,
           Seq("<urn:t:nation:1>", "<urn:t:nation:3>", "<urn:t:region:0>"),
           Some(LabelIri))
-        .orderBy("s", "o")
+        .orderBy("s", "o") }
     }),
 
     // §2.11 recursive paths to the hierarchy root
     "q_rdf_paths" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_paths") {
       // explicit unpaged size: the oracle has no LIMIT, so relying on
       // the default 999-row page would truncate the engine side (and
       // red the gate) at scale factors where the set outgrows a page
@@ -335,7 +359,7 @@ object RdfQueries {
           array_sort(collect_list(struct(col("pos"), col("value")))),
           x => x.getField("value"))).as("path"))
       QueryEngine.decoded(ctx, exploded, "source", "sval", inner = true)
-        .select(col("sval").as("s"), col("path")).orderBy("s")
+        .select(col("sval").as("s"), col("path")).orderBy("s") }
     }),
 
     // §2.1 delete (anti-join semantics) — triple count drops by one
@@ -410,6 +434,7 @@ object RdfQueries {
     // entities sharing >k (p,o) pairs with a seed entity, ranked
     "q_rdf_flagship" -> ((s, dir) => {
       val ctx = rctx(s, dir)
+      ctx.servingPlan("q_rdf_flagship") {
       val seedHash = FilterCompiler.h("<urn:t:customer:1>")
       val seedPairs = ctx.graph.triples.filter(col("s") === seedHash)
         .select(col("p").as("sp"), col("o").as("so")).distinct()
@@ -420,7 +445,7 @@ object RdfQueries {
         .filter(col("shared") >= 3)
       shared.join(ctx.graph.iris, shared("s") === col("hash"))
         .select(col("value").as("s"), col("shared"))
-        .orderBy(col("shared").desc, col("s"))
+        .orderBy(col("shared").desc, col("s")) }
     }),
   )
 

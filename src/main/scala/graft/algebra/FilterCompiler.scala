@@ -59,6 +59,11 @@ final case class EngineContext(
     // Bikidata.invalidate unpersists these with the graph they view.
     statFrames: java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame](),
+    // built (NOT materialized) query frames keyed by canonical query
+    // text — see servingPlan. Plain plans over this context's pinned
+    // frames: dropping the map is a full release (nothing persisted).
+    servingPlans: java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame](),
     // set (before draining) when a mutation retires this context: a query
     // thread can be mid-computeIfAbsent on pathEdges/statFrames while the
     // drain runs and install its persisted frame AFTER the clear — into a
@@ -103,6 +108,7 @@ final case class EngineContext(
     val si = statFrames.keySet().iterator()
     while (si.hasNext) Option(statFrames.remove(si.next())).foreach(_.unpersist())
     stats.clear()
+    servingPlans.clear()
   }
 
   /** [[statFrames]].computeIfAbsent with the retire re-check: the frame
@@ -119,6 +125,25 @@ final case class EngineContext(
     val pe = pathEdges.computeIfAbsent(key, _ => build)
     if (retired.get()) drainDerivedCaches()
     pe
+  }
+
+  /** Serving-tier PLAN cache — the prepared-statement analog for a
+    * long-lived session issuing the same parameterized queries
+    * repeatedly (the reference's worker tier goes further and caches
+    * whole RESULTS in its cache db, workers.py; this caches only the
+    * built DataFrame, so every call still EXECUTES the physical plan
+    * against the live store). What it saves is the per-call Dataset
+    * construction + eager analysis of a ~15-node tree — pure driver
+    * work that DuckDB's ~ms parser never pays at this magnitude.
+    * Keyed by the caller's canonical query text/name; entries die with
+    * the context on mutation (same drain as the other derived caches),
+    * so a cached plan can never read a retired store — it closes over
+    * THIS context's pinned frames only. */
+  def servingPlan(key: String)(build: => DataFrame): DataFrame = {
+    val df = servingPlans.computeIfAbsent(key,
+      _ => org.apache.spark.sql.GraftShims.ofOptimized(build))
+    if (retired.get()) drainDerivedCaches()
+    df
   }
 }
 

@@ -13,6 +13,17 @@ object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-wrap a DataFrame around its OPTIMIZED logical plan: later
+    * actions on the result re-run analysis/optimization over the
+    * already-collapsed tree (a fraction of the original node count)
+    * instead of the raw Dataset-op chain. `Dataset.ofRows` is
+    * `private[sql]`, hence the shim. */
+  def ofOptimized(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cdf.sparkSession, cdf.queryExecution.optimizedPlan)
+  }
+
   /** Register a temp function on a LIVE session (the public
     * `SparkSessionExtensions` route only applies at session build time;
     * `sessionState` is `private[sql]`, hence this shim). */

@@ -358,6 +358,25 @@ class EngineSpec extends SparkSpec {
     assert(r5.error.contains("Triple does not exist, skipping delete"))
   }
 
+  test("servingPlan caches the built frame and drains on retire") {
+    val c = ctx
+    var builds = 0
+    def build() = { builds += 1
+      QueryEngine.subjects(c, QueryOpts(filters = Seq(FilterQ(p = label)))).get }
+    val first = c.servingPlan("spec-key")(build())
+    val again = c.servingPlan("spec-key")(build())
+    assert(builds === 1, "second call must reuse the cached plan")
+    assert(again eq first, "cached plan must be the same frame object")
+    // results are live executions of the cached plan, not cached rows
+    assert(first.count() === build().count())
+    // a retiring mutation drains the plan cache: a later call rebuilds
+    c.retired.set(true)
+    c.servingPlan("other")(build())
+    c.retired.set(false)
+    val rebuilt = c.servingPlan("spec-key")(build())
+    assert(!(rebuilt eq first), "drained key must rebuild")
+  }
+
   test("only_properties / exclude_properties restrict hydration") {
     val base = QueryOpts(filters = Seq(FilterQ(p = "id", o = "<http://ex/luke>")))
     val only = QueryEngine.query(ctx, base.copy(onlyProperties = Seq(label)))
