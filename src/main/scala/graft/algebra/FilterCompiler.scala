@@ -309,32 +309,45 @@ object FilterCompiler {
     * o-IN predicate directly (batch min/max pruning on the
     * (p,o,s)-sorted layout) — one job, one upstream execution, nothing
     * checkpointed. Past the cap the fallback broadcast-joins a
-    * localCheckpoint of the set (one extra upstream run for the
-    * checkpoint — the limit-pushed sizing probe stops early, and
-    * re-reading from a checkpoint it can't prune would cost the same
-    * materialize job it saves). cap <= 0 disables probing entirely and
-    * keeps the set lazy on the join's broadcast side. */
+    * localCheckpoint of the set (the upstream match plan runs twice on
+    * that path: the limit-pushed sizing probe stopped early, and a
+    * corpus-scale frontier is the already-degraded serving shape).
+    * cap <= 0 disables probing entirely and keeps the set lazy on the
+    * join's broadcast side. Probe PLANS and value-bound scan fragments
+    * are cached via [[EngineContext.servingPlan]]; the probe collect
+    * itself runs on every call. */
   private def oInOrJoin(ctx: EngineContext, base: DataFrame, hashSet: DataFrame): DataFrame = {
     val cap = ctx.isinProbeCap
     val hs = hashSet.toDF("__oh")
     if (cap <= 0)
       return base.join(broadcast(hs), col("o") === col("__oh")).select("s")
-    // the bounded collect both SIZES the set and, in the selective
-    // (≤ cap) case, IS the materialization — the probe array feeds the
-    // scan predicate directly, one job, nothing checkpointed. The set
-    // is transiently pinned across the probe so the over-cap fallback's
-    // localCheckpoint re-reads what the probe computed instead of
-    // re-running the upstream match plan (an aggregated upstream cannot
-    // early-stop under limit, so without the pin an over-cap frontier
-    // paid its match plan twice).
-    val pinned = hs.persist()
-    try {
-      val probe = pinned.limit(cap + 1).collect().map(_.getLong(0))
-      if (probe.length <= cap)
-        base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s")
-      else // eager localCheckpoint copies the blocks before the unpersist
+    // Prepared-probe serving: the probe PLAN is cached by its semantic
+    // hash (pure compile), but the probe itself EXECUTES on every call —
+    // the data-dependent job stays per-call honest. The collect both
+    // SIZES the set and, in the selective (≤ cap) case, IS the
+    // materialization: the value array feeds a scan-level o-IN predicate
+    // whose compiled fragment is cached keyed by the VALUES (parameter
+    // binding — same probe result ⇒ same plan, no per-call Dataset
+    // construction). Both caches die with the context on mutation.
+    val probeFrame = ctx.servingPlan(
+      "oin:p:" + hs.queryExecution.analyzed.semanticHash())(hs.limit(cap + 1))
+    val probe = probeFrame.collect().map(_.getLong(0))
+    if (probe.length <= cap) {
+      if (probe.isEmpty) // In(o, Nil) folds to an empty relation — no
+        return base.filter(col("o").isin()).select("s") // point caching
+      val vh = java.util.Arrays.hashCode(probe)
+      ctx.servingPlan(
+        s"oin:m:${base.queryExecution.analyzed.semanticHash()}:${probe.length}:$vh")(
+        base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s"))
+    } else {
+      // over-cap fallback: uncached, and the upstream match plan runs a
+      // second time for the checkpoint (the probe's limit stopped early;
+      // a corpus-scale frontier is the already-degraded serving path)
+      val pinned = hs.persist()
+      try
         base.join(broadcast(pinned.localCheckpoint()), col("o") === col("__oh")).select("s")
-    } finally { pinned.unpersist(); () }
+      finally { pinned.unpersist(); () }
+    }
   }
 
   /** [[oInOrJoin]] with a score ride-along, for the scoring (fts)
@@ -352,11 +365,20 @@ object FilterCompiler {
       base.join(broadcast(rhs), col("o") === col("mhash"))
         .select(col("s"), col("score"))
     if (cap <= 0) return joined(scored)
-    val pinned = scored.persist()
-    try {
-      val probe = pinned.limit(cap + 1).collect()
-      if (probe.length <= cap) {
-        val spark = base.sparkSession
+    // same prepared-probe contract as [[oInOrJoin]]: cached probe plan,
+    // per-call probe EXECUTION, value-keyed cached scan fragment
+    val probeFrame = ctx.servingPlan(
+      "soin:p:" + scored.queryExecution.analyzed.semanticHash())(scored.limit(cap + 1))
+    val probe = probeFrame.collect()
+    if (probe.length <= cap) {
+      val spark = base.sparkSession
+      if (probe.isEmpty)
+        return base.filter(col("o").isin()).select(col("s"), lit(null).cast("double").as("score"))
+      val vh = java.util.Arrays.hashCode(
+        probe.flatMap(r => Array(r.getLong(0),
+          java.lang.Double.doubleToLongBits(if (r.isNullAt(1)) 0.0 else r.getDouble(1)))))
+      ctx.servingPlan(
+        s"soin:m:${base.queryExecution.analyzed.semanticHash()}:${probe.length}:$vh") {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(probe: _*),
           org.apache.spark.sql.types.StructType(Seq(
@@ -370,8 +392,12 @@ object FilterCompiler {
         base.filter(col("o").isin(probe.map(_.getLong(0)).toIndexedSeq: _*))
           .join(broadcast(local), col("o") === col("mhash"))
           .select(col("s"), col("score"))
-      } else joined(pinned.localCheckpoint())
-    } finally { pinned.unpersist(); () }
+      }
+    } else {
+      val pinned = scored.persist()
+      try joined(pinned.localCheckpoint())
+      finally { pinned.unpersist(); () }
+    }
   }
 
   /** The triples-scan predicate of a SIMPLE filter — p/o/g/id equality
