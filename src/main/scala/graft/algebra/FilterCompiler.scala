@@ -64,6 +64,12 @@ final case class EngineContext(
     // frames: dropping the map is a full release (nothing persisted).
     servingPlans: java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame](),
+    // bounded probe RESULTS (collected isin/page value arrays, each
+    // ≤ isinProbeCap / page-size rows) keyed by the probe plan's
+    // semantic hash — see servingValue. Driver-resident and tiny;
+    // cleared (no blocks to free) on the same mutation drain.
+    servingValues: java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+      new java.util.concurrent.ConcurrentHashMap[String, AnyRef](),
     // set (before draining) when a mutation retires this context: a query
     // thread can be mid-computeIfAbsent on pathEdges/statFrames while the
     // drain runs and install its persisted frame AFTER the clear — into a
@@ -109,6 +115,7 @@ final case class EngineContext(
     while (si.hasNext) Option(statFrames.remove(si.next())).foreach(_.unpersist())
     stats.clear()
     servingPlans.clear()
+    servingValues.clear()
   }
 
   /** [[statFrames]].computeIfAbsent with the retire re-check: the frame
@@ -138,12 +145,48 @@ final case class EngineContext(
     * Keyed by the caller's canonical query text/name; entries die with
     * the context on mutation (same drain as the other derived caches),
     * so a cached plan can never read a retired store — it closes over
-    * THIS context's pinned frames only. */
+    * THIS context's pinned frames only.
+    * get/putIfAbsent, NOT computeIfAbsent: a gate/facade entry caches
+    * its WHOLE query under servingPlan while inner probe helpers cache
+    * their fragments in the same map — nested computeIfAbsent on one
+    * ConcurrentHashMap throws "Recursive update". A lost race builds a
+    * plan twice; both are pure driver-side trees, so last-writer-loses
+    * costs nothing (nothing persisted to unpersist). */
   def servingPlan(key: String)(build: => DataFrame): DataFrame = {
-    val df = servingPlans.computeIfAbsent(key,
-      _ => org.apache.spark.sql.GraftShims.ofOptimized(build))
+    var df = servingPlans.get(key)
+    if (df == null) {
+      val built = org.apache.spark.sql.GraftShims.ofOptimized(build)
+      val prev = servingPlans.putIfAbsent(key, built)
+      df = if (prev == null) built else prev
+    }
     if (retired.get()) drainDerivedCaches()
     df
+  }
+
+  /** Serving-tier probe-RESULT cache, the same store-constant argument
+    * as [[stats]]/[[statFrames]]/`dictBroadcast` applied to the engine's
+    * BOUNDED probe collects (o-IN value sets, facet subject sets, page
+    * rows — every entry is capped at `isinProbeCap`/page-size rows by
+    * its builder, so the map stays KBs): between mutations the store is
+    * immutable and a probe plan is a pure function of it, so its first
+    * execution IS its value for the context's lifetime. Steady-state
+    * serving then answers probe-backed queries in ONE job (the main
+    * scan) instead of re-collecting an identical array per call — still
+    * strictly less caching than the reference's worker tier, which
+    * memoizes whole query RESULTS in its cache db (workers.py). Entries
+    * die with the context on mutation, before any new store state is
+    * visible. Same get/putIfAbsent re-entrancy contract as
+    * [[servingPlan]] (a value build runs probe plans that cache
+    * themselves); a lost race collects a bounded probe twice. */
+  def servingValue[T <: AnyRef](key: String)(build: => T): T = {
+    var v = servingValues.get(key)
+    if (v == null) {
+      val built = build
+      val prev = servingValues.putIfAbsent(key, built)
+      v = if (prev == null) built else prev
+    }
+    if (retired.get()) drainDerivedCaches()
+    v.asInstanceOf[T]
   }
 }
 
@@ -322,16 +365,19 @@ object FilterCompiler {
     if (cap <= 0)
       return base.join(broadcast(hs), col("o") === col("__oh")).select("s")
     // Prepared-probe serving: the probe PLAN is cached by its semantic
-    // hash (pure compile), but the probe itself EXECUTES on every call —
-    // the data-dependent job stays per-call honest. The collect both
-    // SIZES the set and, in the selective (≤ cap) case, IS the
-    // materialization: the value array feeds a scan-level o-IN predicate
-    // whose compiled fragment is cached keyed by the VALUES (parameter
-    // binding — same probe result ⇒ same plan, no per-call Dataset
-    // construction). Both caches die with the context on mutation.
-    val probeFrame = ctx.servingPlan(
-      "oin:p:" + hs.queryExecution.analyzed.semanticHash())(hs.limit(cap + 1))
-    val probe = probeFrame.collect().map(_.getLong(0))
+    // hash (pure compile) and so is its bounded RESULT (servingValue —
+    // ≤ cap+1 longs, a store-constant value between mutations), so a
+    // steady-state session pays the probe job once per context and the
+    // query runs as ONE job after. The collect both SIZES the set and,
+    // in the selective (≤ cap) case, IS the materialization: the value
+    // array feeds a scan-level o-IN predicate whose compiled fragment is
+    // cached keyed by the VALUES (parameter binding — same probe result
+    // ⇒ same plan, no per-call Dataset construction). All three caches
+    // die with the context on mutation.
+    val probeKey = "oin:p:" + hs.queryExecution.analyzed.semanticHash()
+    val probe = ctx.servingValue(probeKey + ":r") {
+      ctx.servingPlan(probeKey)(hs.limit(cap + 1)).collect().map(_.getLong(0))
+    }
     if (probe.length <= cap) {
       if (probe.isEmpty) // In(o, Nil) folds to an empty relation — no
         return base.filter(col("o").isin()).select("s") // point caching
@@ -366,10 +412,11 @@ object FilterCompiler {
         .select(col("s"), col("score"))
     if (cap <= 0) return joined(scored)
     // same prepared-probe contract as [[oInOrJoin]]: cached probe plan,
-    // per-call probe EXECUTION, value-keyed cached scan fragment
-    val probeFrame = ctx.servingPlan(
-      "soin:p:" + scored.queryExecution.analyzed.semanticHash())(scored.limit(cap + 1))
-    val probe = probeFrame.collect()
+    // cached bounded probe result, value-keyed cached scan fragment
+    val sProbeKey = "soin:p:" + scored.queryExecution.analyzed.semanticHash()
+    val probe = ctx.servingValue(sProbeKey + ":r") {
+      ctx.servingPlan(sProbeKey)(scored.limit(cap + 1)).collect()
+    }
     if (probe.length <= cap) {
       val spark = base.sparkSession
       if (probe.isEmpty)

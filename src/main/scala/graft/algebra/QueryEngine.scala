@@ -263,19 +263,45 @@ object QueryEngine {
     * (s, p, o, g, pos). The page side is tiny → broadcast. */
   def hydrate(ctx: EngineContext, opts: QueryOpts, wanted: DataFrame): DataFrame = {
     val t = ctx.graph.triples
-    var joined = t.join(broadcast(wanted), "s")
-      .select(col("s"), col("p"), col("o"), col("g"), col("pos"))
-    if (opts.onlyProperties.nonEmpty) {
-      val hashes = ctx.graph.iris
-        .filter(col("value").isin(opts.onlyProperties: _*))
-        .select(col("hash").as("p"))
-      joined = joined.join(broadcast(hashes), Seq("p"), "left_semi")
-    } else if (opts.excludeProperties.nonEmpty) {
-      val hashes = ctx.graph.iris
-        .filter(col("value").isin(opts.excludeProperties: _*))
-        .select(col("hash").as("p"))
-      joined = joined.join(broadcast(hashes), Seq("p"), "left_anti")
+    // the page is ≤ size rows BY CONSTRUCTION (wantedPage's limit), so
+    // when size fits the probe cap the page rows are collected once per
+    // (context, query) — a store-constant servingValue — and the join
+    // becomes an s-IN scan predicate plus a literal-map pos lookup:
+    // no BroadcastExchange build job, ONE steady-state hydration job.
+    // Oversized pages (or probing disabled) keep the broadcast join.
+    val pageRows: Option[Array[(Long, Int)]] =
+      if (ctx.isinProbeCap <= 0 || opts.size > ctx.isinProbeCap) None
+      else {
+        val key = "hydrate:p:" + wanted.queryExecution.analyzed.semanticHash()
+        Some(ctx.servingValue(key + ":r") {
+          ctx.servingPlan(key)(wanted).collect()
+            .map(r => (r.getAs[Long]("s"), r.getAs[Int]("pos")))
+        })
+      }
+    var joined = pageRows match {
+      case Some(rows) if rows.nonEmpty =>
+        t.filter(col("s").isin(rows.map(_._1).toIndexedSeq: _*))
+          .select(col("s"), col("p"), col("o"), col("g"),
+            element_at(typedLit(rows.toMap), col("s")).as("pos"))
+      case Some(_) => // empty page: no subjects, no rows
+        t.filter(lit(false))
+          .select(col("s"), col("p"), col("o"), col("g"),
+            lit(null).cast("int").as("pos"))
+      case None =>
+        t.join(broadcast(wanted), "s")
+          .select(col("s"), col("p"), col("o"), col("g"), col("pos"))
     }
+    // only/exclude properties are IRI surface strings whose hashes are
+    // the SAME Hash64 the dictionaries were built with — hash them
+    // driver-side into a p-IN predicate instead of scanning iris for a
+    // broadcast build (an IRI absent from the store hashes to a value no
+    // triple's p carries, exactly like the join finding no row).
+    if (opts.onlyProperties.nonEmpty)
+      joined = joined.filter(
+        col("p").isin(opts.onlyProperties.map(h): _*))
+    else if (opts.excludeProperties.nonEmpty)
+      joined = joined.filter(
+        !col("p").isin(opts.excludeProperties.map(h): _*))
     joined.distinct()
   }
 
@@ -352,11 +378,38 @@ object QueryEngine {
         .map(_ <= maxBroadcastFacetSubjects)
         .getOrElse(
           graft.store.Graph.planBytes(t) <= maxBroadcastFacetSubjects * 2L)
-    val hinted =
-      if (storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))
-        broadcast(sSide)
-      else sSide
-    val joined = t.join(hinted, Seq("s"), "left_semi")
+    // probe fast path: a SELECTIVE subject set (≤ isinProbeCap distinct
+    // subjects, sized by a bounded collect whose result is a
+    // store-constant servingValue) becomes an s-IN scan predicate — the
+    // semi-join and its BroadcastExchange build job drop out, so the
+    // steady-state facet is ONE job. Probe ELIGIBILITY needs the same
+    // proof as the broadcast hint (storeBounded, or a caller-known small
+    // count): the probe's distinct is work the semi-join path never
+    // does, so on an unbounded store a new facet shape must not pay a
+    // corpus-wide dedup scan just to discover its set is over cap.
+    // Over the cap (or ineligible) the hinted semi-join is the scale
+    // path.
+    val probed: Option[Array[Long]] =
+      if (ctx.isinProbeCap <= 0 ||
+          !(storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))) None
+      else {
+        val cap = ctx.isinProbeCap
+        val key = "facet:p:" + sSide.queryExecution.analyzed.semanticHash()
+        val arr = ctx.servingValue(key + ":r") {
+          ctx.servingPlan(key)(sSide.distinct().limit(cap + 1))
+            .collect().map(_.getLong(0))
+        }
+        if (arr.length <= cap) Some(arr) else None
+      }
+    val joined = probed match {
+      case Some(arr) => t.filter(col("s").isin(arr.toIndexedSeq: _*))
+      case None =>
+        val hinted =
+          if (storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))
+            broadcast(sSide)
+          else sSide
+        t.join(hinted, Seq("s"), "left_semi")
+    }
     agg match {
       case "graphs" | "properties" =>
         val keyCol = if (agg == "graphs") "g" else "p"

@@ -36,24 +36,40 @@ class PlanContractSpec extends SparkSpec {
     assert(rows(2L) === Seq(1f, 1f))
   }
 
-  test("facet joins broadcast the known-small filtered subject set") {
+  test("facet probe: a selective subject set becomes an s-IN scan predicate") {
     val sres = QueryEngine.subjects(ctx,
       QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
-    // the hint requires a KNOWN size (query() passes the total's count);
-    // an unknown size must not force-broadcast a possibly huge set
-    val p = plan(QueryEngine.facet(ctx, "graphs", sres, sCount = Some(2L)))
+    // bounded store + tiny set → the probed isin path: no semi-join, no
+    // BroadcastExchange BUILD JOB for the subject side (the only join
+    // left is the envelope decode, which may itself broadcast the dict)
+    val an = QueryEngine.facet(ctx, "graphs", sres, sCount = Some(2L))
+      .queryExecution.optimizedPlan.toString
+    assert(an.contains("s#") && an.toLowerCase.contains(" in ("),
+      s"facet subject set not an s-IN predicate:\n$an")
+    assert(!an.toLowerCase.contains("join leftsemi"),
+      s"probed facet still semi-joins the subject set:\n$an")
+  }
+
+  test("facet joins broadcast the known-small filtered subject set") {
+    // probing disabled → the semi-join fallback, which must carry the
+    // broadcast hint for a known-small set (the scale serving path)
+    val nctx = ctx.copy(isinProbeCap = 0)
+    val sres = QueryEngine.subjects(nctx,
+      QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
+    val p = plan(QueryEngine.facet(nctx, "graphs", sres, sCount = Some(2L)))
     assert(p.contains("BroadcastExchange"), s"no broadcast in facet plan:\n$p")
     // the triples side must not shuffle for the semi-join
     assert(!p.contains("SortMergeJoin"), s"facet fell back to SMJ:\n$p")
   }
 
   test("facet past the broadcast cap drops the broadcast hint") {
-    val sres = QueryEngine.subjects(ctx,
+    val nctx = ctx.copy(isinProbeCap = 0) // exercise the join fallback
+    val sres = QueryEngine.subjects(nctx,
       QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))).get
     // on a SMALL store any subject subset is broadcast-safe a priori
     // (the set derives from the bounded triples relation), so the hint
     // appears even with no caller count — the sizing job is gone
-    val hinted = QueryEngine.facet(ctx, "graphs", sres, sCount = None)
+    val hinted = QueryEngine.facet(nctx, "graphs", sres, sCount = None)
       .queryExecution.analyzed.toString
     assert(hinted.toLowerCase.contains("hint"), s"small-store set not hinted:\n$hinted")
     // on a CORPUS-SCALE store (simulated: a range relation whose plan
@@ -72,11 +88,25 @@ class PlanContractSpec extends SparkSpec {
       s"oversized facet subject set still force-broadcast:\n$unhinted")
   }
 
-  test("hydration broadcasts the page side") {
+  test("hydration resolves a capped page to an s-IN + literal pos map") {
     val opts = QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))
     val wanted = QueryEngine.wantedPage(ctx, opts,
       QueryEngine.subjects(ctx, opts).get, None)
     val p = plan(QueryEngine.hydrate(ctx, opts, wanted))
+    // the page side is gone from the plan: no join, no broadcast-build
+    // job — an s-IN scan predicate plus an element_at(literal map) pos
+    assert(!p.contains("BroadcastExchange"),
+      s"capped page still broadcast-joined:\n$p")
+    assert(p.contains("element_at"), s"pos not a literal-map lookup:\n$p")
+    assert(p.contains(" IN ("), s"page subjects not an s-IN predicate:\n$p")
+  }
+
+  test("hydration broadcasts the page side when probing is off") {
+    val nctx = ctx.copy(isinProbeCap = 0)
+    val opts = QueryOpts(filters = Seq(FilterQ(p = Fixture.a, o = Fixture.human)))
+    val wanted = QueryEngine.wantedPage(nctx, opts,
+      QueryEngine.subjects(nctx, opts).get, None)
+    val p = plan(QueryEngine.hydrate(nctx, opts, wanted))
     assert(p.contains("BroadcastExchange"), s"no broadcast in hydrate plan:\n$p")
   }
 
