@@ -10,21 +10,9 @@ object DevBenchSubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // local-mode scan parallelism: the testdata tables are single
-      // small parquet files, and the default 4 MB file-open cost floors
-      // maxSplitBytes so a 2 MB table scans as ONE task (the partial
-      // aggregate then runs single-threaded while DuckDB splits by row
-      // group). 128 KB lets bytes/parallelism drive the split; cluster
-      // deployments keep the default (many-file inputs split by file)
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Bench's exact session (local[SPARK_GRAFT_CPUS], same knobs) so
+    // subset medians and job counts are comparable to bench numbers
+    val spark = Bench.session()
     spark.sparkContext.setLogLevel("WARN")
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

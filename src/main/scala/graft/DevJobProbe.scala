@@ -9,15 +9,10 @@ import org.apache.spark.sql.SparkSession
 object DevJobProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Bench's exact session so job attributions match bench job counts
+    // (a hand-rolled local[32] here once hid a 2-job facet shape that
+    // only appeared under Bench's local[4] plan stats)
+    val spark = Bench.session()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm: populate caches, pay codegen

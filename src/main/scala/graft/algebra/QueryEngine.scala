@@ -378,28 +378,28 @@ object QueryEngine {
         .map(_ <= maxBroadcastFacetSubjects)
         .getOrElse(
           graft.store.Graph.planBytes(t) <= maxBroadcastFacetSubjects * 2L)
-    // probe fast path: a SELECTIVE subject set (≤ isinProbeCap distinct
-    // subjects, sized by a bounded collect whose result is a
-    // store-constant servingValue) becomes an s-IN scan predicate — the
-    // semi-join and its BroadcastExchange build job drop out, so the
-    // steady-state facet is ONE job. Probe ELIGIBILITY needs the same
-    // proof as the broadcast hint (storeBounded, or a caller-known small
-    // count): the probe's distinct is work the semi-join path never
-    // does, so on an unbounded store a new facet shape must not pay a
-    // corpus-wide dedup scan just to discover its set is over cap.
-    // Over the cap (or ineligible) the hinted semi-join is the scale
-    // path.
+    // probe fast path: a SELECTIVE subject set (≤ isinProbeCap RAW rows
+    // — multiplicity included, so the limit needs no dedup shuffle and
+    // EARLY-EXITS on any store size; the probe can never cost a full
+    // subject-side pass just to discover its set is over cap) becomes
+    // an s-IN scan predicate via a driver-side distinct — the semi-join
+    // and its BroadcastExchange build job drop out, so the steady-state
+    // facet is ONE job. The bounded collect is a store-constant
+    // servingValue (the over-cap verdict caches too, so an ineligible
+    // shape pays its bounded probe once per context). A raw count over
+    // cap with few DISTINCT subjects conservatively keeps the join
+    // path. Over the cap (or with probing disabled) the hinted
+    // semi-join below is the scale path.
     val probed: Option[Array[Long]] =
-      if (ctx.isinProbeCap <= 0 ||
-          !(storeBounded || sCount.exists(_ <= maxBroadcastFacetSubjects))) None
+      if (ctx.isinProbeCap <= 0) None
       else {
         val cap = ctx.isinProbeCap
         val key = "facet:p:" + sSide.queryExecution.analyzed.semanticHash()
         val arr = ctx.servingValue(key + ":r") {
-          ctx.servingPlan(key)(sSide.distinct().limit(cap + 1))
+          ctx.servingPlan(key)(sSide.limit(cap + 1))
             .collect().map(_.getLong(0))
         }
-        if (arr.length <= cap) Some(arr) else None
+        if (arr.length <= cap) Some(arr.distinct) else None
       }
     val joined = probed match {
       case Some(arr) => t.filter(col("s").isin(arr.toIndexedSeq: _*))
