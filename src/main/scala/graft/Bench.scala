@@ -45,6 +45,11 @@ object Bench {
       // batch/pipeline sessions at corpus scale should keep AQE on
       // (skew-join splitting, partition coalescing)
       .config("spark.sql.adaptive.enabled", "false")
+      // bounded probe collects (isin probes, capped component-edge
+      // collects) touch every partition when they come back under cap —
+      // CollectLimit's 1→4→16 ramp-up would only add scheduler
+      // round-trips (same setting the rdfize serving clone applies)
+      .config("spark.sql.limit.initialNumPartitions", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

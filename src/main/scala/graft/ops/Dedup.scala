@@ -182,19 +182,25 @@ object Dedup {
     * distributed iterative min-label propagation (every round one join +
     * one groupBy, lineage cut per round — the standard DataFrame-native
     * union-find for web-scale dedup). */
-  /** Driver-side union-find over a PERSISTED (x, y) pair frame when it
-    * is long-keyed and under the edge cap: Some(sorted (id, min-label))
-    * — and the pin is released — or None (caller's distributed walk
-    * reuses the still-persisted frame). The persist + count fold the
-    * materialization and the cap decision into ONE job; the collect
-    * then reads cached blocks. */
-  private def driverComponents(pinned: DataFrame,
+  /** Driver-side union-find over an (x, y) pair frame when it is
+    * long-keyed and under the edge cap: Some(sorted (id, min-label)) or
+    * None (caller takes the distributed walk). The cap decision and the
+    * edge materialization are ONE bounded job — `limit(cap+1).collect()`
+    * sizes the set AND delivers it, and on an over-cap corpus the limit
+    * SHORT-CIRCUITS the pair scan at cap+1 rows instead of materializing
+    * the whole edge set just to learn it is too big (the old
+    * persist+count+collect paid a full materialization plus a second
+    * cached-read job either way). The caller's distributed path
+    * re-evaluates the pair plan once; that is the already-degraded
+    * corpus branch, and the probe it wasted was capped. */
+  private def driverComponents(pairs: DataFrame,
       maxDriverEdges: Long): Option[Array[(Long, Long)]] = {
     val isLongKeyed =
-      pinned.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (!isLongKeyed || pinned.count() > maxDriverEdges) return None
-    val es = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
-    pinned.unpersist()
+      pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!isLongKeyed) return None
+    val rows = pairs.limit(maxDriverEdges.toInt + 1).collect()
+    if (rows.length > maxDriverEdges) return None
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -213,27 +219,21 @@ object Dedup {
 
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxRounds: Int = 20, maxDriverEdges: Long = 200000L): DataFrame = {
-    // materialize the pair list ONCE before mirroring it — the input may
-    // be an expensive plan (an O(candidates) similarity scan), and the
-    // both-directions union would otherwise evaluate it twice. persist +
-    // count folds the materialization and the driver-path sizing into
-    // ONE job (count computes the plan into the cache and returns the
-    // size); the collect below then reads cached blocks. The lineage cut
-    // the distributed path needs (localCheckpoint) happens only on that
-    // branch — small dedups never pay its extra copy job.
-    val pinned = pairs.select(col(aCol).as("x"), col(bCol).as("y")).persist()
-    driverComponents(pinned, maxDriverEdges) match {
+    val sel = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    // the common case is ONE bounded job: the capped collect both sizes
+    // the edge set and delivers it to the driver union-find
+    driverComponents(sel, maxDriverEdges) match {
       case Some(out) =>
         val spark = pairs.sparkSession
         import spark.implicits._
         return out.toSeq.toDF("id", "cluster")
       case None => ()
     }
-    // distributed path: cut lineage (the iterative walk must not re-run
-    // the pair plan per round), then release the cache — the eager
-    // checkpoint copies the blocks first
-    val p0 = pinned.localCheckpoint()
-    pinned.unpersist()
+    // distributed path: materialize the pair plan once with a lineage
+    // cut (the iterative walk must not re-run it per round); the input
+    // may be an expensive plan (an O(candidates) similarity scan) and
+    // the both-directions union below reads it twice
+    val p0 = sel.localCheckpoint()
     val edges = p0
       .union(p0.select(col("y").as("x"), col("x").as("y")))
       .distinct().persist()
@@ -339,8 +339,8 @@ object Dedup {
     * each component — rows never paired survive untouched (the drop-set
     * IN filter / anti-join only removes paired non-canonicals). */
   def keepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val pinned = pairs.select(col("a").as("x"), col("b").as("y")).persist()
-    driverComponents(pinned, 200000L) match {
+    val sel = pairs.select(col("a").as("x"), col("b").as("y"))
+    driverComponents(sel, 200000L) match {
       case Some(out) =>
         // the drop set is already driver-local — filter with an IN-set
         // instead of an anti-join: a BroadcastExchange over a
@@ -359,14 +359,12 @@ object Dedup {
             df(idCol) === col("__drop"), "left_anti")
         }
       case None =>
-        // corpus-scale pair set: distributed component labels. clusters()
-        // re-pins a projection of the still-persisted frame, so the pair
-        // plan is NOT re-executed; its extra cap count reads cache.
-        val drop = clusters(pinned, "x", "y").filter(col("cluster") =!= col("id"))
+        // corpus-scale pair set: distributed component labels (clusters'
+        // own capped probe re-fires — wasted but bounded; its checkpoint
+        // then materializes the pair plan exactly once for the walk)
+        val drop = clusters(sel, "x", "y").filter(col("cluster") =!= col("id"))
           .select(col("id").as("__drop"))
-        val kept = df.join(drop, df(idCol) === col("__drop"), "left_anti")
-        pinned.unpersist()
-        kept
+        df.join(drop, df(idCol) === col("__drop"), "left_anti")
     }
   }
 

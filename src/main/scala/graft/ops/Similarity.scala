@@ -138,8 +138,14 @@ object Similarity {
     // nested loop evaluate the dot product for all n² ordered pairs —
     // with a < b leading, short-circuit halves the similarity work
     def withPred(c: Column): Column = pairPred.fold(c)(p => c && p)
-    val withNorm = emb.withColumn("__n",
-      sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
+    // a caller-provided "__n" column is the shared substrate contract: a
+    // pipeline running several pair passes over one corpus precomputes
+    // (id, vec, norm) once (norms are one self-dot per ROW, but the
+    // substrate also carries the fan-out repartition and any checkpoint)
+    val withNorm =
+      if (emb.columns.contains("__n")) emb
+      else emb.withColumn("__n",
+        sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
     // knownCount skips the sizing job when the caller already holds the
     // corpus size (a pipeline driving several passes over one table
     // counts it once, not once per operator)
@@ -147,10 +153,14 @@ object Similarity {
       // small corpora usually sit in ONE parquet file — repartition the
       // stream side or the whole O(n²) pass runs on a single task (and
       // the per-pair condition eval is the real cost, so the stream
-      // side wants FULL core fan-out, not just a few file splits)
+      // side wants FULL core fan-out, not just a few file splits).
+      // An input already fanned to >= the session parallelism (the
+      // substrate case) skips the per-call reshuffle.
       val par = emb.sparkSession.sparkContext.defaultParallelism
-      val a = withNorm.select(col(idCol).as("a"), col(vecCol).as("va"),
-        col("__n").as("na")).repartition(par)
+      val aSel = withNorm.select(col(idCol).as("a"), col(vecCol).as("va"),
+        col("__n").as("na"))
+      val a = if (withNorm.rdd.getNumPartitions >= par) aSel
+              else aSel.repartition(par)
       val b = withNorm.select(col(idCol).as("b"), col(vecCol).as("vb"),
         col("__n").as("nb"))
       a.join(b, withPred(col("a") < col("b")))
@@ -171,8 +181,10 @@ object Similarity {
   /** Top-n most similar pairs (see [[candidatePairs]] for the
     * brute-vs-LSH routing contract). */
   def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,
-      maxBrute: Long = 10000L): DataFrame = {
-    candidatePairs(emb, idCol, vecCol, maxBrute)
+      maxBrute: Long = 10000L, knownCount: Option[Long] = None): DataFrame = {
+    // knownCount may be any UPPER BOUND on the row count — routing only
+    // needs to prove the brute pass is affordable
+    candidatePairs(emb, idCol, vecCol, maxBrute, knownCount = knownCount)
       .select(col("a"), col("b"), round(pairSim, 4).as("sim"))
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(n)
