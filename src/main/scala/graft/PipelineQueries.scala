@@ -293,7 +293,11 @@ object PipelineQueries {
     }),
 
     // near-dup clustering: MinHash pairs -> connected components with
-    // min-id canonical per cluster (rows-only; component law in OpsSpec)
+    // min-id canonical per cluster. Oracle-EXACT: Verify exports the
+    // pair table ([[exportOracleAux]]) and DuckDB recomputes the
+    // components with a recursive CTE over the same graph, so the
+    // clusters() logic is hash-compared end-to-end (pair generation
+    // itself is covered by q_doc_minhash + OpsSpec planted-dup laws)
     "q_doc_clusters" -> ((s, dir) => {
       Dedup.clusters(minhashPairs(s, dir)).orderBy("id")
     }),
@@ -605,7 +609,35 @@ object PipelineQueries {
        |  ORDER BY sim DESC, vec_id LIMIT 10)
        |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin
 
+  /** Where [[exportOracleAux]] drops tables the oracle reads directly
+    * (pair lists the oracle cannot recompute in SQL — MinHash banding
+    * has no DuckDB expression). Resolved to an ABSOLUTE path at oracle-
+    * dump time so the DuckDB process's cwd does not matter; env
+    * override for non-default layouts. Gitignored (lives under
+    * target/). */
+  private[graft] lazy val oracleAuxDir: String =
+    sys.env.getOrElse("GRAFT_ORACLE_AUX",
+      new java.io.File("target/oracle_aux").getAbsolutePath)
+
+  /** Export the oracle's auxiliary inputs for one sfDir — called by
+    * [[Verify]] before the oracle_sql dump. The MinHash pair list lets
+    * DuckDB verify the connected-component logic of q_doc_clusters
+    * EXACTLY (recursive CTE over the same pair graph); pair GENERATION
+    * stays covered by q_doc_minhash's planted-dup law and OpsSpec. */
+  def exportOracleAux(s: SparkSession, dir: String): Unit =
+    minhashPairs(s, dir).select("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
+
   val oracle: Map[String, String] = Map(
+    "q_doc_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a, b FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT x, x FROM edges
+         |  UNION
+         |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_doc_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,

@@ -31,6 +31,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // auxiliary oracle inputs (e.g. the MinHash pair table DuckDB's
+    // recursive-CTE component oracle reads) — exported BEFORE the query
+    // dumps so a mid-run crash cannot leave oracle_sql.json referencing
+    // a missing table
+    try PipelineQueries.exportOracleAux(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] oracle aux export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
