@@ -152,6 +152,16 @@ object Multimodal {
     * [[decodeAudioStub]] — the swap-in point for mp3/ogg codec libs. */
   def decodeAudio(bytes: Array[Byte]): AudioMeta = {
     if (bytes == null || bytes.isEmpty) return decodeAudioStub(bytes)
+    // canonical PCM16 WAV: all the metadata is in the header the fast
+    // path already walks — same values the JDK's WaveFileReader derives
+    // (frames = data bytes / frame size; frameRate = sampleRate for PCM)
+    parseWavPcm16(bytes) match {
+      case Some(w) =>
+        val frames = (w.dataLen / (2 * w.channels)).toLong
+        return AudioMeta("wav", w.sampleRate, w.channels, frames,
+          (frames * 1000.0 / w.sampleRate).toLong, bytes.length.toLong)
+      case None => ()
+    }
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -182,12 +192,120 @@ object Multimodal {
       sizeBytes = if (bytes == null) 0L else bytes.length.toLong)
   }
 
+  /** Canonical-WAV header facts the fast path needs: absolute data-chunk
+    * offset/length plus the PCM16 layout. None for anything that is not
+    * a well-formed little-endian PCM16 RIFF/WAVE — those take the JDK
+    * SPI path instead. */
+  private final case class WavPcm16(dataOff: Int, dataLen: Int,
+      channels: Int, sampleRate: Int)
+
+  @inline private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  @inline private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+    ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** Minimal RIFF/WAVE chunk walk for the decode fast path. The JDK's
+    * `AudioSystem` reaches the same facts through an SPI provider scan
+    * and a stream parse per call — measured as the dominant cost of the
+    * audio pipeline at 5 000 rows, twice per row (header for meta, full
+    * stream for RMS). Canonical PCM16 WAV (the overwhelmingly common
+    * case for a pretraining audio corpus, and everything
+    * [[syntheticWav]] emits) is a few dozen byte reads; anything else —
+    * other containers, compressed layouts, malformed chunks — returns
+    * None and falls back to the JDK path, so coverage is unchanged.
+    * Byte-exact parity with the JDK path is pinned in OpsSpec. */
+  private def parseWavPcm16(b: Array[Byte]): Option[WavPcm16] = {
+    if (b == null || b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var ch = -1; var rate = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val sz = le32(b, off + 4)
+      if (sz < 0) return None
+      val isFmt = b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' '
+      val isData = b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a'
+      if (isFmt && sz >= 16 && off + 24 <= b.length) {
+        val audioFormat = le16(b, off + 8)
+        val bits = le16(b, off + 22)
+        ch = le16(b, off + 10); rate = le32(b, off + 12)
+        fmtOk = audioFormat == 1 && bits == 16 && ch > 0 && rate > 0
+      } else if (isData) {
+        dataOff = off + 8
+        dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
+      }
+      // RIFF chunks are word-aligned
+      off += 8 + sz + (sz & 1)
+    }
+    if (fmtOk && dataOff > 0 && dataLen >= 2 * ch) Some(WavPcm16(dataOff, dataLen, ch, rate))
+    else None
+  }
+
+  /** One-pass windowed RMS straight off the WAV data chunk — no
+    * AudioInputStream, no intermediate sample array. Arithmetic order
+    * matches the JDK path exactly (per-sample channel mean, then
+    * squared-sum per window) so the two paths are bit-identical. */
+  private def rmsFromPcm16Le(b: Array[Byte], w: WavPcm16, windows: Int): Array[Float] = {
+    val ch = w.channels
+    val n = w.dataLen / 2 / ch
+    val v = new Array[Float](windows)
+    val per = math.max(1, (n + windows - 1) / windows)
+    var win = 0
+    while (win < windows) {
+      val from = win * per
+      val to = math.min(n, from + per)
+      if (from < to) {
+        var acc = 0.0
+        var i = from
+        if (ch == 1) {
+          var o = w.dataOff + from * 2
+          while (i < to) {
+            val s = (((b(o + 1) << 8) | (b(o) & 0xFF)).toShort) / 32768.0
+            acc += s * s
+            i += 1; o += 2
+          }
+        } else {
+          while (i < to) {
+            var sacc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = w.dataOff + (i * ch + c) * 2
+              sacc += (((b(o + 1) << 8) | (b(o) & 0xFF)).toShort) / 32768.0
+              c += 1
+            }
+            val m = sacc / ch
+            acc += m * m
+            i += 1
+          }
+        }
+        v(win) = math.sqrt(acc / (to - from)).toFloat
+      }
+      win += 1
+    }
+    v
+  }
+
   /** REAL audio feature: per-window root-mean-square energy over the
     * decoded PCM stream (signed 16-bit; other sample layouts fall back
     * to a byte-histogram via [[featuresStub]]). Channels are averaged to
     * mono before windowing. A pure sine of amplitude A yields ≈ A/√2
-    * per covered window — pinned in OpsSpec. */
+    * per covered window — pinned in OpsSpec. Canonical PCM16 WAVs take
+    * [[rmsFromPcm16Le]] (bit-identical, ~an order of magnitude cheaper);
+    * everything else decodes through the JDK SPI below. */
   def audioRms(bytes: Array[Byte], windows: Int = 16): Array[Float] = {
+    if (bytes != null) parseWavPcm16(bytes) match {
+      case Some(w) => return rmsFromPcm16Le(bytes, w, windows)
+      case None => ()
+    }
+    audioRmsJdk(bytes, windows)
+  }
+
+  /** The JDK-SPI RMS path: handles every container/layout an installed
+    * `javax.sound.sampled` reader recognizes. Kept as the fallback and
+    * as the parity reference for the fast path. */
+  private[graft] def audioRmsJdk(bytes: Array[Byte], windows: Int = 16): Array[Float] = {
     val samples = try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -870,6 +870,47 @@ class OpsSpec extends SparkSpec {
     for (w <- rms) assert(math.abs(w - expected) < 0.01, s"window rms $w vs $expected")
   }
 
+  test("WAV fast path is bit-identical to the JDK SPI path (mono + stereo + non-WAV fallback)") {
+    // mono canonical WAVs across the syntheticWav parameter space
+    for (t <- Seq("a", "hello audio", "Zw9", "longer text with words", "")) {
+      val wav = Multimodal.syntheticWav(t)
+      assert(Multimodal.audioRms(wav, 16).toSeq === Multimodal.audioRmsJdk(wav, 16).toSeq,
+        s"mono parity broke for text '$t'")
+      assert(Multimodal.audioRms(wav, 3).toSeq === Multimodal.audioRmsJdk(wav, 3).toSeq)
+    }
+    // hand-built stereo PCM16 WAV: different waves per channel so the
+    // channel-mean arithmetic order is actually exercised
+    val n = 500
+    val raw = new Array[Byte](n * 4)
+    for (i <- 0 until n; c <- 0 to 1) {
+      val s = (math.sin(2 * math.Pi * (300 + 200 * c) * i / 8000.0) * (0.3 + 0.2 * c) * 32767.0).toInt
+      val o = (i * 2 + c) * 2
+      raw(o) = (s & 0xFF).toByte
+      raw(o + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val stereo = bos.toByteArray
+    assert(Multimodal.audioRms(stereo, 8).toSeq === Multimodal.audioRmsJdk(stereo, 8).toSeq)
+    // decode fast path reports the same metadata the JDK header parse does
+    val meta = Multimodal.decodeAudio(stereo)
+    assert(meta.format === "wav" && meta.channels === 2 && meta.frames === n.toLong)
+    // a big-endian AIFF declines the fast path and still decodes (JDK SPI)
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw),
+      new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true), n.toLong)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos2)
+    val aiff = bos2.toByteArray
+    assert(Multimodal.audioRms(aiff, 4).toSeq === Multimodal.audioRmsJdk(aiff, 4).toSeq)
+    assert(Multimodal.audioRms(aiff, 4).exists(_ > 0f))
+  }
+
   test("multimodal batch audio featurize reports true decoded metadata") {
     val media = Multimodal.syntheticAudio(corpus, "id", "text")
     val feats = Multimodal.batchAudioFeaturize(media, batchSize = 2).collect()
