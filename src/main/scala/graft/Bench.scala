@@ -80,14 +80,28 @@ object Bench {
     // sleep follows each run (an undercount only makes the published
     // adjustment more conservative).
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    // cache-state self-label: bytes of cached blocks DROPPED from the
+    // memory store per query window. Suite timings are not isolated —
+    // a neighbor's persist can evict this query's substrate and inflate
+    // its median 2×+ (r5: q_emb_near_dup 0.57 s in-suite vs 0.25 s
+    // isolated) — so each query publishes the eviction traffic that
+    // occurred while it ran: a nonzero value marks a median that
+    // carries cache-interplay noise, not a code regression.
+    val evictedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCounter.incrementAndGet(); ()
       }
+      override def onBlockUpdated(bu: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val info = bu.blockUpdatedInfo
+        // storageLevel NONE = the block left the store (evicted or
+        // unpersisted); memSize carries the size it HAD in memory
+        if (!info.storageLevel.isValid) { evictedBytes.addAndGet(info.memSize); () }
+      }
     })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, sfDir).count(); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+    // the median-of-5 timing block, reused for the end-of-suite outlier
+    // re-run so both numbers come from the identical protocol
+    def medianOf5(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = Seq.fill(5) {
         val t0 = System.nanoTime()
         val ok =
@@ -97,6 +111,13 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
+      if (times.head < 0) -1.0 else times(2)
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val ev0 = evictedBytes.get()
+      try { fn(spark, sfDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      val median = medianOf5(name, fn)
       // drain BEFORE the reset too: JobStart delivery is async, so an
       // event from the preceding timed runs landing after set(0) would
       // OVERcount the dedicated run (and overstate the published
@@ -107,8 +128,18 @@ object Bench {
       try { fn(spark, sfDir).count(); () }
       catch { case scala.util.control.NonFatal(_) => () }
       Thread.sleep(50)
-      name -> ((if (times.head < 0) -1.0 else times(2)), jobCounter.get())
+      name -> ((median, jobCounter.get(), evictedBytes.get() - ev0))
     }
+    // error bar for in-suite cache interplay: re-run the slowest query
+    // under the same protocol now that the suite's block-manager churn
+    // is over. A rerun well under the suite median says the suite
+    // number carried neighbor noise (eviction/persist interplay), not a
+    // regression — the exact ambiguity that burned the r4/r5 regression
+    // reads on q_emb_near_dup (0.57 s in-suite, 0.25 s isolated).
+    val outlier = results.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).headOption
+      .map { case (name, (suiteSec, _, _)) =>
+        (name, suiteSec, medianOf5(name, SparkEntry.queries(name)))
+      }
     // per-job scheduling floor on this box: the same median-of-5
     // protocol over an empty 1-row plan. Every query pays at least one
     // of these (most pay several — one per Spark job in its plan); on
@@ -123,10 +154,23 @@ object Bench {
       floorDf.count()
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(2)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val js = results.map { case (k, (_, j)) => s"\"" + k + "\":" + j }
+    val js = results.map { case (k, (_, j, _)) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
+    // only entries above a floor that excludes routine self-cleanup:
+    // most queries drop a few hundred KB of their own lineage-cut
+    // blocks (localCheckpoint teardown) every run — measured ~0.5 MB/
+    // query at sf0.001 — which is not the signal. 8 MB+ in one query
+    // window means some substrate actually churned out of the store.
+    val evs = results.collect {
+      case (k, (_, _, e)) if e > 8L * 1024 * 1024 => s"\"" + k + "\":" + e
+    }.mkString("{", ",", "}")
+    val outlierJson = outlier match {
+      case Some((n, suiteSec, rerunSec)) =>
+        s"""{"name":${Verify.q(n)},"suite_sec":$suiteSec,"rerun_sec":$rerunSec}"""
+      case None => "null"
+    }
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
     val note = "median of 5 steady-state runs per query (1 untimed codegen " +
       "warm run first; -1 = query threw); warmup_build_sec = one-time " +
@@ -135,13 +179,20 @@ object Bench {
       "floor_sec = median latency of an empty 1-row plan (per-job local-mode " +
       "scheduling floor, amortized away on a real cluster); jobs = Spark " +
       "jobs per query action chain, measured on a steady-state run — " +
-      "jobs x floor_sec is the exact per-query scheduling overhead" +
+      "jobs x floor_sec is the exact per-query scheduling overhead; " +
+      "evicted_bytes = cached-block bytes dropped from the memory store " +
+      "while that query's window ran, reported only above an 8 MB floor " +
+      "that excludes routine per-query lineage-cut teardown (an entry " +
+      "here = the median carries cache-churn noise, not a regression); " +
+      "outlier = the suite's slowest query re-run under the same " +
+      "median-of-5 protocol after the suite (rerun_sec well under " +
+      "suite_sec = the suite number was neighbor noise)" +
       contentionWarning(floorSec).map("; " + _).getOrElse("")
     // stderr only — stdout must stay the single parseable JSON line
     contentionWarning(floorSec).foreach(w => System.err.println(s"[bench] $w"))
     // sfDir comes from the environment — escape it like every other
     // string so a hostile/odd path cannot corrupt the JSON line
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"evicted_bytes":$evs,"outlier":$outlierJson,"warmup_build_sec":$warmupSec,"floor_sec":$floorSec,"notes":${Verify.q(note)},"sf":${Verify.q(sfDir)}}"""
     println(line)
     // the driver's log capture truncates long tails — ALSO write the
     // complete line to a file it can lift whole
