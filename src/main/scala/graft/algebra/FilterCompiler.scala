@@ -82,22 +82,23 @@ final case class EngineContext(
 
   /** Decode column via the broadcast map (None => use the join path).
     *
-    * [[graft.functions.DictDecode]] is marked NONDETERMINISTIC as a plan
-    * barrier, not because it is: decode sits at plan TOPS (envelope/gate
-    * presentation over aggregated, page-bounded rows), but a
-    * deterministic form let Catalyst push the `inner` null-filter
-    * `isnotnull(decode(key))` below the aggregate and join it keys —
-    * running the map lookup once per CORPUS row instead of once per
-    * result row (measured 0.27 → 0.40 s on a 4-row facet; at 100 TB it
-    * would be a full-corpus decode). Nothing downstream needs decode
-    * pushdown: every consumer decodes last by construction. A native
+    * The decode is wrapped in [[graft.functions.Fence]] — the typed
+    * placement barrier: decode sits at plan TOPS (envelope/gate
+    * presentation over aggregated, page-bounded rows), and unfenced,
+    * Catalyst pushes the `inner` null-filter `isnotnull(decode(key))`
+    * below the aggregate and into join keys — running the map lookup
+    * once per CORPUS row instead of once per result row (measured 0.27
+    * → 0.40 s on a 4-row facet; at 100 TB it would be a full-corpus
+    * decode). Nothing downstream needs decode pushdown: every consumer
+    * decodes last by construction; pinned in PlanContractSpec. A native
     * expression rather than a Scala UDF: the UDF form paid
     * ResolveEncodersInUDF/HandleNullInputsForUDF analyzer work on every
     * decoding query — pure per-query planning cost on the serving path. */
   def decodeExpr(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
     dictBroadcast.map { b =>
-      org.apache.spark.sql.GraftShims.column(graft.functions.DictDecode(
-        org.apache.spark.sql.GraftShims.expression(c), b))
+      org.apache.spark.sql.GraftShims.column(graft.functions.Fence(
+        graft.functions.DictDecode(
+          org.apache.spark.sql.GraftShims.expression(c), b)))
     }
 
   /** Unpersist + clear every derived cache. Remove-then-unpersist per

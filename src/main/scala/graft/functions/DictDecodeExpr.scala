@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -19,24 +19,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * native expression resolves for free and stays inside whole-stage
   * codegen.
   *
-  * Deliberately `Nondeterministic` — not because it is, but as the plan
-  * barrier the UDF version established: decode sits at plan TOPS
-  * (envelope presentation over aggregated, page-bounded rows), and a
-  * deterministic form would let Catalyst push the `inner` null-filter
-  * `isnotnull(decode(key))` below the aggregate and into join keys —
-  * running the map lookup once per CORPUS row instead of once per
-  * result row (see EngineContext.decodeExpr's history note).
+  * Honestly deterministic: same hash, same string, always. The "decode
+  * runs once per RESULT row, never per corpus row" placement contract
+  * that the old UDF established via a nondeterminism claim now lives in
+  * the dedicated [[Fence]] wrapper — [[graft.algebra.EngineContext
+  * .decodeExpr]] is the single construction point and always wraps
+  * `Fence(DictDecode(...))`.
   */
 case class DictDecode(child: Expression,
     bc: Broadcast[Map[Long, String]])
-    extends UnaryExpression with Nondeterministic {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  override protected def initializeInternal(partitionIndex: Int): Unit = ()
-
-  override protected def evalInternal(input: InternalRow): Any = {
+  override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null else DictDecode.lookup(bc, v.asInstanceOf[Long])
   }

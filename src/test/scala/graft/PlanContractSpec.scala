@@ -277,4 +277,35 @@ class PlanContractSpec extends SparkSpec {
     // and both the base and the appended doc match
     assert(idx.matchBm25("skywalker").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
+
+  test("decode is fenced: isnotnull(decode) never sinks below the aggregate") {
+    // the exact shape the Fence contract exists for: decode + null
+    // filter ABOVE an aggregate. Unfenced, Catalyst pushes
+    // isnotnull(decode(s)) below the groupBy — the broadcast-map lookup
+    // then runs once per CORPUS row instead of once per result row
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    val bctx = graft.algebra.EngineContext.withDictBroadcast(ctx)
+    val dec = bctx.decodeExpr(col("s")).getOrElse(fail("fixture dict did not broadcast"))
+    val df = bctx.graph.triples.groupBy(col("s")).agg(count("*").as("n"))
+      .select(dec.as("s_str"), col("n"))
+      .filter(col("s_str").isNotNull)
+    val opt = df.queryExecution.optimizedPlan
+    def hasDecode(p: LogicalPlan): Boolean = p.expressions.exists(_.exists {
+      case _: graft.functions.DictDecode => true
+      case _ => false
+    })
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"shape lost its aggregate:\n$opt")
+    val sunk = aggs.exists(_.children.exists(
+      _.collect { case n if hasDecode(n) => n }.nonEmpty))
+    assert(!sunk, s"decode sank below the aggregate:\n$opt")
+    // decode is still in the plan (above the agg), wrapped in the fence
+    val fenced = opt.collect { case n: LogicalPlan if n.expressions.exists(_.exists {
+      case graft.functions.Fence(_: graft.functions.DictDecode) => true
+      case _ => false
+    }) => n }.nonEmpty
+    assert(fenced, s"fenced decode missing from the plan top:\n$opt")
+    // and the fence is an identity: values decode exactly as unfenced
+    assert(df.collect().forall(_.getString(0) != null))
+  }
 }
