@@ -302,10 +302,68 @@ object PipelineQueries {
       Dedup.clusters(minhashPairs(s, dir)).orderBy("id")
     }),
 
+    // hash-green contract twin for the rows-only q_doc_minhash: DuckDB
+    // independently recomputes the identical-text ground truth from the
+    // documents table and audits the EXPORTED pair list against it
+    // ([[exportOracleAux]]) — identical text ⇒ identical shingle set ⇒
+    // identical signature ⇒ collides in every band ⇒ Jaccard 1.0 ⇒ must
+    // be paired. Plus: the planted (0, 1000000) dup surfaced, a<b
+    // ordering, every id a real doc, no pair below threshold, and
+    // exact-dup pairs carry Jaccard exactly 1.0. One Spark action: the
+    // laws fold into a single full-outer join + conditional aggregate.
+    "q_doc_minhash_contract" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir).withColumn("in_pairs", lit(true))
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.union(
+        d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
+      val dup = corpus.as("x").join(corpus.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(true).as("is_dup"))
+      pairs.join(dup, Seq("a", "b"), "full_outer")
+        .join(corpus.select(col("doc_id").as("a"), lit(true).as("a_ok")), Seq("a"), "left")
+        .join(corpus.select(col("doc_id").as("b"), lit(true).as("b_ok")), Seq("b"), "left")
+        .agg(
+          sum(when(col("in_pairs"), 1L).otherwise(0L)).as("n_pairs"),
+          (sum(when(col("is_dup") && col("in_pairs").isNull, 1L).otherwise(0L)) === 0L)
+            .as("exact_dups_covered"),
+          (sum(when(col("in_pairs") && col("a") === 0L && col("b") === 1000000L, 1L)
+            .otherwise(0L)) === 1L).as("planted_found"),
+          (sum(when(col("in_pairs") && col("a") >= col("b"), 1L).otherwise(0L)) === 0L)
+            .as("order_ok"),
+          (sum(when(col("in_pairs") && (col("a_ok").isNull || col("b_ok").isNull), 1L)
+            .otherwise(0L)) === 0L).as("ids_valid"),
+          (sum(when(col("in_pairs") && col("jaccard") < 0.8, 1L).otherwise(0L)) === 0L)
+            .as("thresh_ok"),
+          (sum(when(col("in_pairs") && col("is_dup") && col("jaccard") =!= 1.0, 1L)
+            .otherwise(0L)) === 0L).as("exact_jaccard_one"))
+    }),
+
     // SimHash sketches (pairs property-tested in OpsSpec)
     "q_doc_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
           Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
+    }),
+
+    // hash-green contract twin for the rows-only q_doc_simhash: the
+    // sketch is a pure function of the text, so identical-text docs
+    // (incl. a planted copy of doc 0, which makes the law non-vacuous
+    // on any corpus) must carry identical sketches. Laws computed
+    // Spark-side in one action; the oracle pins the expected booleans
+    // (same pattern as q_rdf_sample_contract).
+    "q_doc_simhash_contract" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.union(
+        d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
+      corpus.filter(col("text").isNotNull)
+        .select(col("text"), Dedup.simhashUdf(col("text")).as("sh"))
+        .groupBy(col("text"))
+        .agg(countDistinct(col("sh")).as("nsh"), count(lit(1)).as("n"))
+        .agg(
+          (sum(when(col("nsh") > 1L, 1L).otherwise(0L)) === 0L)
+            .as("deterministic_sketch"),
+          (sum(when(col("n") > 1L, 1L).otherwise(0L)) > 0L)
+            .as("law_nonvacuous"))
     }),
 
     // language ID heuristic, oracle-checked against a SQL re-expression
@@ -625,10 +683,30 @@ object PipelineQueries {
     * EXACTLY (recursive CTE over the same pair graph); pair GENERATION
     * stays covered by q_doc_minhash's planted-dup law and OpsSpec. */
   def exportOracleAux(s: SparkSession, dir: String): Unit =
-    minhashPairs(s, dir).select("a", "b").coalesce(1)
+    minhashPairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
 
   val oracle: Map[String, String] = Map(
+    "q_doc_minhash_contract" ->
+      s"""WITH pairs AS (
+         |  SELECT a, b, jaccard FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT 1000000, text FROM documents WHERE doc_id = 0),
+         |dup AS (SELECT x.doc_id AS a, y.doc_id AS b FROM corpus x
+         |        JOIN corpus y ON x.text = y.text AND x.doc_id < y.doc_id)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+         |  (SELECT count(*) FROM dup d WHERE NOT EXISTS (
+         |     SELECT 1 FROM pairs p WHERE p.a = d.a AND p.b = d.b)) = 0 AS exact_dups_covered,
+         |  EXISTS (SELECT 1 FROM pairs WHERE a = 0 AND b = 1000000) AS planted_found,
+         |  (SELECT count(*) FROM pairs WHERE a >= b) = 0 AS order_ok,
+         |  (SELECT count(*) FROM pairs p WHERE p.a NOT IN (SELECT doc_id FROM corpus)
+         |     OR p.b NOT IN (SELECT doc_id FROM corpus)) = 0 AS ids_valid,
+         |  (SELECT count(*) FROM pairs WHERE jaccard < 0.8) = 0 AS thresh_ok,
+         |  (SELECT count(*) FROM pairs p JOIN dup d ON p.a = d.a AND p.b = d.b
+         |     WHERE p.jaccard <> 1.0) = 0 AS exact_jaccard_one""".stripMargin,
+    "q_doc_simhash_contract" ->
+      "SELECT TRUE AS deterministic_sketch, TRUE AS law_nonvacuous",
     "q_doc_clusters" ->
       s"""WITH RECURSIVE p AS (
          |  SELECT a, b FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
