@@ -443,9 +443,23 @@ object RdfQueries {
         .filter(col("s") =!= seedHash)
         .groupBy("s").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 3)
-      shared.join(ctx.graph.iris, shared("s") === col("hash"))
-        .select(col("value").as("s"), col("shared"))
-        .orderBy(col("shared").desc, col("s")) }
+      // decode through the session's broadcast map when it exists: the
+      // iris join alternative makes Catalyst broadcast the corpus-sized
+      // dictionary side (~45 MB at sf0.1, evicted again every run — the
+      // bench's evicted_bytes field caught exactly this churn) and pays
+      // a broadcast-build job. All subjects are in the dictionary by
+      // construction, so the isNotNull filter replicates the join's
+      // inner semantics.
+      ctx.decodeExpr(col("s")) match {
+        case Some(d) =>
+          shared.select(d.as("s"), col("shared"))
+            .filter(col("s").isNotNull)
+            .orderBy(col("shared").desc, col("s"))
+        case None =>
+          shared.join(ctx.graph.iris, shared("s") === col("hash"))
+            .select(col("value").as("s"), col("shared"))
+            .orderBy(col("shared").desc, col("s"))
+      } }
     }),
   )
 
