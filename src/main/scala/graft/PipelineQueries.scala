@@ -485,7 +485,9 @@ object PipelineQueries {
     // real), sharded so the running sum never globally sorts the
     // corpus; oracle-checked exactly
     "q_doc_select" -> ((s, dir) => {
-      val scored = docs(s, dir).select(col("doc_id"),
+      // docsPar, not docs: the per-row quality/token scoring is the
+      // heavy part and must not run on the single-row-group scan task
+      val scored = docsPar(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       graft.ops.Selection.selectByBudget(scored, "doc_id", "quality", "toks",

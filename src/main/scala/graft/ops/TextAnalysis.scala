@@ -5,18 +5,28 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting. All hot
-  * paths are Catalyst column expressions (codegen'd, no UDF) except the
-  * winnowing fingerprint, which is a single-pass Scala UDF.
+  * paths are native codegen Catalyst expressions (no UDF, no interpreted
+  * higher-order functions): winnowing via [[graft.functions.WinnowMd5]],
+  * the per-row counting primitives via [[graft.functions.TextStats]].
+  * The declarative originals are kept as `*Declarative` twins — the
+  * byte-parity oracles OpsSpec pins the native forms against, and the
+  * readable statement of each primitive's semantics.
   *
   * Scale: every operator is per-row (embarrassingly parallel, no
   * shuffle); a 100 TB corpus maps straight through a projection.
   */
 object TextAnalysis {
 
+  import org.apache.spark.sql.GraftShims.{column => ccol, expression => cexpr}
+
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(wsTokens(text))
+  def tokenCount(text: Column): Column =
+    ccol(graft.functions.WsTokenCount(cexpr(text)))
+
+  private[graft] def tokenCountDeclarative(text: Column): Column =
+    size(wsTokens(text))
 
   /** BPE-ish pre-tokenization count: letter runs, digit runs, and single
     * punctuation marks — the GPT-2-style pre-tokenizer word classes. */
@@ -45,12 +55,21 @@ object TextAnalysis {
     "that", "for", "on", "as", "with", "at", "by", "this", "be", "are")
 
   def stopwordCount(text: Column): Column =
+    ccol(graft.functions.StopwordCount(cexpr(text), EnStopwords))
+
+  private[graft] def stopwordCountDeclarative(text: Column): Column =
     size(filter(wsTokens(lower(text)), t => t.isin(EnStopwords: _*)))
 
   def punctCount(text: Column): Column =
+    ccol(graft.functions.AsciiClassCount(cexpr(text), "punct"))
+
+  private[graft] def punctCountDeclarative(text: Column): Column =
     length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
 
   def digitCount(text: Column): Column =
+    ccol(graft.functions.AsciiClassCount(cexpr(text), "digit"))
+
+  private[graft] def digitCountDeclarative(text: Column): Column =
     length(regexp_replace(text, "[^0-9]", ""))
 
   /** Heuristic quality score in [0,1]: favors texts with a healthy

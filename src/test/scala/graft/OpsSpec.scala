@@ -88,6 +88,44 @@ class OpsSpec extends SparkSpec {
     assert(loose.agg(sum("lines_dropped")).head.getLong(0) === 0L)
   }
 
+  test("native text-stat counters match their declarative twins on every edge") {
+    // curated edges: empty, all-whitespace (split keeps trailing empties
+    // at limit -1), tabs/newlines at edges (trim strips 0x20 only),
+    // unicode incl. the Turkish İ lowercase expansion, null, and texts
+    // mixing every stopword/punct/digit shape
+    val curated = Seq(
+      "", " ", "  ", "\t", "\t\t", "\n", " \t ", "a", " a ", "\ta\t",
+      "a b", "a  b", "a\tb\nc", "the and of", "The AND Of tHe",
+      "İstanbul the city", "ünïcode tök the", "no stop words here?!",
+      "1,234.56 -- x; [y] {z} ~`", "0123456789", "a1b2c3",
+      "the quick brown fox...", "word", "the", " the", "the ", "\tthe\n",
+      null.asInstanceOf[String])
+    // pseudo-random sweep over a whitespace/punct/digit/unicode alphabet
+    // (deterministic seed — failures must reproduce)
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "ab cd\tthe\nof 0.9!?[]{}~üİ ,;"
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (curated ++ fuzz).toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.stopwordCount(col("text")).as("s"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.digitCount(col("text")).as("d")).collect()
+    val want = df.select(
+      TextAnalysis.tokenCountDeclarative(col("text")).as("t"),
+      TextAnalysis.stopwordCountDeclarative(col("text")).as("s"),
+      TextAnalysis.punctCountDeclarative(col("text")).as("p"),
+      TextAnalysis.digitCountDeclarative(col("text")).as("d")).collect()
+    for (((g, w), i) <- got.zip(want).zipWithIndex)
+      assert(g === w, s"row $i text=${(curated ++ fuzz)(i)}")
+    // and non-degenerate: the sweep exercised nonzero counts of each kind
+    assert(got.exists(r => !r.isNullAt(0) && r.getInt(0) > 1))
+    assert(got.exists(r => !r.isNullAt(1) && r.getInt(1) > 0))
+    assert(got.exists(r => !r.isNullAt(2) && r.getInt(2) > 0))
+    assert(got.exists(r => !r.isNullAt(3) && r.getInt(3) > 0))
+  }
+
   test("native WordGrams is byte-identical to the declarative chain") {
     // the chain it replaced (TextAnalysis.wordGrams pre-nativization):
     // transform over a 1-based window sequence + array_join + distinct
