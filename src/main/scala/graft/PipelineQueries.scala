@@ -461,6 +461,34 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // hash-green contract twin for q_mm_features: the synthetic PNG's
+    // width/height are pure functions of the text's seed-0 XXH64
+    // (Multimodal.syntheticPng), so the gate recomputes the expected
+    // dims from `documents.text` with the codegen Hash64 expression and
+    // compares them per row against what ImageIO decoded back out of
+    // the PNG header — a REAL encode→decode codec round-trip checked
+    // doc-by-doc. The oracle emits one all-TRUE row per document, so a
+    // lost/duplicated row at a batch boundary or any dim mismatch goes
+    // hash-RED. q_mm_features stays rows-only for the full output.
+    "q_mm_features_contract" -> ((s, dir) => {
+      val feats = Multimodal.batchFeaturize(syntheticMedia(s, dir))
+        .select(col("id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"))
+      val h = graft.functions.Hash64(col("text"))
+      val expect = docs(s, dir).select(col("doc_id").cast("long").as("id"),
+        (lit(8L) + pmod(h, lit(24L))).as("exp_w"),
+        (lit(8L) + pmod(shiftrightunsigned(h, 8), lit(24L))).as("exp_h"))
+      feats.join(expect, "id")
+        .select(col("id"),
+          (col("width") === col("exp_w")).as("width_ok"),
+          (col("height") === col("exp_h")).as("height_ok"),
+          (col("format") === "png").as("format_ok"),
+          (col("dim") === 64).as("dim_ok"),
+          (col("size_bytes") > 0L).as("size_ok"))
+        .coalesce(1).orderBy("id")
+    }),
+
     // tf-idf top-terms: the 3 most distinctive terms per document —
     // corpus exploration / weak labeling; oracle-checked exactly
     "q_doc_tfidf" -> ((s, dir) => {
@@ -647,6 +675,34 @@ object PipelineQueries {
           col("meta.durationMs").as("duration_ms"), size(col("rms")).as("dim"))
         .orderBy("id")
     }),
+
+    // hash-green contract twin for q_mm_audio: the synthetic WAV's frame
+    // count is a pure function of the text's seed-0 XXH64
+    // (Multimodal.syntheticWav: n = 400 + h mod 800 frames at 8 kHz
+    // mono), so the gate recomputes the expected header values from
+    // `documents.text` and compares them per row against what the WAV
+    // header parse decoded back — a REAL encode→decode round-trip,
+    // plus the RMS laws (16 windows, every value in [0,1]; sine amp
+    // ≤ 0.79 ⇒ RMS ≤ 0.56). One all-TRUE oracle row per document.
+    "q_mm_audio_contract" -> ((s, dir) => {
+      val feats = Multimodal.batchAudioFeaturize(syntheticAudio(s, dir))
+        .select(col("id"), col("meta.sampleRate").as("sample_rate"),
+          col("meta.channels").as("channels"), col("meta.frames").as("frames"),
+          col("meta.durationMs").as("duration_ms"), col("rms"))
+      val expect = docs(s, dir).select(col("doc_id").cast("long").as("id"),
+        (lit(400L) + pmod(graft.functions.Hash64(col("text")), lit(800L)))
+          .as("exp_frames"))
+      feats.join(expect, "id")
+        .select(col("id"),
+          (col("frames") === col("exp_frames")).as("frames_ok"),
+          (col("sample_rate") === 8000).as("rate_ok"),
+          (col("channels") === 1).as("channels_ok"),
+          (col("duration_ms") ===
+            floor(col("exp_frames") * 1000.0 / 8000.0).cast("long")).as("duration_ok"),
+          (size(col("rms")) === 16).as("dim_ok"),
+          forall(col("rms"), v => v >= 0f && v <= 1f).as("rms_ok"))
+        .coalesce(1).orderBy("id")
+    }),
   )
 
   private val BpeishRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -689,6 +745,18 @@ object PipelineQueries {
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
 
   val oracle: Map[String, String] = Map(
+    // per-document codec round-trip laws: the Spark side compares the
+    // REAL decoded PNG/WAV header values against the hash-derived synth
+    // parameters row by row; the oracle pins one all-TRUE row per doc,
+    // so a dropped/duplicated row or any mismatch goes hash-RED
+    "q_mm_features_contract" ->
+      ("SELECT doc_id AS id, TRUE AS width_ok, TRUE AS height_ok, " +
+        "TRUE AS format_ok, TRUE AS dim_ok, TRUE AS size_ok " +
+        "FROM documents ORDER BY id"),
+    "q_mm_audio_contract" ->
+      ("SELECT doc_id AS id, TRUE AS frames_ok, TRUE AS rate_ok, " +
+        "TRUE AS channels_ok, TRUE AS duration_ok, TRUE AS dim_ok, " +
+        "TRUE AS rms_ok FROM documents ORDER BY id"),
     "q_doc_minhash_contract" ->
       s"""WITH pairs AS (
          |  SELECT a, b, jaccard FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),

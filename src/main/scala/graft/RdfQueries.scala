@@ -422,12 +422,46 @@ object RdfQueries {
       r.results.keys.toSeq.sorted.toDF("s")
     }),
 
-    // §2.4 fts scores — BM25 constants engine-specific => rows-only
+    // §2.4 fts scores — BM25 score VALUES are engine-specific (pinned in
+    // FtsSpec), but the conjunctive MATCH SET is oracle-exact: in the
+    // testdata the only literals containing both tokens are the
+    // p_name = 'red widget' rows (token vocabulary is closed words, no
+    // stem collisions), so the decoded subject set hash-checks against
+    // DuckDB directly — the scored chain's membership is the oracle'd
+    // surface, its scores are the spec'd one.
     "q_rdf_fts_score" -> ((s, dir) => {
       val ctx = rctx(s, dir)
       val scored = QueryEngine.scoreChain(ctx, QueryOpts(
         filters = Seq(FilterQ(p = "fts", o = "red widget")))).get
       decodeS(ctx, scored.select("s"))
+    }),
+
+    // hash-green contract twin for q_rdf_semantic (scores are
+    // engine-specific — the embedder is a vendor seam): the laws the
+    // reference's semantic filter guarantees (query.py:166-170), each
+    // computed against the actual match chain. thresh_ok: score = 1/d
+    // with cosine distance < 0.5 ⇒ every score > 2. members_ok: every
+    // match is a store subject (anti-join, no distinct — bounded
+    // output). page_ok: the envelope's top-10 page agrees with the raw
+    // chain folded by max(score) GROUP BY s — the page/agg path and the
+    // chain path are different code, so a fold or paging bug goes RED.
+    "q_rdf_semantic_contract" -> ((s, dir) => {
+      val ctx = Rdfize.semantic(s, dir)
+      val opts = QueryOpts(
+        filters = Seq(FilterQ(p = "semantic", o = "NATION_3 NATION_3")), size = 10)
+      val folded = QueryEngine.scoreChain(ctx, opts).get
+        .groupBy("s").agg(max("score").as("score"))
+      val a = folded.agg(count(lit(1)).as("n"), min("score").as("m")).collect()(0)
+      val n = a.getLong(0)
+      val minScore = a.getDouble(1)
+      val nonMembers = folded.join(ctx.graph.triples.select("s"), Seq("s"), "left_anti").count()
+      val page = QueryEngine.query(ctx, opts).results.keys.toSeq
+      val pageHashes = page.map(FilterCompiler.h)
+      val pageInChain = folded.filter(col("s").isin(pageHashes: _*)).count()
+      import s.implicits._
+      Seq((n > 0L, minScore > 2.0, nonMembers == 0L,
+          page.size.toLong == math.min(10L, n) && pageInChain == page.size.toLong))
+        .toDF("nonempty", "thresh_ok", "members_ok", "page_ok")
     }),
 
     // the reference's flagship analytical query (wikidata.md:45-67):
@@ -476,6 +510,15 @@ object RdfQueries {
     "q_rdf_sample_contract" ->
       ("SELECT TRUE AS sampled_le_cap, TRUE AS all_members, " +
         "TRUE AS all_distinct, TRUE AS nonempty"),
+    // conjunctive-match membership of the scored fts chain: only the
+    // exact 'red widget' parts carry both tokens in the testdata
+    "q_rdf_fts_score" ->
+      s"SELECT ${subj("part", "p_partkey")} AS s FROM part WHERE p_name = 'red widget' ORDER BY s",
+    // the semantic laws as constants — the Spark side computes each
+    // against the actual match chain, envelope page, and store
+    "q_rdf_semantic_contract" ->
+      ("SELECT TRUE AS nonempty, TRUE AS thresh_ok, " +
+        "TRUE AS members_ok, TRUE AS page_ok"),
     "q_rdf_filter_po" ->
       s"SELECT $custS AS s FROM customer WHERE c_mktsegment='BUILDING' ORDER BY s",
     "q_rdf_filter_p" ->

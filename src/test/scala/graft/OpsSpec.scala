@@ -764,6 +764,39 @@ class OpsSpec extends SparkSpec {
     assert(f1.features.length === 64)
   }
 
+  test("mm contract laws: decoded headers equal hash-derived synth params; a swapped payload flips the law") {
+    import graft.functions.Hash64
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.batchFeaturize(Multimodal.syntheticMedia(corpus, "id", "text"))
+      .collect().map(f => f.id -> f.meta).toMap
+    for ((id, m) <- feats) {
+      val h = Hash64.hashString(texts(id))
+      assert(m.width === 8 + java.lang.Math.floorMod(h, 24L).toInt,
+        s"decoded PNG width must round-trip the synth param for doc $id")
+      assert(m.height === 8 + java.lang.Math.floorMod(h >>> 8, 24L).toInt)
+    }
+    val audio = Multimodal.batchAudioFeaturize(
+      Multimodal.syntheticAudio(corpus, "id", "text")).collect()
+    assert(audio.length === 5)
+    for (f <- audio) {
+      val h = Hash64.hashString(texts(f.id))
+      val n = 400L + java.lang.Math.floorMod(h, 800L)
+      assert(f.meta.frames === n)
+      assert(f.meta.sampleRate === 8000 && f.meta.channels === 1)
+      assert(f.meta.durationMs === (n * 1000.0 / 8000).toLong)
+      assert(f.rms.length === 16 && f.rms.forall(v => v >= 0f && v <= 1f))
+    }
+    // detection: media generated from doc 3's text presented under doc 5's id
+    // decodes to doc 3's params, which differ from doc 5's expectation — the
+    // per-row equality the contract gates assert catches payload mix-ups
+    val swapped = Multimodal.decodeImage(Multimodal.syntheticPng(texts(3L)))
+    val h5 = Hash64.hashString(texts(5L))
+    assert((swapped.width != 8 + java.lang.Math.floorMod(h5, 24L).toInt) ||
+      (swapped.height != 8 + java.lang.Math.floorMod(h5 >>> 8, 24L).toInt))
+    val swappedWav = Multimodal.decodeAudio(Multimodal.syntheticWav(texts(3L)))
+    assert(swappedWav.frames !== 400L + java.lang.Math.floorMod(h5, 800L))
+  }
+
   test("a custom MediaEncoder plugs through batchFeaturize's batch contract") {
     import MediaEncoderFixtures._
     val media = Multimodal.syntheticMedia(corpus, "id", "text").coalesce(1)
