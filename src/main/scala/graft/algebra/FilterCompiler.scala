@@ -31,6 +31,12 @@ final case class EngineContext(
     // chains kept on the driver before paths() switches to the
     // distributed frontier (branchy multi-parent graphs)
     maxDriverChains: Int = 65536,
+    // edge-count bound for the paths() broadcast-arrays fast path
+    // (~64 MB of long pairs at the default — same order as the facet
+    // broadcast budget); corpus-scale properties keep the join walk.
+    // A context knob (not a constant) so deployments can size it to
+    // driver memory and tests can force each walk.
+    maxBroadcastPathEdges: Long = 4000000L,
     // probe sets (regex-matched literal hashes, hop frontiers) at or
     // under this become an o-IN scan predicate on the triples probe —
     // batch min/max pruning instead of a join; above it, broadcast join
@@ -159,9 +165,66 @@ final case class EngineContext(
       val built = org.apache.spark.sql.GraftShims.ofOptimized(build)
       val prev = servingPlans.putIfAbsent(key, built)
       df = if (prev == null) built else prev
+      boundServingCaches()
     }
     if (retired.get()) drainDerivedCaches()
     df
+  }
+
+  /** Cap on the pure-cache maps: a long-lived session serving many
+    * DISTINCT ad-hoc shapes must not grow driver heap monotonically —
+    * mutation drains are the only other eviction, and a read-only
+    * session never mutates. Clearing on overflow loses warmth, never
+    * correctness (nothing in either map is persisted or externally
+    * referenced). The steady-state serving case (a bounded set of
+    * parameterized shapes) never reaches the cap. */
+  private def boundServingCaches(): Unit = {
+    if (servingPlans.size() > EngineContext.maxServingEntries) servingPlans.clear()
+    if (servingValues.size() > EngineContext.maxServingEntries) servingValues.clear()
+  }
+
+  /** [[servingValue]] hardened for HASH-DERIVED keys: the entry carries
+    * the canonical probe plan it was built from and a key hit counts
+    * only when `sameResult` confirms the plans match. The serving keys
+    * are built from 32-bit `semanticHash` values — cheap, but a
+    * birthday collision between two different probe shapes in one
+    * long-lived context would otherwise silently serve one query's
+    * probe rows to the other. On a verified mismatch the probe rebuilds
+    * uncached (the first entry keeps the slot) — correctness never
+    * depends on hash width. */
+  def servingProbe[T <: AnyRef](key: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(build: => T): T = {
+    servingValues.get(key) match {
+      case e: EngineContext.ProbeEntry if e.plan.sameResult(plan) =>
+        if (retired.get()) drainDerivedCaches()
+        return e.value.asInstanceOf[T]
+      case _ => ()
+    }
+    val built = build
+    servingValues.putIfAbsent(key, EngineContext.ProbeEntry(plan, built))
+    boundServingCaches()
+    if (retired.get()) drainDerivedCaches()
+    built
+  }
+
+  /** [[servingProbe]] for compiled value-bound scan FRAGMENTS: verified
+    * on both the base plan and the bound value array (the key folds the
+    * values to a 32-bit `Arrays.hashCode` — same collision argument). */
+  def servingFragment(key: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      values: Array[Long])(build: => DataFrame): DataFrame = {
+    servingValues.get(key) match {
+      case e: EngineContext.FragmentEntry
+          if java.util.Arrays.equals(e.values, values) && e.plan.sameResult(plan) =>
+        if (retired.get()) drainDerivedCaches()
+        return e.df
+      case _ => ()
+    }
+    val built = org.apache.spark.sql.GraftShims.ofOptimized(build)
+    servingValues.putIfAbsent(key, EngineContext.FragmentEntry(plan, values, built))
+    boundServingCaches()
+    if (retired.get()) drainDerivedCaches()
+    built
   }
 
   /** Serving-tier probe-RESULT cache, the same store-constant argument
@@ -199,7 +262,7 @@ final case class EngineContext(
   *
   * `parentArrays` is the walk's broadcast fast path, built once per
   * (context, property) when the graph is single-parent AND the edge
-  * count fits [[QueryEngine.maxBroadcastPathEdges]]: (sorted child
+  * count fits [[EngineContext.maxBroadcastPathEdges]]: (sorted child
   * hashes, parallel parent hashes) — a primitive-array map (binary
   * search per lookup, no boxing) that lets one projection walk EVERY
   * level of a chain in a single job, with no per-level join or
@@ -209,6 +272,21 @@ final case class PathEdges(edges: DataFrame, singleParent: Boolean,
     parentArrays: Option[org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]] = None)
 
 object EngineContext {
+  /** Overflow bound for [[EngineContext.servingPlans]]/`servingValues`
+    * (see boundServingCaches). */
+  private[algebra] val maxServingEntries = 1024
+
+  /** A verified probe-cache entry: the canonical plan the value was
+    * collected from rides along so a semanticHash key collision is
+    * detected, not served. */
+  private[algebra] final case class ProbeEntry(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, value: AnyRef)
+
+  /** [[ProbeEntry]] for compiled value-bound fragments. */
+  private[algebra] final case class FragmentEntry(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      values: Array[Long], df: DataFrame)
+
   /** Collect + broadcast the dictionary when it is bounded. One
     * limit-bounded collect decides AND delivers: reading maxEntries + 1
     * rows either proves the dictionary is too big (fall back to the
@@ -375,16 +453,17 @@ object FilterCompiler {
     // cached keyed by the VALUES (parameter binding — same probe result
     // ⇒ same plan, no per-call Dataset construction). All three caches
     // die with the context on mutation.
-    val probeKey = "oin:p:" + hs.queryExecution.analyzed.semanticHash()
-    val probe = ctx.servingValue(probeKey + ":r") {
-      ctx.servingPlan(probeKey)(hs.limit(cap + 1)).collect().map(_.getLong(0))
+    val hsPlan = hs.queryExecution.analyzed
+    val probe = ctx.servingProbe("oin:p:" + hsPlan.semanticHash() + ":r", hsPlan) {
+      hs.limit(cap + 1).collect().map(_.getLong(0))
     }
     if (probe.length <= cap) {
       if (probe.isEmpty) // In(o, Nil) folds to an empty relation — no
         return base.filter(col("o").isin()).select("s") // point caching
+      val basePlan = base.queryExecution.analyzed
       val vh = java.util.Arrays.hashCode(probe)
-      ctx.servingPlan(
-        s"oin:m:${base.queryExecution.analyzed.semanticHash()}:${probe.length}:$vh")(
+      ctx.servingFragment(
+        s"oin:m:${basePlan.semanticHash()}:${probe.length}:$vh", basePlan, probe)(
         base.filter(col("o").isin(probe.toIndexedSeq: _*)).select("s"))
     } else {
       // over-cap fallback: uncached, and the upstream match plan runs a
@@ -414,19 +493,25 @@ object FilterCompiler {
     if (cap <= 0) return joined(scored)
     // same prepared-probe contract as [[oInOrJoin]]: cached probe plan,
     // cached bounded probe result, value-keyed cached scan fragment
-    val sProbeKey = "soin:p:" + scored.queryExecution.analyzed.semanticHash()
-    val probe = ctx.servingValue(sProbeKey + ":r") {
-      ctx.servingPlan(sProbeKey)(scored.limit(cap + 1)).collect()
+    val scoredPlan = scored.queryExecution.analyzed
+    val probe = ctx.servingProbe(
+        "soin:p:" + scoredPlan.semanticHash() + ":r", scoredPlan) {
+      scored.limit(cap + 1).collect()
     }
     if (probe.length <= cap) {
       val spark = base.sparkSession
       if (probe.isEmpty)
         return base.filter(col("o").isin()).select(col("s"), lit(null).cast("double").as("score"))
-      val vh = java.util.Arrays.hashCode(
-        probe.flatMap(r => Array(r.getLong(0),
-          java.lang.Double.doubleToLongBits(if (r.isNullAt(1)) 0.0 else r.getDouble(1)))))
-      ctx.servingPlan(
-        s"soin:m:${base.queryExecution.analyzed.semanticHash()}:${probe.length}:$vh") {
+      // a trailing null-flag long per row: folding a null score to 0.0
+      // BITS alone would key a null-scored probe and a 0.0-scored probe
+      // identically
+      val flat = probe.flatMap(r => Array(r.getLong(0),
+        if (r.isNullAt(1)) 0L else java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        if (r.isNullAt(1)) 1L else 0L))
+      val basePlan = base.queryExecution.analyzed
+      val vh = java.util.Arrays.hashCode(flat)
+      ctx.servingFragment(
+        s"soin:m:${basePlan.semanticHash()}:${probe.length}:$vh", basePlan, flat) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(probe: _*),
           org.apache.spark.sql.types.StructType(Seq(

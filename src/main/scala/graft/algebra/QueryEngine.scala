@@ -272,10 +272,9 @@ object QueryEngine {
     val pageRows: Option[Array[(Long, Int)]] =
       if (ctx.isinProbeCap <= 0 || opts.size > ctx.isinProbeCap) None
       else {
-        val key = "hydrate:p:" + wanted.queryExecution.analyzed.semanticHash()
-        Some(ctx.servingValue(key + ":r") {
-          ctx.servingPlan(key)(wanted).collect()
-            .map(r => (r.getAs[Long]("s"), r.getAs[Int]("pos")))
+        val wPlan = wanted.queryExecution.analyzed
+        Some(ctx.servingProbe("hydrate:p:" + wPlan.semanticHash() + ":r", wPlan) {
+          wanted.collect().map(r => (r.getAs[Long]("s"), r.getAs[Int]("pos")))
         })
       }
     var joined = pageRows match {
@@ -394,10 +393,9 @@ object QueryEngine {
       if (ctx.isinProbeCap <= 0) None
       else {
         val cap = ctx.isinProbeCap
-        val key = "facet:p:" + sSide.queryExecution.analyzed.semanticHash()
-        val arr = ctx.servingValue(key + ":r") {
-          ctx.servingPlan(key)(sSide.limit(cap + 1))
-            .collect().map(_.getLong(0))
+        val sPlan = sSide.queryExecution.analyzed
+        val arr = ctx.servingProbe("facet:p:" + sPlan.semanticHash() + ":r", sPlan) {
+          sSide.limit(cap + 1).collect().map(_.getLong(0))
         }
         if (arr.length <= cap) Some(arr.distinct) else None
       }
@@ -466,10 +464,47 @@ object QueryEngine {
     * broadcast joins, dividing the per-job scheduling floor by k. */
   private val pathLevelsPerJob = 4
 
-  /** Edge-count bound for the [[PathEdges.parentArrays]] broadcast walk
-    * (~64 MB of long pairs at the cap — same order as the facet
-    * broadcast budget). Corpus-scale properties keep the join walk. */
-  private val maxBroadcastPathEdges = 4000000L
+  // the broadcast-walk edge bound lives on the context
+  // (EngineContext.maxBroadcastPathEdges) so it can be sized per
+  // deployment and forced off in walk-parity tests
+
+  /** In-place quicksort of `keys` with `vals` permuted in tandem — the
+    * boxing-free way to sort the broadcast parent arrays (an index/tuple
+    * sort would allocate per edge at the 4M cap). Insertion sort below
+    * 32 elements; median-of-three pivot so a pre-sorted edge dump (the
+    * common case — the scan reads s-sorted parquet) stays O(n log n). */
+  private[graft] def sortPairedByKey(keys: Array[Long], vals: Array[Long]): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val k = keys(i); keys(i) = keys(j); keys(j) = k
+      val v = vals(i); vals(i) = vals(j); vals(j) = v
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 32) {
+        var i = lo + 1
+        while (i <= hi) {
+          val k = keys(i); val v = vals(i)
+          var j = i - 1
+          while (j >= lo && keys(j) > k) { keys(j + 1) = keys(j); vals(j + 1) = vals(j); j -= 1 }
+          keys(j + 1) = k; vals(j + 1) = v
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (keys(mid) < keys(lo)) swap(mid, lo)
+        if (keys(hi) < keys(lo)) swap(hi, lo)
+        if (keys(hi) < keys(mid)) swap(hi, mid)
+        val pivot = keys(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (keys(i) < pivot) i += 1
+          while (keys(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        sort(lo, j); sort(i, hi)
+      }
+    }
+    if (keys.length > 1) sort(0, keys.length - 1)
+  }
 
   /** One k-level walk step as a DataFrame transform: left-join `cur`
     * (source, path, head) against the edge set `levels` times inside ONE
@@ -532,11 +567,21 @@ object QueryEngine {
       // The count is ~free (e is persisted); sorting runs driver-side to
       // avoid a range-exchange job on the bounded set.
       val arrays =
-        if (single && e.count() <= maxBroadcastPathEdges) {
-          val rows = e.collect()
-          val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-          Some(spark.sparkContext.broadcast(
-            (sorted.map(_._1), sorted.map(_._2))))
+        if (single && e.count() <= ctx.maxBroadcastPathEdges) {
+          // stream the rows into primitive builders instead of
+          // collect(): near the 4M cap a collect() holds every boxed
+          // Row at once (~hundreds of MB transient) on top of the
+          // 64 MB the broadcast actually needs; toLocalIterator pays
+          // one cursor job per partition of the persisted edge set
+          // (once per context+property) and never holds more than one
+          // partition's rows
+          val kb = new scala.collection.mutable.ArrayBuilder.ofLong
+          val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+          val it = e.toLocalIterator()
+          while (it.hasNext) { val r = it.next(); kb += r.getLong(0); vb += r.getLong(1) }
+          val keys = kb.result(); val vals = vb.result()
+          sortPairedByKey(keys, vals)
+          Some(spark.sparkContext.broadcast((keys, vals)))
         } else None
       PathEdges(e, single, arrays)
     }
@@ -545,9 +590,14 @@ object QueryEngine {
       case Some(bc) =>
         val maxIter = ctx.maxPathIterations
         // whole-chain walk as ONE projection: binary-search the parent
-        // of the head until a root (not found) — finished chain — or the
-        // iteration cap with a parent still present — treated as a cycle
-        // and dropped (null path), matching the join walk's contract
+        // of the head until a root (not found) — finished chain — or
+        // the iteration cap — treated as a cycle and dropped (null
+        // path). The cap check is on PARENTS APPENDED, not on whether
+        // the last lookup missed: a chain with exactly maxIter edges is
+        // dropped even though its final node is a root, because the
+        // join walk cannot observe that root without a level it does
+        // not have — the two walks must return the same rows on the
+        // same data regardless of store size.
         val walkUdf = udf { (s: Long) =>
           val (keys, vals) = bc.value
           val buf = scala.collection.mutable.ArrayBuffer[Long](s)
@@ -560,10 +610,13 @@ object QueryEngine {
             lvl += 1
             idx = java.util.Arrays.binarySearch(keys, cur)
           }
-          if (idx >= 0) null else buf.toArray
+          if (lvl >= maxIter) null else buf.toArray
         }
-        return wanted.select(col("s").as("source"),
-            walkUdf(col("s")).as("path"))
+        // Fence: without it Catalyst pushes isnotnull(walkUdf(s)) below
+        // the projection and the whole-chain walk runs TWICE per row
+        val walkCol = org.apache.spark.sql.GraftShims.column(graft.functions.Fence(
+          org.apache.spark.sql.GraftShims.expression(walkUdf(col("s")))))
+        return wanted.select(col("s").as("source"), walkCol.as("path"))
           .filter(col("path").isNotNull)
       case None => ()
     }

@@ -198,8 +198,12 @@ object Dedup {
     val isLongKeyed =
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (!isLongKeyed) return None
-    val rows = pairs.limit(maxDriverEdges.toInt + 1).collect()
-    if (rows.length > maxDriverEdges) return None
+    // clamp before the Int narrowing: a caller-supplied cap above
+    // Int.MaxValue must mean "driver path whenever collectible", not a
+    // wrapped (possibly negative) limit
+    val cap = math.min(maxDriverEdges, Int.MaxValue - 1L).toInt
+    val rows = pairs.limit(cap + 1).collect()
+    if (rows.length > cap) return None
     val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -218,7 +222,7 @@ object Dedup {
   }
 
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxRounds: Int = 20, maxDriverEdges: Long = 200000L): DataFrame = {
+      maxRounds: Int = 20, maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame = {
     val sel = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
     // the common case is ONE bounded job: the capped collect both sizes
     // the edge set and delivers it to the driver union-find
@@ -340,7 +344,7 @@ object Dedup {
     * IN filter / anti-join only removes paired non-canonicals). */
   def keepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val sel = pairs.select(col("a").as("x"), col("b").as("y"))
-    driverComponents(sel, 200000L) match {
+    driverComponents(sel, DefaultMaxDriverEdges) match {
       case Some(out) =>
         // the drop set is already driver-local — filter with an IN-set
         // instead of an anti-join: a BroadcastExchange over a
@@ -351,7 +355,10 @@ object Dedup {
         val dropIds = out.collect { case (id, c) if c != id => id }
         if (dropIds.isEmpty) df
         else if (dropIds.length <= maxInSetDrop)
-          df.filter(!col(idCol).isin(dropIds.toSeq: _*))
+          // null-id rows must survive like they do under the anti-join
+          // (a null join key never matches): NOT IN over null is null,
+          // which a bare filter would drop
+          df.filter(col(idCol).isNull || !col(idCol).isin(dropIds.toSeq: _*))
         else {
           val spark = df.sparkSession
           import spark.implicits._
@@ -371,6 +378,10 @@ object Dedup {
   /** Driver-local drop sets up to this size filter via IN-set (no join,
     * no broadcast-build job); larger ones anti-join a local relation. */
   private val maxInSetDrop = 20000
+
+  /** One cap for every driver-union-find routing probe ([[clusters]] and
+    * [[keepFromPairs]] must take the same path for the same pair set). */
+  private val DefaultMaxDriverEdges = 200000L
 
   /** Token streams (id, tok) for Jaccard: distinct whitespace tokens. */
   private def jaccardToks(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -219,25 +219,31 @@ object Multimodal {
     if (b == null || b.length < 44) return None
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var off = 12
+    // the walk offset is a Long: a malformed chunk declaring a size near
+    // Int.MaxValue must advance past the buffer and end the loop, not
+    // wrap `off` negative and index out of bounds — this path runs
+    // OUTSIDE the JDK fallback's try/catch, so an escape here would
+    // kill the task on one corrupt corpus file
+    var off = 12L
     var ch = -1; var rate = -1; var fmtOk = false
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
-      val sz = le32(b, off + 4)
+      val oi = off.toInt // in-bounds by the loop guard
+      val sz = le32(b, oi + 4)
       if (sz < 0) return None
-      val isFmt = b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' '
-      val isData = b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a'
+      val isFmt = b(oi) == 'f' && b(oi + 1) == 'm' && b(oi + 2) == 't' && b(oi + 3) == ' '
+      val isData = b(oi) == 'd' && b(oi + 1) == 'a' && b(oi + 2) == 't' && b(oi + 3) == 'a'
       if (isFmt && sz >= 16 && off + 24 <= b.length) {
-        val audioFormat = le16(b, off + 8)
-        val bits = le16(b, off + 22)
-        ch = le16(b, off + 10); rate = le32(b, off + 12)
+        val audioFormat = le16(b, oi + 8)
+        val bits = le16(b, oi + 22)
+        ch = le16(b, oi + 10); rate = le32(b, oi + 12)
         fmtOk = audioFormat == 1 && bits == 16 && ch > 0 && rate > 0
       } else if (isData) {
-        dataOff = off + 8
+        dataOff = oi + 8
         dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
       }
       // RIFF chunks are word-aligned
-      off += 8 + sz + (sz & 1)
+      off += 8L + sz + (sz & 1)
     }
     if (fmtOk && dataOff > 0 && dataLen >= 2 * ch) Some(WavPcm16(dataOff, dataLen, ch, rate))
     else None

@@ -257,14 +257,85 @@ class EngineSpec extends SparkSpec {
     assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
   }
 
+  /** A context whose paths() cannot take the broadcast-arrays fast
+    * path: fresh edge cache (ctx.copy would share the already-built
+    * arrays) + a zero broadcast bound. */
+  private def noArraysCtx =
+    ctx.copy(maxBroadcastPathEdges = 0L,
+      pathEdges = new java.util.concurrent.ConcurrentHashMap[String, graft.algebra.PathEdges]())
+
   test("paths distributed-frontier fallback returns the same chains") {
-    // force the fallback by capping driver-side chains at 0: the first
-    // round immediately switches to the distributed walk
-    val r = QueryEngine.query(ctx.copy(maxDriverChains = 0), QueryOpts(
+    // force the fallback: no broadcast arrays (fresh edge cache, zero
+    // bound — ctx.copy alone would reuse the cached arrays and the
+    // broadcast walk returns before maxDriverChains is consulted) and
+    // a zero driver-chain cap so the first round goes distributed
+    val r = QueryEngine.query(noArraysCtx.copy(maxDriverChains = 0), QueryOpts(
       filters = Seq(FilterQ(p = "id", o = "<http://ex/mos_eisley>")),
       paths = Seq(broader)))
     val e = r.results("<http://ex/mos_eisley>")
     assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
+  }
+
+  test("paths iteration cap drops/keeps the same chains on every walk") {
+    val q = QueryOpts(
+      filters = Seq(FilterQ(p = "id", o = "<http://ex/mos_eisley>")),
+      paths = Seq(broader))
+    // the fixture chain has exactly 2 edges (desert -> tatooine). At
+    // maxPathIterations = 2 the walk appends 2 parents without the
+    // join walk ever observing the root, so ALL THREE walks must drop
+    // the chain; at 3 all three keep it. The broadcast walk could see
+    // the root "for free" via its final binary search — that would
+    // make results depend on store size, so it must not.
+    def walks(iter: Int) = Seq(
+      ctx.copy(maxPathIterations = iter), // broadcast arrays
+      noArraysCtx.copy(maxPathIterations = iter), // driver join walk
+      noArraysCtx.copy(maxPathIterations = iter, maxDriverChains = 0)) // distributed
+    for (c <- walks(2)) {
+      val e = QueryEngine.query(c, q).results("<http://ex/mos_eisley>")
+      assert(e.paths.getOrElse(broader, Nil).isEmpty,
+        "exactly-at-cap chain must be dropped by every walk")
+    }
+    for (c <- walks(3)) {
+      val e = QueryEngine.query(c, q).results("<http://ex/mos_eisley>")
+      assert(e.paths(broader) === Seq("<http://ex/tatooine_desert>", "<http://ex/tatooine>"))
+    }
+  }
+
+  test("sortPairedByKey sorts tandem primitive arrays like a tuple sort") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 31, 32, 33, 1000)) {
+      val keys = Array.fill(n)(rnd.nextLong() % 50) // duplicates likely
+      val vals = Array.tabulate(n)(_.toLong)
+      val expect = keys.zip(vals).sortBy(_._1)
+      QueryEngine.sortPairedByKey(keys, vals)
+      assert(keys.toSeq === expect.map(_._1).toSeq)
+      // values must travel with their keys; for duplicate keys any
+      // permutation within the run is fine, so compare as grouped sets
+      val got = keys.zip(vals).groupBy(_._1).map { case (k, a) => k -> a.map(_._2).toSet }
+      val exp = expect.groupBy(_._1).map { case (k, a) => k -> a.map(_._2).toSet }
+      assert(got === exp)
+    }
+    // pre-sorted input (the common case: the edge scan reads s-sorted
+    // parquet) must not stack-overflow the quicksort
+    val sortedKeys = Array.tabulate(200000)(_.toLong)
+    val ids = Array.tabulate(200000)(i => (200000 - i).toLong)
+    QueryEngine.sortPairedByKey(sortedKeys, ids)
+    assert(sortedKeys(0) === 0L && sortedKeys(199999) === 199999L)
+  }
+
+  test("servingProbe detects a semanticHash key collision instead of serving it") {
+    import spark.implicits._
+    val planA = Seq(1L).toDF("x").queryExecution.analyzed
+    val planB = Seq(2L).toDF("x").queryExecution.analyzed
+    assert(!planA.sameResult(planB))
+    val first = ctx.servingProbe("collide:test", planA) { "A" }
+    assert(first === "A")
+    // same KEY (as a 32-bit collision would produce), different plan:
+    // the hit must be rejected and the fresh build served
+    val second = ctx.servingProbe("collide:test", planB) { "B" }
+    assert(second === "B", "a colliding key must degrade to a miss, not serve A")
+    // the original entry still serves its own plan
+    assert(ctx.servingProbe("collide:test", planA) { "A2" } === "A")
   }
 
   test("spo lookup decodes with literal fallback") {

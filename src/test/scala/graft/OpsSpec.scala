@@ -797,6 +797,43 @@ class OpsSpec extends SparkSpec {
     assert(swappedWav.frames !== 400L + java.lang.Math.floorMod(h5, 800L))
   }
 
+  test("malformed RIFF chunk sizes fall back instead of crashing the task") {
+    // valid RIFF/WAVE magic, then a JUNK chunk declaring a size near
+    // Int.MaxValue: the fast-path chunk walk must advance PAST the
+    // buffer (Long offset arithmetic) and return None — not wrap the
+    // offset negative and throw out of the codec path, which runs
+    // outside the JDK fallback's try/catch and would kill the task on
+    // one corrupt corpus file
+    val b = new Array[Byte](64)
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+    "JUNK".getBytes("US-ASCII").copyToArray(b, 12)
+    b(16) = 0xF0.toByte; b(17) = 0xFF.toByte // little-endian 0x7FFFFFF0
+    b(18) = 0xFF.toByte; b(19) = 0x7F.toByte
+    val meta = Multimodal.decodeAudio(b) // must not throw
+    assert(meta.format !== "wav") // fast path refused the bytes
+    val rms = Multimodal.audioRms(b) // must not throw either
+    assert(rms.length === 16)
+  }
+
+  test("keepFromPairs retains null-id rows on the IN-set path like the anti-join") {
+    val base = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    // component {1,2} keeps min-id 1; the null-id row never paired and
+    // must survive (NOT IN over null is null — a bare isin filter
+    // would silently drop it, diverging from the anti-join fallback)
+    val kept = Dedup.keepFromPairs(base, "id", pairs).collect()
+    assert(kept.map(_.getString(1)).toSet === Set("a", "n"))
+  }
+
+  test("driver-edge caps above Int.MaxValue clamp instead of wrapping") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs, maxDriverEdges = Long.MaxValue).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"))).toSet
+    assert(out === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("a custom MediaEncoder plugs through batchFeaturize's batch contract") {
     import MediaEncoderFixtures._
     val media = Multimodal.syntheticMedia(corpus, "id", "text").coalesce(1)
