@@ -398,6 +398,19 @@ object Dedup {
     * almost never lands in a prefix. `t'` is slackened by 1e-4 so pairs
     * whose 4-dp-rounded Jaccard reaches t also survive. */
   private[graft] def jaccardCandidates(toks: DataFrame, threshold: Double): DataFrame = {
+    val (cands, prefix) = jaccardCandidatesLazy(toks, threshold)
+    // standalone use (tests, ad-hoc candidate inspection): materialize so
+    // the prefix persist can be released before returning
+    try cands.localCheckpoint() finally { prefix.unpersist(); () }
+  }
+
+  /** [[jaccardCandidates]] without the eager materialization job: returns
+    * the LAZY candidate frame plus the persisted prefix feeding both
+    * sides of its self-join. The caller owns releasing the prefix — after
+    * its own terminal materialization, so the whole Jaccard chain runs in
+    * one job instead of paying a separate candidate-checkpoint action. */
+  private def jaccardCandidatesLazy(
+      toks: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tp = threshold - 1e-4
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tokdf"))
@@ -405,20 +418,15 @@ object Dedup {
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("tokdf").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-    // the prefix feeds BOTH sides of the self-join: persist it, and
-    // materialize the (small) candidate set eagerly so the persist can be
-    // released before returning. localCheckpoint also truncates the
-    // window-function lineage — candidates are bounded by true near-dups,
-    // so executor-local storage is safe even at scale.
+    // the prefix feeds BOTH sides of the self-join: persist it so the
+    // window pass runs once, not once per join side
     val prefix = ranked.filter(col("rank") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
       .select("id", "tok").persist()
-    try {
-      prefix.as("A").join(prefix.as("B"),
-          col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
-        .select(col("A.id").as("a"), col("B.id").as("b"))
-        .distinct()
-        .localCheckpoint()
-    } finally { prefix.unpersist(); () }
+    val cands = prefix.as("A").join(prefix.as("B"),
+        col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
+      .select(col("A.id").as("a"), col("B.id").as("b"))
+      .distinct()
+    (cands, prefix)
   }
 
   /** Shared Jaccard tail over any (id, tok) element stream: prefix-filter
@@ -431,9 +439,15 @@ object Dedup {
     // materialize the (near-dup-bounded) result eagerly so the persist is
     // released before returning.
     val toks = toksRaw.persist()
+    // the candidate frame stays LAZY (single downstream consumer): the
+    // one terminal localCheckpoint below materializes the whole chain —
+    // prefix build, candidate self-join, exact intersection, similarity
+    // filter — as one action, and only then are both persists released.
+    // localCheckpoint output is bounded by true near-dups, so
+    // executor-local storage is safe even at scale.
+    val (cands, prefix) = jaccardCandidatesLazy(toks, threshold)
     try {
       val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-      val cands = jaccardCandidates(toks, threshold)
       val inter = cands
         .join(toks.as("TA"), col("a") === col("TA.id"))
         .join(toks.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
@@ -447,7 +461,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
         .localCheckpoint()
-    } finally { toks.unpersist(); () }
+    } finally { prefix.unpersist(); toks.unpersist(); () }
   }
 
   /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥
