@@ -60,21 +60,14 @@ object Ivf {
     centroids
   }
 
-  private def assignUdf(centroids: Array[Array[Float]]) = udf { (vec: Seq[Float]) =>
-    val v = vec.toArray
-    var best = 0; var bd = Double.MaxValue
-    for (c <- centroids.indices) {
-      val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }
-    }
-    best
-  }
-
-  /** Assign every vector to its nearest centroid cell. */
+  /** Assign every vector to its nearest centroid cell. Assignment is the
+    * codegen'd [[graft.functions.NearestCellExpr]] (same argmin/dist2
+    * arithmetic as the trainer, no UDF boundary on the corpus pass). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16): IvfIndex = {
     val centroids = trainCentroids(emb, vecCol, nLists)
     val cells = emb.select(col(idCol), col(vecCol),
-      assignUdf(centroids)(col(vecCol)).as("cell"))
+      graft.functions.NearestCellExpr(col(vecCol), centroids).as("cell"))
     IvfIndex(cells, centroids)
   }
 

@@ -49,27 +49,18 @@ object Similarity {
       v
     }
 
-  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
-  def bucketUdf(planes: Array[Array[Float]]) = udf { (vec: Seq[Float]) =>
-    var bucket = 0L
-    var p = 0
-    while (p < planes.length) {
-      var dot = 0.0
-      val plane = planes(p)
-      var i = 0
-      val n = math.min(plane.length, vec.length)
-      while (i < n) { dot += plane(i) * vec(i); i += 1 }
-      if (dot >= 0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
-  }
+  /** Sign-pattern bucket id of a vector under the given hyperplanes —
+    * the codegen'd [[graft.functions.SignBucketExpr]] (one primitive
+    * loop inside whole-stage codegen; the former UDF paid a Seq wrapper
+    * + dispatch per corpus row, the dominant cost of a `buildLsh` pass). */
+  def bucketCol(planes: Array[Array[Float]], vec: Column): Column =
+    graft.functions.SignBucketExpr(vec, planes)
 
   /** Bucket the corpus once (materialize + reuse across queries). */
   def buildLsh(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int = 12, dim: Int = 64): DataFrame = {
     val hp = hyperplanes(dim, planes)
-    emb.select(col(idCol), col(vecCol), bucketUdf(hp)(col(vecCol)).as("bucket"))
+    emb.select(col(idCol), col(vecCol), bucketCol(hp, col(vecCol)).as("bucket"))
   }
 
   /** Approximate top-k: search the query's bucket plus all 1-bit-flip

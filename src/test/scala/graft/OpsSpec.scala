@@ -329,6 +329,53 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("SignBucketExpr / NearestCellExpr match the scalar arithmetic they replaced") {
+    def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
+      (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
+    val planes = Similarity.hyperplanes(64, 12)
+    val cents = Array.tabulate(8)(c => randVec(s"cent$c"))
+    // independent scalar reimplementations of the former UDF loops
+    def refBucket(v: Array[Float]): Long = {
+      var bucket = 0L
+      for (p <- planes.indices) {
+        var dot = 0.0
+        for (i <- 0 until math.min(planes(p).length, v.length)) dot += planes(p)(i) * v(i)
+        if (dot >= 0) bucket |= (1L << p)
+      }
+      bucket
+    }
+    def refCell(v: Array[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cents.indices) {
+        var d = 0.0
+        for (i <- v.indices) { val x = v(i) - cents(c)(i); d += x * x }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    val vecs = (0 until 50).map(i => (i.toLong, randVec(s"mv$i"))).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        graft.functions.SignBucketExpr(col("embedding"), planes).as("b"),
+        graft.functions.NearestCellExpr(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    for (i <- 0 until 50) {
+      val v = randVec(s"mv$i")
+      assert(got(i.toLong) === ((refBucket(v), refCell(v))), s"vec $i diverged")
+    }
+    // null vector -> null outputs (the UDF would have NPE'd; the
+    // expression is null-safe), and ARRAY<DOUBLE> inputs are accepted
+    val withNull = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val nr = withNull.select(
+      graft.functions.SignBucketExpr(col("embedding"), planes),
+      graft.functions.NearestCellExpr(col("embedding"), cents)).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    val dbl = Seq((1L, randVec("mv1").map(_.toDouble))).toDF("vec_id", "embedding")
+    val dr = dbl.select(graft.functions.SignBucketExpr(col("embedding"), planes))
+      .collect()(0).getLong(0)
+    // float->double widening of the SAME values changes no sign
+    assert(dr === refBucket(randVec("mv1")))
+  }
+
   test("near-dup clusters: connected components with min-id canonicals") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {7,9}; singleton 5 absent
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a", "b")
