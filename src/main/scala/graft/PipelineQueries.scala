@@ -342,7 +342,7 @@ object PipelineQueries {
     // SimHash sketches (pairs property-tested in OpsSpec)
     "q_doc_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-          Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
+          Dedup.simhash(col("text")).as("simhash")).orderBy("doc_id")
     }),
 
     // hash-green contract twin for the rows-only q_doc_simhash: the
@@ -356,7 +356,7 @@ object PipelineQueries {
       val corpus = d.union(
         d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
       corpus.filter(col("text").isNotNull)
-        .select(col("text"), Dedup.simhashUdf(col("text")).as("sh"))
+        .select(col("text"), Dedup.simhash(col("text")).as("sh"))
         .groupBy(col("text"))
         .agg(countDistinct(col("sh")).as("nsh"), count(lit(1)).as("n"))
         .agg(

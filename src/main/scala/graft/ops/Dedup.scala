@@ -1,11 +1,7 @@
 package graft.ops
 
-import graft.functions.Hash64
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for training-data pipelines, each designed
   * around one shuffle shape that survives scale-up:
@@ -30,35 +26,12 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("cnt"))
 
-  private def seededHash(s: String, seed: Long): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
-
-  /** n-word shingles of a document. */
-  def shingles(text: String, n: Int): Seq[String] = {
-    if (text == null) return Nil
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) Seq(toks.mkString(" "))
-    else toks.sliding(n).map(_.mkString(" ")).toSeq
-  }
-
   /** MinHash signature: k minima over seeded XXH64 of the shingle set —
-    * one pass per doc, no shuffle. */
-  def minhashUdf(k: Int, shingleN: Int) = udf { (text: String) =>
-    val sh = shingles(text, shingleN).distinct
-    val sig = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      var m = Long.MaxValue
-      val it = sh.iterator
-      while (it.hasNext) {
-        val h = seededHash(it.next(), i.toLong)
-        if (h < m) m = h
-      }
-      sig(i) = if (sh.isEmpty) 0L else m
-      i += 1
-    }
-    sig
-  }
+    * one pass per doc, no shuffle. The codegen'd
+    * [[graft.functions.MinHashSig]] (identical signatures to the former
+    * UDF; null text sketches to null and generates no candidates). */
+  def minhashSig(text: Column, k: Int, shingleN: Int): Column =
+    graft.functions.MinHashSig(text, k, shingleN)
 
   /** LSH band table: (id, band, band_hash) — r rows per doc. */
   def minhashBands(sigs: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
@@ -85,7 +58,7 @@ object Dedup {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide the signature length ($k)")
     val sigs = df.select(col(idCol).as("id"),
-      minhashUdf(k, shingleN)(col(textCol)).as("sig"))
+      minhashSig(col(textCol), k, shingleN).as("sig"))
     val bandTable = minhashBands(sigs, "id", "sig", bands)
     bandTable.as("A").join(bandTable.as("B"),
         col("A.band") === col("B.band") &&
@@ -101,11 +74,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, shingleN: Int = 3, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, shingleN, bands)
-    val shingleUdf = udf { (text: String) =>
-      shingles(text, shingleN).distinct.map(Hash64.hashString).sorted.toArray
-    }
     val docs = df.select(col(idCol).as("jid"),
-      shingleUdf(col(textCol)).as("sh")).persist()
+      graft.functions.ShingleHashes(col(textCol), shingleN).as("sh")).persist()
     val jacc = udf { (sa: Seq[Long], sb: Seq[Long]) =>
       // both inputs sorted -> linear merge intersection
       var i = 0; var j = 0; var inter = 0
@@ -130,31 +100,17 @@ object Dedup {
     } finally { docs.unpersist(); () }
   }
 
-  /** 64-bit SimHash of the token multiset. */
-  def simhashUdf = udf { (text: String) =>
-    val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h = Hash64.hashString(t)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  /** 64-bit SimHash of the token multiset — the codegen'd
+    * [[graft.functions.SimHash64]] (identical fingerprints to the former
+    * UDF; null text sketches to null and joins no candidate pairs). */
+  def simhash(text: Column): Column = graft.functions.SimHash64(text)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
     * candidates via equal 16-bit chunks (pigeonhole), verified with
     * bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
     val chunks = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -329,6 +329,51 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("MinHashSig / SimHash64 / ShingleHashes match the scalar UDF arithmetic they replaced") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String, seed: Long) =
+      XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+    // independent reimplementation of the former UDF loops
+    def shingles(text: String, n: Int): Seq[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    def refSig(text: String, k: Int, n: Int): Seq[Long] = {
+      val sh = shingles(text, n).distinct
+      (0 until k).map(i => sh.map(s => h(s, i.toLong)).min)
+    }
+    def refSim(text: String): Long = {
+      val acc = new Array[Int](64)
+      for (t <- text.toLowerCase.split("\\s+") if t.nonEmpty; b <- 0 until 64)
+        if (((h(t, 0L) >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+      (0 until 64).foldLeft(0L)((o, b) => if (acc(b) > 0) o | (1L << b) else o)
+    }
+    val texts = Seq("the cat sat on the mat", "ONE two", "  ", "",
+      "a b c d e f g a b c", "Unicode tøkens häre von tøkens")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        Dedup.minhashSig(col("text"), 8, 3).as("sig"),
+        Dedup.simhash(col("text")).as("sim"),
+        graft.functions.ShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val (sig, sim, sh) = got(i.toLong)
+      assert(sig === refSig(t, 8, 3), s"minhash diverged on '$t'")
+      assert(sim === refSim(t), s"simhash diverged on '$t'")
+      assert(sh === shingles(t, 3).distinct.map(s => h(s, 0L)).sorted, s"shingles diverged on '$t'")
+    }
+    // null text sketches to NULL (the old zero signature band-collided
+    // every null-text doc with every other — O(null-count²) pairs)
+    val nr = Seq((0L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(Dedup.minhashSig(col("text"), 8, 3), Dedup.simhash(col("text")),
+        graft.functions.ShingleHashes(col("text"), 3)).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2))
+  }
+
   test("SignBucketExpr / NearestCellExpr match the scalar arithmetic they replaced") {
     def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
       (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)

@@ -28,7 +28,11 @@ This is instrumentation for the RDF_BASELINE.md / SCALE.md box-size
 experiments — NOT a replacement for the driver's testdata (correctness
 gates keep reading /root/testdata).
 
-Usage: python3 tools/scaleup.py <srcSfDir> <dstDir> <replicas>
+Usage: python3 tools/scaleup.py <srcSfDir> <dstDir> <replicas> [tables]
+  [tables] — optional comma-list restricting which tables scale (the
+  rest copy unchanged). E.g. `documents,embeddings,events` builds a
+  pipeline-only scale point whose rdf warehouse stays base-sized, so
+  the one-time rdfize warmup does not dominate a x100 measurement run.
 """
 import os
 import shutil
@@ -85,8 +89,9 @@ def scale_embeddings(src, dst, replicas):
     print(f"scaled   embeddings: x{replicas} -> {out.num_rows} rows (signed-perm)")
 
 
-def main(src, dst, replicas):
+def main(src, dst, replicas, tables=None):
     replicas = int(replicas)
+    only = set(tables.split(",")) if tables else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     strides = {}
@@ -102,6 +107,10 @@ def main(src, dst, replicas):
         if not f.endswith(".parquet"):
             continue
         name = f[: -len(".parquet")]
+        if only is not None and name not in only:
+            shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
+            print(f"copied   {name}")
+            continue
         if name == "embeddings":
             scale_embeddings(src, dst, replicas)
             continue
