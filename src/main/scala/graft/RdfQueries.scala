@@ -463,7 +463,9 @@ object RdfQueries {
           .agg(count(lit(1)).as("n"), min("score").as("m"),
             sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss")).collect()(0)
         val n = a.getLong(0)
-        val minScore = a.getDouble(1)
+        // min("score") is NULL over an empty chain — surface that as a
+        // red `thresh_ok` law row rather than an NPE out of the gate.
+        val minScore = if (a.isNullAt(1)) 0.0 else a.getDouble(1)
         val nonMembers = a.getLong(2)
         val page = QueryEngine.query(ctx, opts).results.keys.toSeq
         val pageHashes = page.map(FilterCompiler.h)

@@ -478,17 +478,11 @@ object QueryEngine {
       val k = keys(i); keys(i) = keys(j); keys(j) = k
       val v = vals(i); vals(i) = vals(j); vals(j) = v
     }
-    def sort(lo: Int, hi: Int): Unit = {
-      if (hi - lo < 32) {
-        var i = lo + 1
-        while (i <= hi) {
-          val k = keys(i); val v = vals(i)
-          var j = i - 1
-          while (j >= lo && keys(j) > k) { keys(j + 1) = keys(j); vals(j + 1) = vals(j); j -= 1 }
-          keys(j + 1) = k; vals(j + 1) = v
-          i += 1
-        }
-      } else {
+    def sort(lo0: Int, hi0: Int): Unit = {
+      // recurse only on the smaller partition and loop on the larger,
+      // bounding stack depth to O(log n) for any key distribution
+      var lo = lo0; var hi = hi0
+      while (hi - lo >= 32) {
         val mid = lo + (hi - lo) / 2
         if (keys(mid) < keys(lo)) swap(mid, lo)
         if (keys(hi) < keys(lo)) swap(hi, lo)
@@ -500,7 +494,15 @@ object QueryEngine {
           while (keys(j) > pivot) j -= 1
           if (i <= j) { swap(i, j); i += 1; j -= 1 }
         }
-        sort(lo, j); sort(i, hi)
+        if (j - lo < hi - i) { sort(lo, j); lo = i } else { sort(i, hi); hi = j }
+      }
+      var i = lo + 1
+      while (i <= hi) {
+        val k = keys(i); val v = vals(i)
+        var j = i - 1
+        while (j >= lo && keys(j) > k) { keys(j + 1) = keys(j); vals(j + 1) = vals(j); j -= 1 }
+        keys(j + 1) = k; vals(j + 1) = v
+        i += 1
       }
     }
     if (keys.length > 1) sort(0, keys.length - 1)

@@ -118,12 +118,15 @@ object NearestCellExpr {
 
   /** Hot loop shared by interpreted eval and generated code. */
   def compute(vec: ArrayData, centroids: Array[Array[Float]], vDouble: Boolean): Int = {
-    val n = vec.numElements()
+    val n0 = vec.numElements()
     var best = 0
     var bd = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      // ragged-dim defence: a corpus vector longer than the trained
+      // centroid dim would index past cent — clamp like SignBucketExpr
+      val n = if (n0 < cent.length) n0 else cent.length
       var d = 0.0
       var i = 0
       while (i < n) {

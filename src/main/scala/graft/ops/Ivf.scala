@@ -19,8 +19,10 @@ object Ivf {
   final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Float]])
 
   private def dist2(a: Array[Float], b: Array[Float]): Double = {
+    // clamp to the shorter dim (matches NearestCellExpr's ragged defence)
+    val n = if (a.length < b.length) a.length else b.length
     var d = 0.0; var i = 0
-    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
     d
   }
 
