@@ -48,6 +48,22 @@ object RdfQueries {
   private def subjectsRaw(ctx: EngineContext, filters: FilterQ*): DataFrame =
     QueryEngine.subjectsRaw(ctx, QueryOpts(filters = filters)).get
 
+  /** Semantic-contract law stats over a folded (s, score) chain joined
+    * against the membership frame `sem` (s, __m): (chain size, min score,
+    * non-member count) in ONE job. Over an EMPTY chain both aggregates
+    * come back NULL and `Row.getLong`/`getDouble` would NPE — the guards
+    * turn that case into (0, 0.0, 0), which reds the `nonempty` law row
+    * instead of crashing the gate. */
+  private[graft] def chainLawStats(folded: DataFrame, sem: DataFrame): (Long, Double, Long) = {
+    val a = folded.join(sem, Seq("s"), "left")
+      .agg(count(lit(1)).as("n"), min("score").as("m"),
+        sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss")).collect()(0)
+    val n = a.getLong(0)
+    val minScore = if (a.isNullAt(1)) 0.0 else a.getDouble(1)
+    val nonMembers = if (a.isNullAt(2)) 0L else a.getLong(2)
+    (n, minScore, nonMembers)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.2 p+o property filter
@@ -459,14 +475,7 @@ object RdfQueries {
         // the subject hash and the index only holds store subjects, so
         // sem-membership implies store-membership)
         val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
-        val a = folded.join(sem, Seq("s"), "left")
-          .agg(count(lit(1)).as("n"), min("score").as("m"),
-            sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss")).collect()(0)
-        val n = a.getLong(0)
-        // min("score") is NULL over an empty chain — surface that as a
-        // red `thresh_ok` law row rather than an NPE out of the gate.
-        val minScore = if (a.isNullAt(1)) 0.0 else a.getDouble(1)
-        val nonMembers = a.getLong(2)
+        val (n, minScore, nonMembers) = chainLawStats(folded, sem)
         val page = QueryEngine.query(ctx, opts).results.keys.toSeq
         val pageHashes = page.map(FilterCompiler.h)
         val pageInChain = folded.filter(col("s").isin(pageHashes: _*)).count()

@@ -47,6 +47,6 @@ object Analyzer {
     if (text == null) return Array.empty
     var cleaned = if (settings.stripAccents) stripAccents(text) else text
     if (settings.lower) cleaned = cleaned.toLowerCase
-    cleaned.split(settings.ignore).filter(_.nonEmpty)
+    settings.splitIgnore(cleaned).filter(_.nonEmpty)
   }
 }

@@ -149,10 +149,12 @@ object FtsIndex {
     * DuckDB's terms-table semantics, which the reference inherits. */
   def build(docs: DataFrame, hashCol: String = "hash", valueCol: String = "value",
       settings: FtsSettings = FtsSettings.resolve()): FtsIndex = {
-    val tokenizeUdf = udf((s: String) => settings.indexTokens(s))
+    // index-side analysis in whole-stage codegen — the corpus-wide text
+    // pass must not cross a UDF boundary (parity vs the former UDF is
+    // pinned in FtsSpec; null values analyze to zero-length docs)
     val tokens = docs.select(
       col(hashCol).as("hash"),
-      tokenizeUdf(col(valueCol)).as("tokens"))
+      graft.functions.FtsTokensExpr(col(valueCol), settings).as("tokens"))
     val withLen = tokens.withColumn("len", size(col("tokens")))
     val postings = withLen
       .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
@@ -270,9 +272,9 @@ object FtsIndex {
     val st = settingsFrom(j)
     val (k1, b) = ((j \ "k1").extract[Double], (j \ "b").extract[Double])
     val (n0, avgdl0) = ((j \ "numDocs").extract[Long], (j \ "avgdl").extract[Double])
-    val tokenizeUdf = udf((s: String) => st.indexTokens(s))
     val withLen = newDocs
-      .select(col(hashCol).as("hash"), tokenizeUdf(col(valueCol)).as("tokens"))
+      .select(col(hashCol).as("hash"),
+        graft.functions.FtsTokensExpr(col(valueCol), st).as("tokens"))
       .withColumn("len", size(col("tokens")))
       .persist()
     try {

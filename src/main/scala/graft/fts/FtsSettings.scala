@@ -18,10 +18,22 @@ final case class FtsSettings(
   def stopwordSet: Set[String] =
     if (stopwords == "english") Stopwords.English else Set.empty
 
+  // hot-path caches: the index build calls indexTokens once per corpus
+  // row — the separator regex and stopword set must compile/resolve once
+  // per settings instance, not once per document (transient: recomputed
+  // after deserialization on each executor, still once per task at most)
+  @transient private lazy val ignoreRe: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(ignore)
+  @transient private lazy val swCached: Set[String] = stopwordSet
+
+  /** [[ignore]] compiled once — `Pattern.split` is exactly
+    * `String.split(regex)` semantics without the per-call compile. */
+  private[fts] def splitIgnore(s: String): Array[String] = ignoreRe.split(s)
+
   /** Index-side analysis (DuckDB terms build): tokenize, drop stopwords
     * on the UNSTEMMED token, then stem. */
   def indexTokens(text: String): Array[String] = {
-    val sw = stopwordSet
+    val sw = swCached
     Analyzer.tokenize(text, this).collect {
       case t if !sw.contains(t) => applyStem(t)
     }

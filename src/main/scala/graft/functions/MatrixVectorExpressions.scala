@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Shared typing for the vector-against-fixed-matrix expressions: the
   * child must be `ARRAY<FLOAT>` or `ARRAY<DOUBLE>`; the matrix (LSH
@@ -143,4 +144,94 @@ object NearestCellExpr {
 
   def apply(vec: Column, centroids: Array[Array[Float]]): Column =
     GraftShims.column(NearestCellExpr(GraftShims.expression(vec), centroids))
+}
+
+/** Nearest-cell assignment PLUS the member's angle to that centroid —
+  * `struct(cell INT, angle DOUBLE)` in one pass over the centroids.
+  * Codegen replacement for `SemanticAnn.assignUdf`, the last corpus-pass
+  * UDF in the RDF-side ANN build: the cell is the same euclidean argmin
+  * as [[NearestCellExpr]] (strict `<` ties to the lowest index, distances
+  * clamped to the shorter dim), the angle is the angular radius
+  * contribution the radius aggregation maxes over. Zero-norm vectors
+  * assign to cell -1 with angle 0 (cell -1 is never probed — a zero
+  * vector can never pass a cosine threshold); degenerate (zero-norm
+  * centroid) angles collapse to 0, same as the UDF's NaN guard. */
+case class CellAngleExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with MatrixVectorTyping {
+
+  override def dataType: DataType = CellAngleExpr.schema
+  override def prettyName: String = "cell_angle"
+
+  override def nullSafeEval(v: Any): Any =
+    CellAngleExpr.compute(v.asInstanceOf[ArrayData], centroids, childIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = graft.functions.CellAngleExpr.compute($v, $ref, $childIsDouble);"
+    })
+  }
+
+  override def toString: String =
+    s"cell_angle($child, cells=${centroids.length})"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CellAngleExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("angle", DoubleType, nullable = false)))
+
+  /** Hot loop shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, centroids: Array[Array[Float]],
+      vDouble: Boolean): InternalRow = {
+    val len = vec.numElements()
+    var norm = 0.0
+    var i = 0
+    while (i < len) {
+      val x = if (vDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      norm += x * x
+      i += 1
+    }
+    if (norm == 0.0) return new GenericInternalRow(Array[Any](-1, 0.0))
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = if (len < cent.length) len else cent.length
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (vDouble) vec.getDouble(j) else vec.getFloat(j).toDouble
+        val diff = x - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    val cent = centroids(best)
+    val n = if (len < cent.length) len else cent.length
+    var dot = 0.0
+    var nv = 0.0
+    var nc = 0.0
+    var k = 0
+    while (k < n) {
+      val x = if (vDouble) vec.getDouble(k) else vec.getFloat(k).toDouble
+      val y = cent(k).toDouble
+      dot += x * y; nv += x * x; nc += y * y
+      k += 1
+    }
+    val angle =
+      if (nv == 0.0 || nc == 0.0) 0.0
+      else math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(nv * nc))))
+    new GenericInternalRow(Array[Any](best, angle))
+  }
+
+  def apply(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftShims.column(CellAngleExpr(GraftShims.expression(vec), centroids))
 }

@@ -76,22 +76,19 @@ object Dedup {
     val cands = minhashCandidates(df, idCol, textCol, k, shingleN, bands)
     val docs = df.select(col(idCol).as("jid"),
       graft.functions.ShingleHashes(col(textCol), shingleN).as("sh")).persist()
-    val jacc = udf { (sa: Seq[Long], sb: Seq[Long]) =>
-      // both inputs sorted -> linear merge intersection
-      var i = 0; var j = 0; var inter = 0
-      while (i < sa.length && j < sb.length) {
-        val c = java.lang.Long.compare(sa(i), sb(j))
-        if (c == 0) { inter += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1 else j += 1
-      }
-      val union = sa.length + sb.length - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
     try {
       val withSets = cands
         .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("sh", "sa"), "a")
         .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("sh", "sb"), "b")
-      withSets.withColumn("jaccard", jacc(col("sa"), col("sb")))
+      // exact Jaccard as pure (codegen'd) column ops — no UDF boundary on
+      // the verify pass: the shingle-hash arrays are SETS (distinct
+      // shingles), so |A∩B| = size(array_intersect) and
+      // |A∪B| = |A| + |B| - |A∩B|; two empty sets score 0 like the
+      // merge-loop UDF this replaces (parity pinned in OpsSpec)
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val union = size(col("sa")) + size(col("sb")) - inter
+      withSets.withColumn("jaccard",
+          when(union === 0, 0.0).otherwise(inter.cast("double") / union))
         .filter(col("jaccard") >= threshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         // materialize the (near-dup-bounded) pair list eagerly so the

@@ -52,7 +52,11 @@ object Ivf {
         for (c <- 0 until k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c } }
         counts(best) += 1
         val s = sums(best)
-        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+        // same ragged-dim clamp as dist2: a sample vector longer than the
+        // accumulator (sized off the first sample row) must not overrun it
+        var i = 0
+        val n = if (v.length < s.length) v.length else s.length
+        while (i < n) { s(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)

@@ -77,54 +77,26 @@ final case class SemanticAnn(
 
 object SemanticAnn {
 
-  /** Angle (radians) between a vector and a centroid; NaN for zero norms. */
-  private def angleTo(v: Array[Float], c: Array[Float]): Double = {
-    var dot = 0.0; var nv = 0.0; var nc = 0.0
-    var i = 0
-    val n = math.min(v.length, c.length)
-    while (i < n) {
-      dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i); nc += c(i).toDouble * c(i)
-      i += 1
-    }
-    if (nv == 0.0 || nc == 0.0) Double.NaN
-    else math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(nv * nc))))
-  }
-
-  /** Nearest-centroid assignment (euclidean, matching k-means training)
-    * plus the member's angle to it. Zero vectors assign to cell -1. */
-  private def assignUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
-    udf { (vec: Seq[Float]) =>
-      val v = vec.toArray
-      var norm = 0.0
-      var i = 0
-      while (i < v.length) { norm += v(i).toDouble * v(i); i += 1 }
-      if (norm == 0.0) (-1, 0.0)
-      else {
-        val cs = bc.value
-        var best = 0; var bd = Double.MaxValue
-        for (c <- cs.indices) {
-          var d = 0.0; var j = 0
-          val n = math.min(v.length, cs(c).length)
-          while (j < n) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
-          if (d < bd) { bd = d; best = c }
-        }
-        val a = angleTo(v, cs(best))
-        (best, if (a.isNaN) 0.0 else a)
-      }
-    }
+  /** (hash, vec, cell, angle) via the codegen'd
+    * [[graft.functions.CellAngleExpr]] — the assignment pass over the
+    * full embedding table stays inside whole-stage codegen (no UDF
+    * boundary, no broadcast round-trip: the centroid matrix ships as a
+    * plan constant, O(nLists · dim)). Zero vectors assign to cell -1. */
+  private def assigned(sem: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    sem.select(col("hash"), col("vec"),
+        graft.functions.CellAngleExpr(col("vec"), centroids).as("ca"))
+      .select(col("hash"), col("vec"),
+        col("ca.cell").as("cell"), col("ca.angle").as("angle"))
 
   /** Build over a (hash, vec) table. Zero vectors go to cell -1, which is
     * never probed (they can never pass a cosine threshold). */
   def build(sem: DataFrame, nLists: Int = 16): SemanticAnn = {
     val centroids = Ivf.trainCentroids(sem, "vec", nLists)
-    val bc = sem.sparkSession.sparkContext.broadcast(centroids)
-    val assigned = sem.select(col("hash"), col("vec"), assignUdf(bc)(col("vec")).as("ca"))
-      .select(col("hash"), col("vec"), col("ca._1").as("cell"), col("ca._2").as("angle"))
-      .persist()
+    val assignedDf = assigned(sem, centroids).persist()
     val radii = new Array[Double](centroids.length)
-    assigned.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
+    assignedDf.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
       .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
-    SemanticAnn(assigned.drop("angle"), centroids, radii)
+    SemanticAnn(assignedDf.drop("angle"), centroids, radii)
   }
 
   /** O(delta) update for a persisted ANN whose `semGen` lags the composed
@@ -145,23 +117,20 @@ object SemanticAnn {
   def patch(spark: SparkSession, dir: String, ann: SemanticAnn,
       delta: DataFrame, newGen: Long): SemanticAnn = {
     val adds = delta.filter(col("vec").isNotNull)
-    val bc = spark.sparkContext.broadcast(ann.centroids)
-    val assigned = adds.select(col("hash"), col("vec"), assignUdf(bc)(col("vec")).as("ca"))
-      .select(col("hash"), col("vec"), col("ca._1").as("cell"), col("ca._2").as("angle"))
-      .persist()
+    val assignedDf = assigned(adds, ann.centroids).persist()
     try {
       val widened = ann.radii.clone()
-      assigned.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
+      assignedDf.filter(col("cell") >= 0).groupBy("cell").agg(max("angle").as("r"))
         .collect().foreach { r =>
           val c = r.getInt(0)
           widened(c) = math.max(widened(c), r.getDouble(1))
         }
-      assigned.drop("angle")
+      assignedDf.drop("angle")
         .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
       writeMeta(spark, dir, ann.centroids, widened, newGen)
       SemanticAnn(spark.read.parquet(s"$dir/cells"), ann.centroids, widened,
         semGen = newGen)
-    } finally { assigned.unpersist(); () }
+    } finally { assignedDf.unpersist(); () }
   }
 
   /** Persist cells partitioned by cell id + centroid/radius metadata. */

@@ -539,4 +539,39 @@ class EngineSpec extends SparkSpec {
     assert(json.contains("\"id\":\"<http://ex/luke>\""))
     assert(json.contains("\"graph\":[]"))
   }
+
+  test("sortPairedByKey: adversarial key distributions stay correct (and shallow)") {
+    def check(keys: Array[Long], vals: Array[Long]): Unit = {
+      val pairs = keys.zip(vals).sorted.toSeq
+      QueryEngine.sortPairedByKey(keys, vals)
+      // keys ascending and the (key, val) pairing preserved as a multiset
+      var i = 1
+      while (i < keys.length) { assert(keys(i - 1) <= keys(i)); i += 1 }
+      assert(keys.zip(vals).sortBy(p => (p._1, p._2)).toSeq ===
+        pairs.sortBy(p => (p._1, p._2)))
+    }
+    val n = 1 << 17
+    // all-equal keys: the distribution that used to drive naive quicksort
+    // recursion to O(n) depth (round-7 stack-bound fix)
+    check(Array.fill(n)(42L), Array.tabulate(n)(_.toLong))
+    // pre-sorted, reverse-sorted, organ-pipe, two-valued, seeded random
+    check(Array.tabulate(n)(_.toLong), Array.tabulate(n)(i => (n - i).toLong))
+    check(Array.tabulate(n)(i => (n - i).toLong), Array.tabulate(n)(_.toLong))
+    check(Array.tabulate(n)(i => math.min(i, n - i).toLong), Array.tabulate(n)(_.toLong))
+    check(Array.tabulate(n)(i => (i % 2).toLong), Array.tabulate(n)(_.toLong))
+    val rnd = new scala.util.Random(7)
+    check(Array.fill(n)(rnd.nextLong()), Array.tabulate(n)(_.toLong))
+    check(Array.empty[Long], Array.empty[Long])
+    check(Array(5L), Array(9L))
+  }
+
+  test("chainLawStats: empty chain yields (0, 0, 0) instead of an NPE") {
+    import spark.implicits._
+    val sem = Seq((1L, 1), (2L, 1)).toDF("s", "__m")
+    val empty = Seq.empty[(Long, Double)].toDF("s", "score")
+    assert(RdfQueries.chainLawStats(empty, sem) === ((0L, 0.0, 0L)))
+    // nonempty: min score surfaces, non-members counted
+    val folded = Seq((1L, 3.5), (9L, 2.5)).toDF("s", "score")
+    assert(RdfQueries.chainLawStats(folded, sem) === ((2L, 2.5, 1L)))
+  }
 }

@@ -172,4 +172,47 @@ class FtsSpec extends SparkSpec {
     assert(text.contains("Luke Skywalker"))
     assert(text.contains("Tatooine"))
   }
+
+  test("FtsTokensExpr == indexTokens UDF, token for token") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Caf\u00e9-au-LAIT, 42 walking!"),
+      (2L, "The Quick BROWN fox; \u00fcber-\u00c4pfel na\u00efve prose"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "the and of to a in"), // pure stopwords -> empty
+      (6L, "running builders happiness relational conditioning"),
+      (7L, "x " * 300 + "repeated tail")).toDF("hash", "value")
+    for (st <- Seq(graft.fts.FtsSettings(),
+        graft.fts.FtsSettings(stemmer = "none"),
+        graft.fts.FtsSettings(stopwords = "none"),
+        graft.fts.FtsSettings(ignore = "[^a-z]+", stripAccents = false))) {
+      val udfTok = udf((s: String) => st.indexTokens(s))
+      val rows = docs.select(col("hash"),
+          graft.functions.FtsTokensExpr(col("value"), st).as("e"),
+          udfTok(col("value")).as("u"))
+        .collect()
+      rows.foreach { r =>
+        val e = r.getSeq[String](1)
+        // the UDF returned null-safe arrays for all non-null inputs; for
+        // null text both sides must surface a ZERO-LENGTH doc
+        val u = if (r.isNullAt(2)) Seq.empty[String] else r.getSeq[String](2)
+        assert(e === u, s"hash=${r.getLong(0)} settings=$st")
+      }
+    }
+  }
+
+  test("index build path carries no ScalaUDF (tokenize is codegen)") {
+    import spark.implicits._
+    // parquet-backed corpus: a LocalRelation would let the optimizer
+    // pre-evaluate the projection and hide the expression from the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-ftsplan").toString
+    Seq((1L, "quick brown fox")).toDF("hash", "value")
+      .write.mode("overwrite").parquet(dir)
+    val idx = FtsIndex.build(spark.read.parquet(dir))
+    val plan = idx.postings.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("scalaudf"), plan)
+    assert(plan.contains("fts_tokens"), plan)
+  }
 }

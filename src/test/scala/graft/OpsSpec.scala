@@ -201,6 +201,36 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash verify jaccard == merge-loop reference (column-native parity)") {
+    import spark.implicits._
+    // reference: the sorted-array linear-merge intersection the former
+    // verify UDF computed, applied to the same shingle-hash sets
+    def mergeJacc(sa: Seq[Long], sb: Seq[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < sa.length && j < sb.length) {
+        val c = java.lang.Long.compare(sa(i), sb(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      val union = sa.length + sb.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val sh = corpus.select(col("id"),
+        graft.functions.ShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = Dedup.minhashDedup(corpus, "id", "text", threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), jac) =>
+      val expect = math.rint(mergeJacc(sh(a), sh(b)) * 1e4) / 1e4
+      assert(jac === expect, s"pair ($a,$b)")
+    }
+    // and the verify path itself is UDF-free
+    val plan = Dedup.minhashCandidates(corpus, "id", "text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("scalaudf"), plan)
+  }
+
   test("simhash finds exact dups, excludes unrelated docs") {
     // hamming ≤ 3 only holds for long near-identical docs; on these short
     // ones a single changed token flips many low-margin bits, so only the

@@ -89,4 +89,94 @@ class SemanticAnnSpec extends SparkSpec {
     assert(withAnn === brute)
     assert(withAnn.nonEmpty)
   }
+
+  // --- CellAngleExpr: the codegen assignment pass the ANN build runs ---
+
+  /** Spec-local reference for what the former assignUdf computed. */
+  private def refAssign(v: Array[Float], cs: Array[Array[Float]]): (Int, Double) = {
+    val norm = v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+    if (norm == 0.0) return (-1, 0.0)
+    var best = 0; var bd = Double.MaxValue
+    for (c <- cs.indices) {
+      var d = 0.0; var j = 0
+      val n = math.min(v.length, cs(c).length)
+      while (j < n) { val x = v(j).toDouble - cs(c)(j); d += x * x; j += 1 }
+      if (d < bd) { bd = d; best = c }
+    }
+    val cvec = cs(best)
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    val n = math.min(v.length, cvec.length)
+    while (i < n) {
+      dot += v(i).toDouble * cvec(i); nv += v(i).toDouble * v(i)
+      nc += cvec(i).toDouble * cvec(i); i += 1
+    }
+    val a = if (nv == 0.0 || nc == 0.0) Double.NaN
+      else math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(nv * nc))))
+    (best, if (a.isNaN) 0.0 else a)
+  }
+
+  test("CellAngleExpr: nearest cell + angle match the reference assignment") {
+    val cs = Array(
+      Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f),
+      Array(0.5f, 0.5f, 0f))
+    val vecs: Seq[Array[Float]] = Seq(
+      Array(0.9f, 0.1f, 0f),
+      Array(0.1f, 0.9f, 0.05f),
+      Array(0f, 0f, 2f),
+      Array(0.5f, 0.5f, 0f),   // exact centroid hit -> angle 0
+      Array(0f, 0f, 0f),       // zero vector -> cell -1
+      Array(-1f, -1f, -1f),
+      Array(0.4f, 0.4f, 0.1f, 7f), // LONGER than centroids: clamp rule
+      Array(0.7f))                 // shorter than centroids
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("hash", "vec")
+      .select(col("hash"),
+        graft.functions.CellAngleExpr(col("vec"), cs).as("ca"))
+      .select(col("hash"), col("ca.cell"), col("ca.angle"))
+    val got = df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val (ec, ea) = refAssign(v, cs)
+      val (gc, ga) = got(i.toLong)
+      assert(gc === ec, s"cell for vec $i")
+      assert(math.abs(ga - ea) < 1e-12, s"angle for vec $i")
+    }
+    // the zero vector really landed in -1 and the centroid hit at angle 0
+    assert(got(4L)._1 === -1)
+    assert(got(3L)._2 === 0.0)
+  }
+
+  test("ragged-dim corpus: trainer and assignment clamp, never throw") {
+    // first sample row short, later rows longer -- the accumulation loop
+    // used to index past the sums array (round-7 advice item)
+    val ragged: Seq[(Long, Seq[Float])] = (0L until 40L).map { i =>
+      val len = if (i % 3 == 0) 3 else if (i % 3 == 1) 5 else 8
+      (i, Array.tabulate(len)(j => (i + j + 1).toFloat / 10f).toSeq)
+    }
+    val df = ragged.toDF("hash", "vec")
+    val cents = graft.ops.Ivf.trainCentroids(df, "vec", nLists = 4)
+    assert(cents.nonEmpty)
+    // every assignment is a valid cell under the clamp rule
+    val cells = df.select(
+        graft.functions.CellAngleExpr(col("vec"), cents).as("ca"))
+      .select(col("ca.cell")).collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < cents.length))
+    // NearestCellExpr agrees with CellAngleExpr's cell on nonzero vectors
+    val both = df.select(
+        graft.functions.NearestCellExpr(col("vec"), cents).as("nc"),
+        col("vec"))
+      .select(col("nc"),
+        graft.functions.CellAngleExpr(col("vec"), cents).as("ca"))
+      .select(col("nc"), col("ca.cell").as("cc")).collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("ANN build over a corpus with zero vectors serves exactly (codegen path)") {
+    // the rebuilt ANN (now assigned via CellAngleExpr) must keep the
+    // lossless-threshold contract including the -1 cell for zero vectors
+    val q = embedder.embed(Seq("astronomy telescope galaxy nebula cluster")).head
+    assert(annMatches(q, 0.5) === bruteMatches(q, 0.5))
+    val zeroCell = ann.cells.filter(col("cell") === -1).count()
+    assert(zeroCell === 1L) // the empty-text doc
+  }
 }
