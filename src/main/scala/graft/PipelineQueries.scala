@@ -563,7 +563,9 @@ object PipelineQueries {
     "q_doc_pack" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("toks"))
-      graft.ops.Packing.packChunks(toks, "doc_id", "toks", budget = 512L)
+      // shards pinned: the oracle replays id % 8, and the gate layout must
+      // be byte-reproducible across configs (see Packing.resolveShards)
+      graft.ops.Packing.packChunks(toks, "doc_id", "toks", budget = 512L, shards = 8)
         .orderBy("shard", "bin", "doc_id")
     }),
 
@@ -573,7 +575,7 @@ object PipelineQueries {
     "q_doc_pack_whole" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("toks"))
-      graft.ops.Packing.packWhole(toks, "doc_id", "toks", budget = 512L)
+      graft.ops.Packing.packWhole(toks, "doc_id", "toks", budget = 512L, shards = 8)
         .orderBy("shard", "bin", "id")
     }),
 

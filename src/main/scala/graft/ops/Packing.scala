@@ -24,6 +24,25 @@ object Packing {
 
   final case class WholePack(shard: Long, bin: Long, id: Long, toks: Long)
 
+  /** Resolve the shard count: explicit wins; `0` (the default) derives it
+    * from `spark.sql.shuffle.partitions` — the knob that already sizes
+    * every other shuffle for the deployment, so a 1000-executor cluster
+    * packs through thousands of sorted partitions instead of funnelling
+    * 100 TB through a hard-coded 8.
+    *
+    * THE DETERMINISM TRADE: the pack layout is a pure function of
+    * (corpus, budget, SHARD COUNT) — two runs with different shuffle
+    * settings produce different (equally valid) layouts. Pass `shards`
+    * explicitly when the layout must be byte-reproducible across
+    * deployments (the gate queries pin `shards = 8` for exactly this
+    * reason); leave it 0 when throughput matters more than cross-config
+    * reproducibility. */
+  private def resolveShards(df: DataFrame, shards: Int): Int = {
+    require(shards >= 0, s"shards must be >= 0 (0 = derive), got $shards")
+    if (shards > 0) shards
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+  }
+
   /** Next-fit packing that keeps documents WHOLE (the SFT-style layout —
     * a sample must not be split across sequences): walk each shard in id
     * order, open a new bin whenever the next document no longer fits.
@@ -33,11 +52,12 @@ object Packing {
     * accumulator is, and the shard guarantees bounded, deterministic
     * per-task work. */
   def packWhole(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long, shards: Int = 8): DataFrame = {
+      budget: Long, shards: Int = 0): DataFrame = {
     import df.sparkSession.implicits._
+    val nShards = resolveShards(df, shards)
     df.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("toks"),
-        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"))
       .filter(col("toks") > 0)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "id")
@@ -61,10 +81,11 @@ object Packing {
     * where the slice starts inside the document. Zero-token documents
     * contribute nothing (same as concatenating an empty string). */
   def packChunks(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long, shards: Int = 8): DataFrame = {
+      budget: Long, shards: Int = 0): DataFrame = {
+    val nShards = resolveShards(df, shards)
     val w = Window.partitionBy("shard").orderBy(col(idCol))
     df.select(col(idCol), col(tokensCol).cast("long").as("__toks"),
-        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"))
       .filter(col("__toks") > 0)
       .withColumn("cum_end", sum(col("__toks")).over(w))
       .withColumn("cum_start", col("cum_end") - col("__toks"))

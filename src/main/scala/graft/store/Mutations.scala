@@ -23,6 +23,24 @@ object Mutations {
 
   private def h(s: String): Long = Hash64.hashString(s)
 
+  /** Key batches up to this size turn into OR-of-conjunction SCAN
+    * predicates instead of broadcast joins: a point mutation's probe and
+    * its application then carry NO broadcast exchange — each broadcast
+    * materialization is its own Spark job, i.e. one more scheduling
+    * floor per mutation. Past the limit the predicate would bloat the
+    * plan, so bulk batches keep the broadcast semi/anti-join. */
+  private val inlineKeyLimit = 100
+
+  private def keyPred4(ks: Seq[(Long, Long, Long, Long)]) =
+    ks.map { case (sv, pv, ov, gv) =>
+      col("s") === sv && col("p") === pv && col("o") === ov && col("g") === gv
+    }.reduce(_ || _)
+
+  private def keyPred3(ks: Seq[(Long, Long, Long)]) =
+    ks.map { case (sv, pv, gv) =>
+      col("s") === sv && col("p") === pv && col("g") === gv
+    }.reduce(_ || _)
+
   /** Validate one insert item (query.py:538-546). */
   def validateInsert(q: Quad): Option[String] = {
     if (q.s.isEmpty || q.p.isEmpty || q.o.isEmpty) Some("Insert triple missing s, p, or o")
@@ -67,38 +85,47 @@ object Mutations {
     // Past `batchJoinThreshold` terms, an IN list stops being a scan
     // predicate, so large bulk loads keep the anti-join plan instead.
     val batchJoinThreshold = 10000
-    def existingHashes(dict: org.apache.spark.sql.DataFrame, ts: Seq[String]): Set[Long] =
-      if (ts.isEmpty) Set.empty
-      else dict.filter(col("hash").isin(ts.map(h): _*))
-        .select("hash").collect().map(_.getLong(0)).toSet
-
-    // the batch existence probe and the two dictionary probes are
-    // independent — overlap their jobs
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val existsF = Future {
-      // same isin-pruned probe as delete validation: a point insert's
-      // duplicate check touches only the subject's batches of the
-      // s-sorted copy, not the whole corpus
-      val sHashes = rows.map(_._1).distinct
-      val base =
-        if (sHashes.size <= batchJoinThreshold)
-          graph.subjectAccess.filter(col("s").isin(sHashes: _*))
-        else graph.triples
-      base.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count()
-    }
+    val sHashes = rows.map(_._1).distinct
 
     val (newIris, newLits, nIris, nLits) =
-      if (terms.size <= batchJoinThreshold) {
-        val fIris = Future(existingHashes(graph.iris, irisTerms))
-        val fLits = Future(existingHashes(graph.literals, lits))
-        val haveIris = Await.result(fIris, Duration.Inf)
-        val haveLits = Await.result(fLits, Duration.Inf)
+      if (terms.size <= batchJoinThreshold && sHashes.size <= batchJoinThreshold) {
+        // small-batch fast path: the triple-existence probe and both
+        // dictionary probes FOLD INTO ONE JOB (tagged union of three
+        // isin-pruned scans) — a point insert pays one scheduling floor
+        // for its whole validation, not three overlapped ones. The
+        // existence leg probes the s-sorted copy so the subject predicate
+        // reaches the columnar scan's min/max stats; output is bounded by
+        // |candidates| + |terms|.
+        val existsProbe = {
+          val base = graph.subjectAccess.filter(col("s").isin(sHashes: _*))
+          // inline the quad predicate for point batches (no broadcast
+          // job); past the limit fall back to the broadcast semi-join
+          if (rows.size <= inlineKeyLimit) base.filter(keyPred4(rows))
+          else base.join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi")
+        }.select(lit(0).as("k"), lit(0L).as("hash"))
+        def dictProbe(dict: org.apache.spark.sql.DataFrame, ts: Seq[String], tag: Int) =
+          if (ts.isEmpty) None
+          else Some(dict.filter(col("hash").isin(ts.map(h): _*))
+            .select(lit(tag).as("k"), col("hash")))
+        val probed = (Seq(existsProbe) ++ dictProbe(graph.iris, irisTerms, 1) ++
+            dictProbe(graph.literals, lits, 2))
+          .reduce(_ unionAll _).collect()
+        if (probed.exists(_.getInt(0) == 0))
+          return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
+        val haveIris = probed.filter(_.getInt(0) == 1).map(_.getLong(1)).toSet
+        val haveLits = probed.filter(_.getInt(0) == 2).map(_.getLong(1)).toSet
         val ni = irisTerms.map(t => (h(t), t)).filterNot(e => haveIris(e._1))
         val nl = lits.map(t => (h(t), t)).filterNot(e => haveLits(e._1))
         (ni.toDF("hash", "value"), nl.toDF("hash", "value"), ni.size, nl.size)
       } else {
+        // bulk path: anti-join plans, independent probes overlapped
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val existsF = Future {
+          graph.triples
+            .join(broadcast(candidates), Seq("s", "p", "o", "g"), "left_semi").count()
+        }
         def newEntries(existingDict: org.apache.spark.sql.DataFrame, ts: Seq[String]) = {
           val df = ts.map(t => (h(t), t)).toDF("hash", "value")
           df.join(existingDict, Seq("hash"), "left_anti").localCheckpoint()
@@ -107,11 +134,10 @@ object Mutations {
         val fl = Future(newEntries(graph.literals, lits))
         val ni = Await.result(fi, Duration.Inf)
         val nl = Await.result(fl, Duration.Inf)
+        if (Await.result(existsF, Duration.Inf) > 0)
+          return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
         (ni, nl, ni.count().toInt, nl.count().toInt)
       }
-
-    if (Await.result(existsF, Duration.Inf) > 0)
-      return (graph, MutationResult(error = Some("Triple already exists, skipping insert")), empty, empty)
 
     val g2 = graph.copy(
       triples = graph.triples.union(candidates),
@@ -143,47 +169,61 @@ object Mutations {
     val exact = items.collect { case (s, p, Some(o), g) => (toHash(s), toHash(p), toHash(o), toHash(g)) }
     val wild = items.collect { case (s, p, None, g) => (toHash(s), toHash(p), toHash(g)) }
     var t = graph.triples
+    // small batches subtract via a pure NOT-filter (pushes to the scan,
+    // no broadcast job); bulk deletes keep the anti-join plan
     if (exact.nonEmpty)
-      t = t.join(exact.toDF("s", "p", "o", "g"), Seq("s", "p", "o", "g"), "left_anti")
+      t = if (exact.size <= inlineKeyLimit) t.filter(!keyPred4(exact))
+          else t.join(exact.toDF("s", "p", "o", "g"), Seq("s", "p", "o", "g"), "left_anti")
     if (wild.nonEmpty)
-      t = t.join(wild.toDF("s", "p", "g"), Seq("s", "p", "g"), "left_anti")
+      t = if (wild.size <= inlineKeyLimit) t.filter(!keyPred3(wild))
+          else t.join(wild.toDF("s", "p", "g"), Seq("s", "p", "g"), "left_anti")
     (graph.copy(triples = t), MutationResult(triplesDeleted = items.size))
   }
 
   /** Batch-existence validation for delete (query.py:478-482 refuses the
     * whole batch) — the ONE implementation, shared by the in-memory path
-    * above and the warehouse tombstone path, so the probe/concurrency
-    * optimizations cannot drift between them. One semi-join per key
-    * shape, never a per-item count job; point/small-batch deletes (the
-    * reference's mutation API shape) probe the s-sorted copy with an
-    * `isin` subject filter so the predicate reaches the columnar scan's
-    * min/max stats, while bulk batches keep the full-scan semi-join; the
-    * exact and wildcard validation jobs run concurrently. */
+    * above and the warehouse tombstone path, so the probe optimizations
+    * cannot drift between them. The exact-key and wildcard-key probes
+    * FOLD INTO ONE JOB (tagged union of two semi-joins over the shared
+    * probe base), so a point delete pays one scheduling floor for its
+    * whole validation; point/small-batch deletes (the reference's
+    * mutation API shape) probe the s-sorted copy with an `isin` subject
+    * filter so the predicate reaches the columnar scan's min/max stats,
+    * while bulk batches keep the full-scan semi-join. */
   private[store] def deleteBatchMissing(graph: Graph,
       exactKeys: Seq[(Long, Long, Long, Long)],
       wildKeys: Seq[(Long, Long, Long)]): Boolean = {
     val spark = graph.spark
     import spark.implicits._
-    val subjectHashes = (exactKeys.map(_._1) ++ wildKeys.map(_._1)).distinct
+    val eKeys = exactKeys.distinct
+    val wKeys = wildKeys.distinct
+    if (eKeys.isEmpty && wKeys.isEmpty) return false
+    val subjectHashes = (eKeys.map(_._1) ++ wKeys.map(_._1)).distinct
     val probeBase =
-      if (subjectHashes.nonEmpty && subjectHashes.size <= 10000)
+      if (subjectHashes.size <= 10000)
         graph.subjectAccess.filter(col("s").isin(subjectHashes: _*))
       else graph.triples
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val missingExactF = Future(exactKeys.distinct match {
-      case Nil => false
-      case ks => probeBase
-        .join(broadcast(ks.toDF("s", "p", "o", "g")), Seq("s", "p", "o", "g"), "left_semi")
-        .select("s", "p", "o", "g").distinct().count() < ks.size
-    })
-    val missingWildF = Future(wildKeys.distinct match {
-      case Nil => false
-      case ks => probeBase
-        .join(broadcast(ks.toDF("s", "p", "g")), Seq("s", "p", "g"), "left_semi")
-        .select("s", "p", "g").distinct().count() < ks.size
-    })
-    Await.result(missingExactF, Duration.Inf) || Await.result(missingWildF, Duration.Inf)
+    // distinct matched keys per shape, tagged: k=0 exact, k=1 wildcard;
+    // small batches match via inline predicates (no broadcast job)
+    val eProbe =
+      if (eKeys.isEmpty) None
+      else Some((
+        if (eKeys.size <= inlineKeyLimit) probeBase.filter(keyPred4(eKeys))
+        else probeBase.join(broadcast(eKeys.toDF("s", "p", "o", "g")),
+          Seq("s", "p", "o", "g"), "left_semi"))
+        .select(lit(0).as("k"),
+          concat_ws(",", col("s"), col("p"), col("o"), col("g")).as("key")))
+    val wProbe =
+      if (wKeys.isEmpty) None
+      else Some((
+        if (wKeys.size <= inlineKeyLimit) probeBase.filter(keyPred3(wKeys))
+        else probeBase.join(broadcast(wKeys.toDF("s", "p", "g")),
+          Seq("s", "p", "g"), "left_semi"))
+        .select(lit(1).as("k"),
+          concat_ws(",", col("s"), col("p"), col("g")).as("key")))
+    val matched = (eProbe ++ wProbe).reduce(_ unionAll _)
+      .groupBy("k").agg(countDistinct("key").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    matched.getOrElse(0, 0L) < eKeys.size || matched.getOrElse(1, 0L) < wKeys.size
   }
 }

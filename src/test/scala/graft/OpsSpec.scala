@@ -231,6 +231,39 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("scalaudf"), plan)
   }
 
+  test("packing laws hold across shard counts, incl. the derived default") {
+    import spark.implicits._
+    val budget = 64L
+    val docs = (1L to 120L).map(i => (i, (i * 7 % 90) + 1)).toDF("id", "toks")
+    val totalToks = docs.agg(sum("toks")).collect()(0).getLong(0)
+    // 0 = derive from spark.sql.shuffle.partitions (4 in this suite)
+    for (sh <- Seq(1, 3, 8, 0)) {
+      val whole = graft.ops.Packing.packWhole(docs, "id", "toks", budget, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // every document packed exactly once, whole
+      assert(whole.map(_._3).sorted.toSeq === (1L to 120L))
+      // a bin never exceeds the budget unless it holds one oversized doc
+      whole.groupBy(w => (w._1, w._2)).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sum <= budget || rows.length == 1)
+      }
+      val expectShards = if (sh == 0) 4 else sh
+      assert(whole.map(_._1).forall(s => s >= 0 && s < expectShards))
+      val chunks = graft.ops.Packing.packChunks(docs, "id", "toks", budget, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // token conservation: every token lands in exactly one bin slice
+      assert(chunks.map(_._4).sum === totalToks)
+      // a chunk bin holds exactly `budget` tokens except a shard's last
+      chunks.groupBy(c => (c._1, c._2)).foreach { case ((s, b), rows) =>
+        val maxBin = chunks.filter(_._1 == s).map(_._2).max
+        if (b < maxBin) assert(rows.map(_._4).sum === budget)
+        else assert(rows.map(_._4).sum <= budget)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Packing.packWhole(docs, "id", "toks", budget, -1)
+    }
+  }
+
   test("simhash finds exact dups, excludes unrelated docs") {
     // hamming ≤ 3 only holds for long near-identical docs; on these short
     // ones a single changed token flips many low-margin bits, so only the
