@@ -741,10 +741,33 @@ object PipelineQueries {
     * [[Verify]] before the oracle_sql dump. The MinHash pair list lets
     * DuckDB verify the connected-component logic of q_doc_clusters
     * EXACTLY (recursive CTE over the same pair graph); pair GENERATION
-    * stays covered by q_doc_minhash's planted-dup law and OpsSpec. */
-  def exportOracleAux(s: SparkSession, dir: String): Unit =
+    * stays covered by q_doc_minhash's planted-dup law and OpsSpec.
+    *
+    * The ANN exports split each index at its policy/execution seam: the
+    * LSH candidate ids and the IVF (assignment, probe-cell) tables are
+    * the engine's APPROXIMATION POLICY (which rows get rescanned — the
+    * part that is legitimately engine-specific), while everything
+    * downstream — candidate-set containment, exact cosine, ranking,
+    * cut — is recomputed by DuckDB from the raw embeddings, making
+    * q_emb_lsh / q_emb_ivf hash-exact gates instead of rows-only. */
+  def exportOracleAux(s: SparkSession, dir: String): Unit = {
     minhashPairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
+    val q = queryVec(s, dir)
+    // deterministic rebuilds of exactly the gates' indexes (seeded
+    // hyperplanes / seeded k-means): same buckets, cells, probe lists
+    Similarity.lshCandidates(
+        Similarity.buildLsh(emb(s, dir), "vec_id", "embedding"),
+        "vec_id", "embedding", q)
+      .select("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/lsh_cand")
+    val idx = graft.ops.Ivf.build(emb(s, dir), "vec_id", "embedding")
+    idx.cells.select(col("vec_id"), col("cell")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_cells")
+    import s.implicits._
+    graft.ops.Ivf.probeCells(idx, q).toDF("cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_probe")
+  }
 
   val oracle: Map[String, String] = Map(
     // per-document codec round-trip laws: the Spark side compares the
@@ -958,6 +981,32 @@ object PipelineQueries {
     // contract is identical, only the Spark-side index differs.
     "q_emb_lsh_recall" -> plantedRecallOracle,
     "q_emb_ivf_recall" -> plantedRecallOracle,
+    // brute force over the ENGINE-EXPORTED candidate set: the bucket
+    // policy (which ids the multi-probe rescans) is the trusted
+    // approximation seam; scoring, ranking and the cut are DuckDB's
+    "q_emb_lsh" ->
+      s"""WITH cand AS (SELECT vec_id FROM read_parquet('$oracleAuxDir/lsh_cand/*.parquet')),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS va
+         |      FROM embeddings e0 JOIN cand USING (vec_id))
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |ORDER BY sim DESC, vec_id""".stripMargin,
+    // same seam for IVF: the exported (vec_id, cell) assignment and the
+    // probe-cell list are the policy; DuckDB derives the candidate set
+    // by containment and recomputes the exact top-k over it
+    "q_emb_ivf" ->
+      s"""WITH cells AS (SELECT vec_id, cell FROM read_parquet('$oracleAuxDir/ivf_cells/*.parquet')),
+         |probe AS (SELECT cell FROM read_parquet('$oracleAuxDir/ivf_probe/*.parquet')),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS vb FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS va
+         |      FROM embeddings e0 JOIN cells c USING (vec_id)
+         |      WHERE c.cell IN (SELECT cell FROM probe))
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |ORDER BY sim DESC, vec_id""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -77,12 +77,18 @@ object Ivf {
     IvfIndex(cells, centroids)
   }
 
+  /** The `nProbe` cells nearest the query — the ONE derivation of the
+    * cell-probe policy, shared by [[topK]] and the oracle export (which
+    * dumps it so DuckDB can recheck the candidate set and ranking). */
+  def probeCells(index: IvfIndex, query: Array[Float], nProbe: Int = 4): Seq[Int] =
+    index.centroids.indices
+      .sortBy(c => dist2(query, index.centroids(c)))
+      .take(nProbe)
+
   /** Approximate top-k: exact cosine within the nProbe nearest cells. */
   def topK(index: IvfIndex, idCol: String, vecCol: String,
       query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val byDist = index.centroids.indices
-      .sortBy(c => dist2(query, index.centroids(c)))
-      .take(nProbe)
+    val byDist = probeCells(index, query, nProbe)
     index.cells.filter(col("cell").isin(byDist: _*))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), lit(query)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -73,7 +73,29 @@ object Similarity {
     * differ). */
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, planes: Int = 12, dim: Int = 64,
-      probeBits: Int = 1): DataFrame = {
+      probeBits: Int = 1): DataFrame =
+    lshCandidates(bucketed, idCol, vecCol, query, planes, dim, probeBits)
+      .select(col(idCol), round(cosine(col(vecCol), lit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** The candidate rows [[lshTopK]] rescans exactly — exposed so the
+    * oracle export can dump the candidate ids and DuckDB can recheck
+    * the top-k as brute-force-over-candidates (the bucket policy is the
+    * approximate part; candidate scoring and ranking are exact). */
+  def lshCandidates(bucketed: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 1): DataFrame =
+    bucketed.filter(col("bucket").isin(
+      probeBuckets(query, planes, dim, probeBits): _*))
+
+  /** Sign bucket of the query plus every bucket within `probeBits` bit
+    * flips (multi-probe) — the ONE derivation of the bucket-probe policy,
+    * shared by [[lshTopK]] and the oracle export. 1 flip = the classic
+    * query-bucket + 1-bit neighbors; higher trades candidate count for
+    * recall — still a tiny fraction of the 2^planes bucket space. */
+  def probeBuckets(query: Array[Float], planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 1): Seq[Long] = {
     val hp = hyperplanes(dim, planes)
     var bucket = 0L
     for (p <- hp.indices) {
@@ -83,17 +105,10 @@ object Similarity {
       while (i < n) { dot += hp(p)(i) * query(i); i += 1 }
       if (dot >= 0) bucket |= (1L << p)
     }
-    // multi-probe: every bucket within Hamming distance `probeBits` of
-    // the query's sign pattern (1 = the classic query-bucket + 1-bit
-    // flips; higher trades candidate count for recall — still a tiny
-    // fraction of the 2^planes bucket space)
     var probes = Set(bucket)
     for (_ <- 1 to probeBits)
       probes = probes ++ probes.flatMap(b => (0 until planes).map(p => b ^ (1L << p)))
-    bucketed.filter(col("bucket").isin(probes.toSeq: _*))
-      .select(col(idCol), round(cosine(col(vecCol), lit(query)), 4).as("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    probes.toSeq.sorted
   }
 
   /** Pair similarity over [[candidatePairs]] output: the dot of the pair
