@@ -14,6 +14,10 @@ object Analyzer {
 
   val DefaultSeparator = "[^a-zA-Z0-9]+"
 
+  // compiled once: tokenize(text, stem) runs per corpus document on the
+  // embedding-build pass — String.split would re-compile per call
+  private val DefaultSeparatorRe = java.util.regex.Pattern.compile(DefaultSeparator)
+
   /** NFD-decompose then drop combining marks — DuckDB's strip_accents. */
   def stripAccents(s: String): String = {
     // fast path: pure ASCII needs no normalization
@@ -28,7 +32,7 @@ object Analyzer {
   def tokenize(text: String, stem: Boolean = true): Array[String] = {
     if (text == null) return Array.empty
     val cleaned = stripAccents(text).toLowerCase
-    val raw = cleaned.split(DefaultSeparator)
+    val raw = DefaultSeparatorRe.split(cleaned)
     val out = new scala.collection.mutable.ArrayBuffer[String](raw.length)
     var i = 0
     while (i < raw.length) {

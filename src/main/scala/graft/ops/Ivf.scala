@@ -41,6 +41,16 @@ object Ivf {
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
+    // ragged dims are CLAMPED everywhere (trainer, NearestCellExpr,
+    // CellAngleExpr — prefix-distance semantics, pinned in specs), which
+    // silently absorbs a genuinely mis-dimensioned corpus; surface it
+    // once here, where the dims are cheap to observe, so the data bug
+    // is visible without changing the clamp contract
+    val dims = sample.iterator.map(_.length).toSet
+    if (dims.size > 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF training sample has ragged vector dims $dims - assignments " +
+          "use prefix (clamped) distances; check the embedding pipeline")
     val k = math.min(nLists, sample.length)
     // deterministic init: evenly spaced sample points
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())

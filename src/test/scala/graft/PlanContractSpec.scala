@@ -308,4 +308,27 @@ class PlanContractSpec extends SparkSpec {
     // and the fence is an identity: values decode exactly as unfenced
     assert(df.collect().forall(_.getString(0) != null))
   }
+
+  test("point mutations: no broadcast exchange in probe or application") {
+    import graft.store.Mutations
+    import graft.ingest.Quad
+    val g = ctx.graph
+    // delete of an existing fixture triple: application is a pure
+    // NOT-filter (scan predicate), validation passed as one folded job
+    val (g2, dres) = Mutations.delete(g,
+      Seq(("<http://ex/leia>", Fixture.homeworld, Some("<http://ex/alderaan>"), "")))
+    assert(dres.error.isEmpty, dres.error)
+    val dPlan = plan(g2.triples)
+    assert(!dPlan.contains("BroadcastExchange"),
+      s"point delete must subtract via a scan predicate, not a join:\n$dPlan")
+    assert(g2.triples.count() === g.triples.count() - 1)
+    // point insert: the validated union plan is join-free too
+    val (g3, ires) = Mutations.insert(g,
+      Seq(Quad("<http://ex/plan_probe>", Fixture.label, "\"Plan Probe\"", "")))
+    assert(ires.error.isEmpty, ires.error)
+    val iPlan = plan(g3.triples)
+    assert(!iPlan.contains("BroadcastExchange"),
+      s"point insert must union the delta, not join it:\n$iPlan")
+    assert(g3.triples.count() === g.triples.count() + 1)
+  }
 }
