@@ -50,18 +50,24 @@ object RdfQueries {
 
   /** Semantic-contract law stats over a folded (s, score) chain joined
     * against the membership frame `sem` (s, __m): (chain size, min score,
-    * non-member count) in ONE job. Over an EMPTY chain both aggregates
-    * come back NULL and `Row.getLong`/`getDouble` would NPE — the guards
-    * turn that case into (0, 0.0, 0), which reds the `nonempty` law row
-    * instead of crashing the gate. */
-  private[graft] def chainLawStats(folded: DataFrame, sem: DataFrame): (Long, Double, Long) = {
+    * non-member count, how many of `pageHashes` appear in the chain) in
+    * ONE job. Over an EMPTY chain the min/sum aggregates come back NULL
+    * and `Row.getLong`/`getDouble` would NPE — the guards turn that case
+    * into (0, 0.0, 0, 0), which reds the `nonempty` law row instead of
+    * crashing the gate. */
+  private[graft] def chainLawStats(folded: DataFrame, sem: DataFrame,
+      pageHashes: Seq[Long] = Nil): (Long, Double, Long, Long) = {
+    val inPage =
+      if (pageHashes.isEmpty) lit(false) else col("s").isin(pageHashes: _*)
     val a = folded.join(sem, Seq("s"), "left")
       .agg(count(lit(1)).as("n"), min("score").as("m"),
-        sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss")).collect()(0)
+        sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss"),
+        sum(when(inPage, 1L).otherwise(0L)).as("inpage")).collect()(0)
     val n = a.getLong(0)
     val minScore = if (a.isNullAt(1)) 0.0 else a.getDouble(1)
     val nonMembers = if (a.isNullAt(2)) 0L else a.getLong(2)
-    (n, minScore, nonMembers)
+    val pageInChain = if (a.isNullAt(3)) 0L else a.getLong(3)
+    (n, minScore, nonMembers, pageInChain)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -465,25 +471,23 @@ object RdfQueries {
       val ctx = Rdfize.semantic(s, dir)
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = "semantic", o = "NATION_3 NATION_3")), size = 10)
-      // materialize the folded chain once — every law reads it, so the
-      // ANN scan must execute once, not once per law action
       val folded = QueryEngine.scoreChain(ctx, opts).get
-        .groupBy("s").agg(max("score").as("score")).persist()
-      try {
-        // ONE job for count + threshold + membership: left-join against
-        // the semantic doc table the match is defined over (`hash` IS
-        // the subject hash and the index only holds store subjects, so
-        // sem-membership implies store-membership)
-        val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
-        val (n, minScore, nonMembers) = chainLawStats(folded, sem)
-        val page = QueryEngine.query(ctx, opts).results.keys.toSeq
-        val pageHashes = page.map(FilterCompiler.h)
-        val pageInChain = folded.filter(col("s").isin(pageHashes: _*)).count()
-        import s.implicits._
-        Seq((n > 0L, minScore > 2.0, nonMembers == 0L,
-            page.size.toLong == math.min(10L, n) && pageInChain == page.size.toLong))
-          .toDF("nonempty", "thresh_ok", "members_ok", "page_ok")
-      } finally { folded.unpersist(); () }
+        .groupBy("s").agg(max("score").as("score"))
+      // the envelope page first, then ONE law job for count + threshold +
+      // membership + page-containment: left-join against the semantic doc
+      // table the match is defined over (`hash` IS the subject hash and
+      // the index only holds store subjects, so sem-membership implies
+      // store-membership), with the page replayed as an s-IN literal —
+      // the folded chain has a single consumer, so no persist/cache churn
+      val page = QueryEngine.query(ctx, opts).results.keys.toSeq
+      val pageHashes = page.map(FilterCompiler.h)
+      val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
+      val (n, minScore, nonMembers, pageInChain) =
+        chainLawStats(folded, sem, pageHashes)
+      import s.implicits._
+      Seq((n > 0L, minScore > 2.0, nonMembers == 0L,
+          page.size.toLong == math.min(10L, n) && pageInChain == page.size.toLong))
+        .toDF("nonempty", "thresh_ok", "members_ok", "page_ok")
     }),
 
     // the reference's flagship analytical query (wikidata.md:45-67):

@@ -565,13 +565,16 @@ class EngineSpec extends SparkSpec {
     check(Array(5L), Array(9L))
   }
 
-  test("chainLawStats: empty chain yields (0, 0, 0) instead of an NPE") {
+  test("chainLawStats: empty chain yields zeros instead of an NPE") {
     import spark.implicits._
     val sem = Seq((1L, 1), (2L, 1)).toDF("s", "__m")
     val empty = Seq.empty[(Long, Double)].toDF("s", "score")
-    assert(RdfQueries.chainLawStats(empty, sem) === ((0L, 0.0, 0L)))
-    // nonempty: min score surfaces, non-members counted
+    assert(RdfQueries.chainLawStats(empty, sem) === ((0L, 0.0, 0L, 0L)))
+    assert(RdfQueries.chainLawStats(empty, sem, Seq(1L)) === ((0L, 0.0, 0L, 0L)))
+    // nonempty: min score surfaces, non-members and page containment counted
     val folded = Seq((1L, 3.5), (9L, 2.5)).toDF("s", "score")
-    assert(RdfQueries.chainLawStats(folded, sem) === ((2L, 2.5, 1L)))
+    assert(RdfQueries.chainLawStats(folded, sem) === ((2L, 2.5, 1L, 0L)))
+    assert(RdfQueries.chainLawStats(folded, sem, Seq(1L, 2L)) === ((2L, 2.5, 1L, 1L)))
+    assert(RdfQueries.chainLawStats(folded, sem, Seq(1L, 9L)) === ((2L, 2.5, 1L, 2L)))
   }
 }

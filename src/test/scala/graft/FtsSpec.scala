@@ -215,4 +215,26 @@ class FtsSpec extends SparkSpec {
     assert(!plan.contains("scalaudf"), plan)
     assert(plan.contains("fts_tokens"), plan)
   }
+
+  test("FtsTokensExpr.compute == indexTokens on random unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val st = graft.fts.FtsSettings()
+    val stNone = graft.fts.FtsSettings(stemmer = "none", stopwords = "none")
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet =
+      "abz AZ09-_.!\u00e9\u00fc\u00df\u0130\u0131\u4e2d\u6587\u0001\n\t'\"\\" + "\ud83d\ude00"
+    (1 to 500).foreach { _ =>
+      val len = rnd.nextInt(60)
+      val t = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      for (settings <- Seq(st, stNone)) {
+        val viaExpr = graft.functions.FtsTokensExpr
+          .compute(UTF8String.fromString(t), settings)
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        assert(viaExpr === settings.indexTokens(t).toSeq, s"text=${t.map(_.toInt)}")
+      }
+    }
+    // and the null carrier contract
+    assert(graft.functions.FtsTokensExpr.compute(null, st).numElements() === 0)
+  }
 }

@@ -179,4 +179,20 @@ class SemanticAnnSpec extends SparkSpec {
     val zeroCell = ann.cells.filter(col("cell") === -1).count()
     assert(zeroCell === 1L) // the empty-text doc
   }
+
+  test("CellAngleExpr on ARRAY<DOUBLE> input matches the float branch") {
+    val cs = Array(Array(1f, 0f), Array(0f, 1f))
+    val vecs = Seq(Seq(0.9, 0.1), Seq(0.2, 0.8), Seq(0.0, 0.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("hash", "vec")
+      .select(col("hash"), graft.functions.CellAngleExpr(col("vec"), cs).as("ca"))
+      .select(col("hash"), col("ca.cell"), col("ca.angle"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(df(0L)._1 === 0)
+    assert(df(1L)._1 === 1)
+    assert(df(2L) === ((-1, 0.0)))
+    val (c0, a0) = refAssign(Array(0.9f, 0.1f), cs)
+    assert(df(0L)._1 === c0)
+    assert(math.abs(df(0L)._2 - a0) < 1e-7) // float-vs-double input rounding only
+  }
 }
