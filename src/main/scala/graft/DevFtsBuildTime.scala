@@ -40,6 +40,18 @@ object DevFtsBuildTime {
     val tokenizeUdf = udf((s: String) => st.indexTokens(s))
     pass("scala-udf", tokenizeUdf(col("value")))
     pass("codegen  ", graft.functions.FtsTokensExpr(col("value"), st))
+    // the shipped plan: row-local tf (no groupBy shuffle at all)
+    def runLocal(): Long = docs
+      .select(col("hash"),
+        graft.functions.FtsTokenCountsExpr(col("value"), st).as("a"))
+      .select(col("hash"), col("a.len").as("len"), explode(col("a.terms")).as("t"))
+      .select(col("hash"), col("t.term").as("term"), col("t.tf").as("tf"), col("len"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    runLocal()
+    val times = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); runLocal(); (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[ftsbuild] row-local tf median = ${times.sorted.apply(2)}%.3f s (${times.map(t => f"$t%.3f").mkString(", ")})")
     spark.stop()
   }
 }

@@ -14,9 +14,28 @@ object Analyzer {
 
   val DefaultSeparator = "[^a-zA-Z0-9]+"
 
-  // compiled once: tokenize(text, stem) runs per corpus document on the
-  // embedding-build pass — String.split would re-compile per call
-  private val DefaultSeparatorRe = java.util.regex.Pattern.compile(DefaultSeparator)
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** NON-EMPTY tokens of `s` under the DEFAULT separator — a character
+    * scan equivalent to `DefaultSeparator.r.split(s).filter(_.nonEmpty)`
+    * (maximal ASCII-alnum runs; pinned against the regex in FtsSpec)
+    * without the regex engine, which dominates the per-document cost of
+    * the corpus-wide index/embedding analysis passes. Supplementary code
+    * points are surrogate chars, neither of which is ASCII alnum, so
+    * they separate exactly as the code-point regex does. */
+  private[graft] def splitDefault(s: String): Array[String] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAlnum(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && isAlnum(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
 
   /** NFD-decompose then drop combining marks — DuckDB's strip_accents. */
   def stripAccents(s: String): String = {
@@ -32,15 +51,12 @@ object Analyzer {
   def tokenize(text: String, stem: Boolean = true): Array[String] = {
     if (text == null) return Array.empty
     val cleaned = stripAccents(text).toLowerCase
-    val raw = DefaultSeparatorRe.split(cleaned)
-    val out = new scala.collection.mutable.ArrayBuffer[String](raw.length)
+    val raw = splitDefault(cleaned) // already non-empty
+    if (!stem) return raw
+    val out = new Array[String](raw.length)
     var i = 0
-    while (i < raw.length) {
-      val t = raw(i)
-      if (t.nonEmpty) out += (if (stem) PorterStemmer.stem(t) else t)
-      i += 1
-    }
-    out.toArray
+    while (i < raw.length) { out(i) = PorterStemmer.stem(raw(i)); i += 1 }
+    out
   }
 
   /** Settings-driven raw tokenization (DuckDB `tokenize` macro order:

@@ -150,16 +150,20 @@ object FtsIndex {
   def build(docs: DataFrame, hashCol: String = "hash", valueCol: String = "value",
       settings: FtsSettings = FtsSettings.resolve()): FtsIndex = {
     // index-side analysis in whole-stage codegen — the corpus-wide text
-    // pass must not cross a UDF boundary (parity vs the former UDF is
-    // pinned in FtsSpec; null values analyze to zero-length docs)
-    val tokens = docs.select(
+    // pass must not cross a UDF boundary, and tf is counted ROW-LOCALLY
+    // (it is a per-document statistic): exploding the compressed
+    // (term, tf) entries replaces the old explode-every-token →
+    // groupBy(hash, term) plan, whose shuffle moved every token
+    // occurrence of the corpus. The only exchange left in the build is
+    // the term-clustering repartition over tf-compressed postings.
+    // Parity vs the former UDF+groupBy plan is pinned in FtsSpec; null
+    // values analyze to zero-length docs.
+    val analyzed = docs.select(
       col(hashCol).as("hash"),
-      graft.functions.FtsTokensExpr(col(valueCol), settings).as("tokens"))
-    val withLen = tokens.withColumn("len", size(col("tokens")))
-    val postings = withLen
-      .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
-      .groupBy("hash", "term")
-      .agg(count(lit(1)).as("tf"), first("len").as("len"))
+      graft.functions.FtsTokenCountsExpr(col(valueCol), settings).as("a"))
+    val postings = analyzed
+      .select(col("hash"), col("a.len").as("len"), explode(col("a.terms")).as("t"))
+      .select(col("hash"), col("t.term").as("term"), col("t.tf").as("tf"), col("len"))
       // cluster by term so the persisted/cached (or parquet-written)
       // postings skip non-matching batches on term-IN filters
       .repartition(col("term"))
@@ -168,9 +172,9 @@ object FtsIndex {
       .agg(countDistinct("hash").as("df"))
     // corpus stats: every doc row counts, including token-less ones
     // (mirrors DuckDB indexing every row of the literals table)
-    val stats = withLen.agg(
+    val stats = analyzed.agg(
       count(lit(1)).as("n"),
-      avg(col("len")).as("avgdl")).collect()(0)
+      avg(col("a.len")).as("avgdl")).collect()(0)
     val n = stats.getLong(0)
     val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
     FtsIndex(postings, termstats, n, avgdl, settings = settings)
@@ -272,21 +276,20 @@ object FtsIndex {
     val st = settingsFrom(j)
     val (k1, b) = ((j \ "k1").extract[Double], (j \ "b").extract[Double])
     val (n0, avgdl0) = ((j \ "numDocs").extract[Long], (j \ "avgdl").extract[Double])
-    val withLen = newDocs
+    val analyzed = newDocs
       .select(col(hashCol).as("hash"),
-        graft.functions.FtsTokensExpr(col(valueCol), st).as("tokens"))
-      .withColumn("len", size(col("tokens")))
+        graft.functions.FtsTokenCountsExpr(col(valueCol), st).as("a"))
       .persist()
     try {
-      val stats = withLen.agg(
+      val stats = analyzed.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(col("len")), lit(0L)).as("lensum")).collect()(0)
+        coalesce(sum(col("a.len")), lit(0L)).as("lensum")).collect()(0)
       val nDelta = stats.getLong(0)
       if (nDelta == 0L) return true
-      val postings = withLen
-        .select(col("hash"), col("len"), explode(col("tokens")).as("term"))
-        .groupBy("hash", "term")
-        .agg(count(lit(1)).as("tf"), first("len").as("len"))
+      // same row-local tf analysis as [[build]] — no groupBy shuffle
+      val postings = analyzed
+        .select(col("hash"), col("a.len").as("len"), explode(col("a.terms")).as("t"))
+        .select(col("hash"), col("t.term").as("term"), col("t.tf").as("tf"), col("len"))
         .persist()
       try {
         postings.select("hash", "term", "tf", "len")
@@ -309,7 +312,7 @@ object FtsIndex {
           s"""{"numDocs":$n1,"avgdl":$avgdl1,"k1":$k1,"b":$b,${st.toJsonFragment}}""")
         true
       } finally { postings.unpersist(); () }
-    } finally { withLen.unpersist(); () }
+    } finally { analyzed.unpersist(); () }
   }
 
   /** Delete a stored index (rebuild-on-next-load fallback). The meta

@@ -25,10 +25,15 @@ final case class FtsSettings(
   @transient private lazy val ignoreRe: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(ignore)
   @transient private lazy val swCached: Set[String] = stopwordSet
+  @transient private lazy val defaultIgnore: Boolean = ignore == Analyzer.DefaultSeparator
 
-  /** [[ignore]] compiled once — `Pattern.split` is exactly
-    * `String.split(regex)` semantics without the per-call compile. */
-  private[fts] def splitIgnore(s: String): Array[String] = ignoreRe.split(s)
+  /** Split on [[ignore]]: the DEFAULT separator takes the character-scan
+    * fast path (regex-equivalent, pinned in FtsSpec); custom separators
+    * use the once-compiled pattern — `Pattern.split` is exactly
+    * `String.split(regex)` semantics without the per-call compile. May
+    * drop empty tokens (the analyzer filters them anyway). */
+  private[fts] def splitIgnore(s: String): Array[String] =
+    if (defaultIgnore) Analyzer.splitDefault(s) else ignoreRe.split(s)
 
   /** Index-side analysis (DuckDB terms build): tokenize, drop stopwords
     * on the UNSTEMMED token, then stem. */

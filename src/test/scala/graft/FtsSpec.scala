@@ -213,7 +213,11 @@ class FtsSpec extends SparkSpec {
     val idx = FtsIndex.build(spark.read.parquet(dir))
     val plan = idx.postings.queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("scalaudf"), plan)
-    assert(plan.contains("fts_tokens"), plan)
+    assert(plan.contains("fts_token_counts"), plan)
+    // and tf is counted row-locally: the ONLY exchange in the postings
+    // plan is the term-clustering repartition, never a groupBy shuffle
+    assert(!plan.contains("hashaggregate"), plan)
+    assert(plan.split("exchange").length - 1 === 1, plan)
   }
 
   test("FtsTokensExpr.compute == indexTokens on random unicode strings") {
@@ -236,5 +240,49 @@ class FtsSpec extends SparkSpec {
     }
     // and the null carrier contract
     assert(graft.functions.FtsTokensExpr.compute(null, st).numElements() === 0)
+  }
+
+  test("FtsTokenCountsExpr == explode+group tf counting on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val st = graft.fts.FtsSettings()
+    def viaExpr(t: String): (Int, Map[String, Long]) = {
+      val r = graft.functions.FtsTokenCountsExpr
+        .compute(if (t == null) null else UTF8String.fromString(t), st)
+        .asInstanceOf[GenericInternalRow]
+      val len = r.getInt(0)
+      val arr = r.getArray(1)
+      val m = (0 until arr.numElements()).map { i =>
+        val e = arr.getStruct(i, 2)
+        e.getUTF8String(0).toString -> e.getLong(1)
+      }.toMap
+      (len, m)
+    }
+    def brute(t: String): (Int, Map[String, Long]) = {
+      val toks = st.indexTokens(if (t == null) "" else t)
+      (toks.length, toks.groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    }
+    val rnd = new scala.util.Random(8L)
+    val words = Seq("walking", "the", "cafe", "caf\u00e9", "Builds", "42", "x")
+    val texts = (1 to 300).map { _ =>
+      Seq.fill(rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", null)
+    texts.foreach { t =>
+      assert(viaExpr(t) === brute(t), s"text=$t")
+    }
+  }
+
+  test("splitDefault == default-separator regex split on random strings") {
+    val re = java.util.regex.Pattern.compile(Analyzer.DefaultSeparator)
+    val rnd = new scala.util.Random(99L)
+    val alphabet = "abcXYZ019 .,;-_\u00e9\u4e2d\t\n'" + "\ud83d\ude00" + "\u0000"
+    val fixed = Seq("", "abc", "  ", "a1b2", "--x--", "\u00e9\u00e9", "a\ud83d\ude00b")
+    val randoms = (1 to 1000).map { _ =>
+      Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    (fixed ++ randoms).foreach { t =>
+      assert(Analyzer.splitDefault(t).toSeq ===
+        re.split(t).filter(_.nonEmpty).toSeq, s"text=${t.map(_.toInt)}")
+    }
   }
 }
