@@ -180,16 +180,19 @@ object TextAnalysis {
 
   /** Per-(document, term) counts over lower-cased whitespace tokens —
     * the shared substrate tf-idf and unigram-LM surprisal both reduce
-    * to. One (id, term) aggregate over the exploded token stream; a
-    * pipeline computing several term statistics materializes THIS table
-    * once and derives each metric from it with term-keyed joins of a
-    * much smaller relation (the token explode and its wide shuffle are
-    * paid once, not once per metric). */
+    * to. tf is a per-document statistic, so it is counted ROW-LOCALLY
+    * ([[graft.functions.TokenCounts]] over the same Spark-native
+    * tokenization) and the compressed (term, tf) entries exploded —
+    * SHUFFLE-FREE, where the former explode → groupBy(id, term) plan
+    * moved every token occurrence of the corpus; a pipeline computing
+    * several term statistics materializes THIS table once and derives
+    * each metric from it with term-keyed joins of a much smaller
+    * relation. Row parity with the grouped plan is pinned in OpsSpec. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TokenCounts(
+          split(lower(trim(col(textCol))), "\\s+"))).as("t"))
+      .select(col(idCol), col("t.term").as("term"), col("t.tf").as("tf"))
 
   /** [[topTfidfTerms]] over a prebuilt [[termFrequencies]] table: df is
     * derived FROM the tf aggregate (count of docs per term), so the raw
@@ -317,9 +320,11 @@ object TextAnalysis {
     * types, hapax legomena — the Zipf-shape health check. Two bounded
     * aggregates (term counts, then the scalar roll-up). */
   def vocabStats(df: DataFrame, textCol: String): DataFrame = {
-    val toks = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-    val perTerm = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+    // row-local tf first: the term aggregate then shuffles/combines one
+    // (term, tf) entry per distinct term per doc, not one row per token
+    val perTerm = df.select(explode(graft.functions.TokenCounts(
+        split(lower(trim(col(textCol))), "\\s+"))).as("t"))
+      .groupBy(col("t.term").as("term")).agg(sum(col("t.tf")).as("ctf"))
     // the doc count rides in lazily as a broadcast scalar — no eager
     // count job, no second corpus scan at construction time
     val nDocs = df.agg(count(lit(1)).as("n_docs"))

@@ -264,6 +264,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("termFrequencies == exploded-groupBy reference (row-local tf parity)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  quick QUICK fox"),
+      (2L, "   "),
+      (3L, null.asInstanceOf[String]),
+      (4L, "a a a b\tb\nc"),
+      (5L, "café CAFÉ x")).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = rows(TextAnalysis.termFrequencies(docs, "id", "text"))
+    val ref = rows(docs.select(col("id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
+    assert(got === ref)
+    assert(got.contains((1L, "quick", 2L)))
+    assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 3L))
+  }
+
   test("simhash finds exact dups, excludes unrelated docs") {
     // hamming ≤ 3 only holds for long near-identical docs; on these short
     // ones a single changed token flips many low-margin bits, so only the
