@@ -55,11 +55,33 @@ object PipelineQueries {
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(dir, { _ =>
-      val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.filter(col("doc_id") === 0)
-        .withColumn("doc_id", lit(1000000L))
-      Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.8)
+      Dedup.minhashDedup(minhashCorpus(s, dir), "doc_id", "text", threshold = 0.8)
     })
+
+  /** Documents plus a planted exact duplicate of doc 0 (id 1000000) —
+    * the corpus every MinHash gate runs over. Shared with
+    * [[exportOracleAux]]'s candidate dump so the oracle's exact-Jaccard
+    * recheck of q_doc_minhash audits the SAME corpus the gate sketches. */
+  private def minhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.union(d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
+  }
+
+  /** Documents plus TWO plants for the SimHash pair gate: an exact copy
+    * of doc 0 (id 1000000 — hamming 0, guarantees the gate is never
+    * vacuous) and a one-token-appended mutation of doc 0 (id 1000001 —
+    * usually lands within a few bits, exercising a nonzero-hamming row;
+    * if its distance exceeds the bound it simply joins no pair, which
+    * the oracle's brute force reproduces from the same exported sigs
+    * either way). */
+  private def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val exact = d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L))
+    val mutated = d.filter(col("doc_id") === 0)
+      .select(lit(1000001L).as("doc_id"),
+        concat(col("text"), lit(" graftprobe")).as("text"))
+    d.union(exact).union(mutated)
+  }
 
   // Shared multi-file stand-in for the documents table: the sf dirs
   // store documents as ONE single-row-group parquet (scan = 1 task), so
@@ -286,8 +308,16 @@ object PipelineQueries {
         .coalesce(1).orderBy("vec_id")
     }),
 
-    // MinHash+LSH near-dup: planted duplicate must surface (rows-only —
-    // the oracle can't run banded LSH; exactness covered by q_doc_jaccard)
+    // MinHash+LSH near-dup, hash-EXACT at the policy/execution seam
+    // (same split as q_emb_lsh/q_emb_ivf): the banded-LSH CANDIDATE set
+    // is the engine's approximation policy and is exported verbatim
+    // ([[exportOracleAux]]); everything downstream — the exact
+    // shingle-set Jaccard on each candidate and the threshold cut — is
+    // recomputed by DuckDB from the raw documents text (lowercase,
+    // whitespace-split, 3-word shingles, short-doc whole-run rule,
+    // distinct), so a verify bug can't hide behind "the oracle can't
+    // run banded LSH". Candidate GENERATION keeps its own laws in the
+    // _contract twin (exact dups must collide in every band) + OpsSpec.
     "q_doc_minhash" -> ((s, dir) => {
       minhashPairs(s, dir).orderBy("a", "b")
     }),
@@ -339,10 +369,18 @@ object PipelineQueries {
             .otherwise(0L)) === 0L).as("exact_jaccard_one"))
     }),
 
-    // SimHash sketches (pairs property-tested in OpsSpec)
+    // SimHash near-dup pairs, hash-EXACT at the policy/execution seam:
+    // the 64-bit sketches are the policy (engine-specific bit mixing,
+    // exported via [[exportOracleAux]]); DuckDB brute-forces ALL pairs
+    // from the exported sigs with bit_count(xor) <= 3 and must match —
+    // which proves the 16-bit-chunk pigeonhole candidate generation is
+    // LOSSLESS for the bound (<= 3 differing bits over 4 chunks leaves
+    // one chunk identical) and the hamming verify exact. Sketch
+    // determinism stays pinned by the _contract twin; real-text
+    // discrimination in OpsSpec.
     "q_doc_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-          Dedup.simhash(col("text")).as("simhash")).orderBy("doc_id")
+      Dedup.simhashPairs(simhashCorpus(s, dir), "doc_id", "text")
+        .orderBy("a", "b")
     }),
 
     // hash-green contract twin for the rows-only q_doc_simhash: the
@@ -753,6 +791,17 @@ object PipelineQueries {
   def exportOracleAux(s: SparkSession, dir: String): Unit = {
     minhashPairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
+    // MinHash policy seam: the banded-LSH candidate set (same corpus,
+    // same defaults as minhashPairs' internal candidates — both are
+    // deterministic functions of the text, so the sets cannot drift).
+    // DuckDB recomputes the exact shingle Jaccard + cut over these.
+    Dedup.minhashCandidates(minhashCorpus(s, dir), "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/minhash_cands")
+    // SimHash policy seam: the per-doc 64-bit sketches (null text
+    // sketches to NULL and pairs nothing — dropped here to mirror it).
+    simhashCorpus(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/simhash_sigs")
     val q = queryVec(s, dir)
     // deterministic rebuilds of exactly the gates' indexes (seeded
     // hyperplanes / seeded k-means): same buckets, cells, probe lists
@@ -802,6 +851,46 @@ object PipelineQueries {
          |     WHERE p.jaccard <> 1.0) = 0 AS exact_jaccard_one""".stripMargin,
     "q_doc_simhash_contract" ->
       "SELECT TRUE AS deterministic_sketch, TRUE AS law_nonvacuous",
+    // hash-exact over the ENGINE-EXPORTED candidate set (the banding
+    // policy seam): DuckDB recomputes the exact shingle-set Jaccard of
+    // every candidate from the raw text — same tokenization as the
+    // codegen sketches (lowercase, \s+ split, empties dropped, 3-word
+    // shingles, whole-run shingle under 3 tokens, '' shingle for empty
+    // text, DISTINCT) — and applies the UNROUNDED >= 0.8 cut, mirroring
+    // minhashDedup's filter-then-round order. Hashed vs string shingle
+    // sets agree exactly absent a 64-bit collision inside one pair's
+    // union (odds ~1e-10 at gate scale; a collision would go RED, which
+    // is the conservative direction).
+    "q_doc_minhash" ->
+      s"""WITH cand AS (SELECT a, b FROM read_parquet('$oracleAuxDir/minhash_cands/*.parquet')),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT 1000000, text FROM documents WHERE doc_id = 0),
+         |w AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         |      FROM corpus WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) < 3 THEN [coalesce(array_to_string(ws, ' '), '')]
+         |              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+         |                                  for i in range(1, len(ws) - 1)])
+         |         END AS s
+         |       FROM w),
+         |j AS (SELECT c.a, c.b,
+         |        CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |          (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jr
+         |      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id)
+         |SELECT a, b, round(jr, 4) AS jaccard FROM j WHERE jr >= 0.8
+         |ORDER BY a, b""".stripMargin,
+    // hash-exact from the ENGINE-EXPORTED sketches (the policy seam):
+    // DuckDB brute-forces ALL id<id pairs with bit_count(xor) <= 3 —
+    // matching proves the engine's 16-bit-chunk pigeonhole candidate
+    // pass lossless for the bound and its hamming verify exact.
+    "q_doc_simhash" ->
+      s"""WITH sigs AS (SELECT id, sim FROM read_parquet('$oracleAuxDir/simhash_sigs/*.parquet'))
+         |SELECT x.id AS a, y.id AS b,
+         |  CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+         |FROM sigs x JOIN sigs y ON x.id < y.id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "q_doc_clusters" ->
       s"""WITH RECURSIVE p AS (
          |  SELECT a, b FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),

@@ -384,14 +384,20 @@ object RdfQueries {
         .select(col("sval").as("s"), col("path")).orderBy("s") }
     }),
 
-    // §2.1 delete (anti-join semantics) — triple count drops by one
+    // §2.1 delete — triple count drops by one. The gate uses the
+    // reference's o-WILDCARD shape (query.py:468-526: delete every
+    // object of (s,p,g) — region 1 carries exactly one label, so the
+    // count still drops by exactly 1): the exact key needs the label's
+    // text, and fetching it is a whole extra Spark job per mutation
+    // just to re-state data the store already has. The exact (s,p,o,g)
+    // shape + `are_hashes` stay pinned in WarehouseSpec (exact delete →
+    // re-insert under sequenced tombstones); the validation probe below
+    // folds both shapes into the same single job either way.
     "q_rdf_delete" -> ((s, dir) => {
       import s.implicits._
       val ctx = rctx(s, dir)
-      val name = SparkEntry.t(s, dir, "region")
-        .filter(col("r_regionkey") === 1).select("r_name").collect()(0).getString(0)
       val (g2, res) = Mutations.delete(ctx.graph,
-        Seq(("<urn:t:region:1>", LabelIri, Some("\"" + name + "\""), graphIri("region"))))
+        Seq(("<urn:t:region:1>", LabelIri, None, graphIri("region"))))
       assert(res.error.isEmpty, res.error)
       Seq(g2.triples.count()).toDF("cnt")
     }),

@@ -106,8 +106,19 @@ object Dedup {
     * candidates via equal 16-bit chunks (pigeonhole), verified with
     * bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")), maxHamming)
+
+  /** The pairing half of [[simhashPairs]] over precomputed (id, sim)
+    * sketches — the pigeonhole is lossless only while maxHamming < 4
+    * (four 16-bit chunks: ≤3 differing bits always leave one chunk
+    * identical), so that bound is enforced, not documented. Split out so
+    * the losslessness law is testable against a brute-force scan on
+    * engineered sketches (OpsSpec) with no copy of the chunk logic. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole over 4 chunks is lossless only for maxHamming <= 3, got $maxHamming")
     val chunks = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -295,6 +295,39 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("simhash pigeonhole candidates are lossless vs brute force") {
+    // the pair gate's law: chunk-equality candidates + hamming verify
+    // must equal a full O(n²) scan at the bound — <= 3 differing bits
+    // over 4 16-bit chunks always leaves one chunk identical. Exercised
+    // on sketches engineered to straddle the bound: a base value, 1-3
+    // bit flips (pairs), 4+ flips spread across all chunks (non-pairs),
+    // and flips concentrated in one chunk (pair via the other three).
+    import spark.implicits._
+    val base = 0x0123456789ABCDEFL
+    val sigs: Seq[(Long, Long)] = Seq(
+      1L -> base,
+      2L -> (base ^ 1L), // 1 bit
+      3L -> (base ^ ((1L << 0) | (1L << 20) | (1L << 40))), // 3 bits, 3 chunks
+      4L -> (base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))), // 4 bits, all chunks
+      5L -> (base ^ 0x7L), // 3 bits, one chunk
+      6L -> ~base, // 64 bits
+      7L -> (base ^ ((1L << 5) | (1L << 6) | (1L << 21) | (1L << 22)))) // 4 bits, 2 chunks
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+    // the engineered sigs go through the SAME pairing machinery the
+    // gate uses — no copy of the chunk logic in this test
+    val got = Dedup.simhashPairsFromSigs(sigs.toDF("id", "sim"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute)
+    assert(brute.contains((1L, 2L, 1)) && brute.contains((1L, 5L, 3)))
+    assert(!brute.exists(t => t._2 == 4L && t._1 == 1L)) // 4 bits spread: out
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFromSigs(sigs.toDF("id", "sim"), maxHamming = 4)
+    }
+  }
+
   test("token jaccard exact pairs") {
     val pairs = Dedup.tokenJaccardPairs(corpus, "id", "text", 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
