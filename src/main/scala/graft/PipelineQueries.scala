@@ -63,7 +63,9 @@ object PipelineQueries {
     * [[exportOracleAux]]'s candidate dump so the oracle's exact-Jaccard
     * recheck of q_doc_minhash audits the SAME corpus the gate sketches. */
   private def minhashCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+    // docsPar: the k=64 MinHash sketch pass is the heaviest row-local
+    // scan in the doc suite — never run it on the single-row-group scan
+    val d = docsPar(s, dir)
     d.union(d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
   }
 
@@ -75,7 +77,10 @@ object PipelineQueries {
     * the oracle's brute force reproduces from the same exported sigs
     * either way). */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+    // docsPar, not docs: the sketch pass is row-local-heavy (a full text
+    // scan per doc), and the single-row-group parquet would run it on
+    // one task
+    val d = docsPar(s, dir)
     val exact = d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L))
     val mutated = d.filter(col("doc_id") === 0)
       .select(lit(1000001L).as("doc_id"),
