@@ -327,6 +327,18 @@ object PipelineQueries {
       minhashPairs(s, dir).orderBy("a", "b")
     }),
 
+    // greedy FIRST-WINS admission over the same minhash pair list — the
+    // ingest-order dedup semantics (what nearDedupStream applies per
+    // arrival): admit a doc iff no ADMITTED smaller doc is its near-dup,
+    // so the third doc of an A~B, B~C chain survives where components
+    // would drop it. Hash-EXACT: DuckDB replays the same walk over the
+    // exported pair table with a sequential recursive CTE.
+    "q_doc_greedy_keep" -> ((s, dir) => {
+      Dedup.greedyKeepFromPairs(
+          minhashCorpus(s, dir).select("doc_id"), "doc_id", minhashPairs(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // near-dup clustering: MinHash pairs -> connected components with
     // min-id canonical per cluster. Oracle-EXACT: Verify exports the
     // pair table ([[exportOracleAux]]) and DuckDB recomputes the
@@ -885,6 +897,36 @@ object PipelineQueries {
          |      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id)
          |SELECT a, b, round(jr, 4) AS jaccard FROM j WHERE jr >= 0.8
          |ORDER BY a, b""".stripMargin,
+    // greedy admission replayed sequentially: DuckDB walks the paired
+    // ids ascending with a recursive CTE carrying the admitted list —
+    // the CASE admits an id iff no exported pair links it to an already
+    // admitted smaller id; unpaired corpus ids are admitted trivially.
+    // pid uses DISTINCT-over-UNION-ALL, not bare UNION: DuckDB 1.0.0
+    // mis-iterates a plain UNION CTE under WITH RECURSIVE (the walk ran
+    // past the id count and double-admitted).
+    "q_doc_greedy_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a, b FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
+         |corpus AS (SELECT doc_id FROM documents
+         |           UNION ALL SELECT 1000000 FROM documents WHERE doc_id = 0),
+         |pid AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)),
+         |ids AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM pid),
+         |walk(rn, admitted) AS (
+         |  SELECT CAST(0 AS BIGINT), []::BIGINT[]
+         |  UNION ALL
+         |  SELECT i.rn,
+         |    CASE WHEN EXISTS (SELECT 1 FROM pairs p
+         |                      WHERE p.b = i.id AND list_contains(w.admitted, p.a))
+         |         THEN w.admitted ELSE list_append(w.admitted, i.id) END
+         |  FROM walk w JOIN ids i ON i.rn = w.rn + 1)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM pid)
+         |  UNION ALL
+         |  SELECT unnest(admitted) AS doc_id FROM walk
+         |  WHERE rn = (SELECT max(rn) FROM ids))
+         |ORDER BY doc_id""".stripMargin,
     // hash-exact from the ENGINE-EXPORTED sketches (the policy seam):
     // DuckDB brute-forces ALL id<id pairs with bit_count(xor) <= 3 —
     // matching proves the engine's 16-bit-chunk pigeonhole candidate

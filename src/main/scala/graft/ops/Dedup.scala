@@ -80,21 +80,27 @@ object Dedup {
       val withSets = cands
         .join(docs.withColumnRenamed("jid", "a").withColumnRenamed("sh", "sa"), "a")
         .join(docs.withColumnRenamed("jid", "b").withColumnRenamed("sh", "sb"), "b")
-      // exact Jaccard as pure (codegen'd) column ops — no UDF boundary on
-      // the verify pass: the shingle-hash arrays are SETS (distinct
-      // shingles), so |A∩B| = size(array_intersect) and
-      // |A∪B| = |A| + |B| - |A∩B|; two empty sets score 0 like the
-      // merge-loop UDF this replaces (parity pinned in OpsSpec)
-      val inter = size(array_intersect(col("sa"), col("sb")))
-      val union = size(col("sa")) + size(col("sb")) - inter
-      withSets.withColumn("jaccard",
-          when(union === 0, 0.0).otherwise(inter.cast("double") / union))
+      withSets.withColumn("jaccard", shingleJaccard(col("sa"), col("sb")))
         .filter(col("jaccard") >= threshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         // materialize the (near-dup-bounded) pair list eagerly so the
         // shingle persist can be released before returning
         .localCheckpoint()
     } finally { docs.unpersist(); () }
+  }
+
+  /** Exact Jaccard of two (distinct) shingle-hash SET columns as pure
+    * (codegen'd) column ops — no UDF boundary on the verify pass:
+    * |A∩B| = size(array_intersect), |A∪B| = |A| + |B| − |A∩B|; two
+    * empty sets score 0 like the merge-loop UDF this replaced (parity
+    * pinned in OpsSpec). The ONE verify expression shared by
+    * [[minhashDedup]] and the streaming ingest twin
+    * ([[graft.streaming.Streaming.nearDedupStream]]), so batch and
+    * stream verification cannot drift. */
+  private[graft] def shingleJaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union)
   }
 
   /** 64-bit SimHash of the token multiset — the codegen'd
@@ -337,6 +343,130 @@ object Dedup {
           .select(col("id").as("__drop"))
         df.join(drop, df(idCol) === col("__drop"), "left_anti")
     }
+  }
+
+  /** Greedy FIRST-WINS near-dup admission over a pair list: walk ids
+    * ascending and admit an id iff none of its smaller near-dup
+    * neighbors was itself ADMITTED. This is ingest-order dedup (the
+    * semantics of deduping an unbounded stream, where future edges are
+    * unknowable) and differs from [[keepFromPairs]]' connected
+    * components on chains: for A~B, B~C with A≁C, components keep only
+    * A, while greedy admission keeps A and C — C's one near-dup was
+    * never admitted, so dropping C would discard content the kept
+    * corpus does not cover. Batch twin of
+    * [[graft.streaming.Streaming.nearDedupStream]] (parity pinned in
+    * StreamingSpec): ids play the role of arrival order.
+    *
+    * Same size-conditional execution as [[keepFromPairs]]: one bounded
+    * `limit(cap+1)` job collects near-dup edges for a driver walk
+    * (exact, microseconds); past the cap, a deterministic frontier
+    * propagation over the a<b DAG decides nodes in rounds (round =
+    * longest undecided prefix chain — near-dup chains are shallow in
+    * practice, and non-convergence warns loudly like [[clusters]]). */
+  def greedyKeepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxDriverEdges: Long = DefaultMaxDriverEdges, maxRounds: Int = 20): DataFrame = {
+    // normalize to a<b (self-pairs carry no information; null ids never
+    // join) so the walk's "smaller neighbor" orientation is structural
+    val sel = pairs.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .filter(col("x") < col("y"))
+    val dropped: Either[Array[Long], DataFrame] =
+      driverGreedyDrops(sel, maxDriverEdges) match {
+        case Some(d) => Left(d)
+        case None => Right(distributedGreedyDrops(sel, maxRounds))
+      }
+    dropped match {
+      case Left(dropIds) =>
+        if (dropIds.isEmpty) df
+        else if (dropIds.length <= maxInSetDrop)
+          // same null-row survival rule as keepFromPairs' IN-set path
+          df.filter(col(idCol).isNull || !col(idCol).isin(dropIds.toSeq: _*))
+        else {
+          val spark = df.sparkSession
+          import spark.implicits._
+          df.join(dropIds.toSeq.toDF("__drop"),
+            df(idCol) === col("__drop"), "left_anti")
+        }
+      case Right(dropDf) =>
+        df.join(dropDf, df(idCol) === col("__drop"), "left_anti")
+    }
+  }
+
+  /** Driver-side exact greedy walk when the edge set is Long-keyed and
+    * under the cap (the capped collect both sizes and delivers it). */
+  private def driverGreedyDrops(edges: DataFrame,
+      maxDriverEdges: Long): Option[Array[Long]] = {
+    val isLongKeyed =
+      edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!isLongKeyed) return None
+    val cap = math.min(maxDriverEdges, Int.MaxValue - 1L).toInt
+    val rows = edges.limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val incoming = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    val ids = scala.collection.mutable.SortedSet.empty[Long]
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      incoming.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      ids += a; ids += b
+    }
+    val admitted = scala.collection.mutable.LongMap.empty[Boolean]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ids.foreach { id =>
+      val ok = incoming.get(id).forall(_.forall(a => !admitted.getOrElse(a, false)))
+      admitted(id) = ok
+      if (!ok) drops += id
+    }
+    Some(drops.toArray)
+  }
+
+  /** Distributed greedy admission: the a<b orientation makes the pair
+    * graph a DAG ordered by id, so statuses propagate in topological
+    * frontier rounds — a node is ADMITTED once every smaller neighbor
+    * is decided-rejected (or it has none), REJECTED once any smaller
+    * neighbor is decided-admitted. Each round is one join + one
+    * aggregate with a lineage cut, the same loop shape as [[clusters]].
+    * Returns the dropped ids as (__drop). */
+  private def distributedGreedyDrops(edgesIn: DataFrame, maxRounds: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint().persist()
+    val roots = edges.select(col("x").as("id"))
+      .except(edges.select(col("y").as("id")))
+    // status: true = admitted, false = rejected; undecided rows absent
+    var decided = roots.distinct().withColumn("st", lit(true)).localCheckpoint()
+    var undecided = edges.select(col("y").as("id")).distinct().localCheckpoint()
+    var round = 0
+    while (!undecided.isEmpty && round < maxRounds) {
+      // per undecided target: any admitted smaller neighbor → rejected;
+      // all smaller neighbors decided-rejected → admitted; else wait
+      val in = edges.join(undecided, edges("y") === undecided("id"))
+        .join(decided.withColumnRenamed("id", "xid").withColumnRenamed("st", "xst"),
+          col("x") === col("xid"), "left")
+      val resolved = in.groupBy(col("y").as("id"))
+        .agg(max(when(col("xst") === true, 1).otherwise(0)).as("anyAdm"),
+          min(when(col("xst").isNull, 0).otherwise(1)).as("allDec"))
+        .filter(col("anyAdm") === 1 || col("allDec") === 1)
+        .select(col("id"), (col("anyAdm") === 0).as("st"))
+        .localCheckpoint()
+      if (resolved.isEmpty) round = maxRounds // no progress: bail loudly below
+      else {
+        decided = decided.union(resolved.select("id", "st")).localCheckpoint()
+        undecided = undecided.join(resolved, Seq("id"), "left_anti").localCheckpoint()
+        round += 1
+      }
+    }
+    if (!undecided.isEmpty)
+      // an undecided node downstream defaults to DROPPED here — the
+      // conservative direction for dedup (never emits a near-dup pair
+      // into the kept corpus), but it over-drops: raise maxRounds past
+      // the longest near-dup prefix chain
+      System.err.println(
+        s"[dedup] greedyKeepFromPairs hit maxRounds=$maxRounds with " +
+          "undecided chain nodes — they are dropped conservatively; " +
+          "raise maxRounds past the deepest near-dup chain")
+    val out = decided.filter(!col("st")).select(col("id").as("__drop"))
+      .union(undecided.select(col("id").as("__drop"))).distinct()
+    edges.unpersist()
+    out
   }
 
   /** Driver-local drop sets up to this size filter via IN-set (no join,

@@ -157,6 +157,116 @@ object Streaming {
     bounded.drop("__fp")
   }
 
+  /** Streaming NEAR-dup dedup at ingest — the MinHash+LSH counterpart
+    * of [[dedupStream]]'s exact fingerprints, with greedy FIRST-WINS
+    * admission (the only semantics an unbounded stream can have: future
+    * near-dups are unknowable, so the earliest-arrived copy of each
+    * near-dup neighborhood wins). A micro-batch doc is admitted iff it
+    * is no near-dup of (a) any previously ADMITTED doc or (b) any
+    * earlier-id admitted doc of its own batch; admitted docs append
+    * their LSH band rows and shingle sets to the persistent state dirs,
+    * so every batch pays O(delta): the band join touches only colliding
+    * buckets and the shingle verify only candidate pairs — never a
+    * corpus rescan. Batch twin: [[graft.ops.Dedup.greedyKeepFromPairs]]
+    * over [[graft.ops.Dedup.minhashDedup]] pairs (arrival order = id
+    * order); the sketches, band policy, verify expression
+    * (`Dedup.shingleJaccard`) and admission walk are the same code, and
+    * the stream==batch parity is pinned in StreamingSpec.
+    *
+    * `foreachBatch` is AT-LEAST-ONCE, so all writes go to per-batch
+    * subdirectories (`batch=<id>`) in Overwrite mode: a redelivered
+    * batch recomputes against the SAME prior state (the reader excludes
+    * its own possibly-torn subdir) and overwrites with identical
+    * content — no anti-join bookkeeping, no double admission. */
+  def nearDedupStream(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, stateDir: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.8, k: Int = 64, shingleN: Int = 3,
+      bands: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupBatch(spark, batch, idCol, textCol, stateDir, outDir,
+          batchId, threshold, k, shingleN, bands)
+      }
+      .start()
+
+  /** One [[nearDedupStream]] micro-batch — package-visible so the spec
+    * can drive batch boundaries deterministically. */
+  private[graft] def nearDedupBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, stateDir: String, outDir: String,
+      batchId: Long, threshold: Double, k: Int, shingleN: Int,
+      bands: Int): Unit = {
+    import graft.ops.Dedup
+    // same tiling rule as Dedup.minhashCandidates: a non-divisor band
+    // count silently degrades recall, bands > k collides everything
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k)")
+    // sketch the batch ONCE (sig + shingle set in the same codegen
+    // pass); micro-batches are bounded, so the lineage cut is cheap and
+    // the four consumers below (bands, two verify sides, output) must
+    // not re-read the source
+    val sk = batch
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", Dedup.minhashSig(col("text"), k, shingleN))
+      .withColumn("sh", graft.functions.ShingleHashes(col("text"), shingleN))
+      .localCheckpoint()
+    val batchBands = Dedup.minhashBands(sk, "id", "sig", bands)
+    val priorBands = readBatchState(spark, s"$stateDir/bands", batchId,
+      "id LONG, band INT, band_hash LONG")
+    val priorSh = readBatchState(spark, s"$stateDir/shingles", batchId,
+      "id LONG, sh ARRAY<LONG>")
+
+    // (a) killed by the admitted store: band-bucket candidates, then the
+    // shared exact-Jaccard verify on candidate pairs only
+    val killed = batchBands.as("B").join(priorBands.as("S"),
+        col("B.band") === col("S.band") && col("B.band_hash") === col("S.band_hash"))
+      .select(col("B.id").as("bid"), col("S.id").as("sid")).distinct()
+      .join(sk.select(col("id").as("bid"), col("sh").as("bsh")), "bid")
+      .join(priorSh.select(col("id").as("sid"), col("sh").as("ssh")), "sid")
+      .filter(Dedup.shingleJaccard(col("bsh"), col("ssh")) >= threshold)
+      .select(col("bid").as("id")).distinct()
+    val survivors = sk.join(killed, Seq("id"), "left_anti").localCheckpoint()
+
+    // (b) within-batch near-dup pairs among survivors (killed docs are
+    // not admitted, so they must not block anyone), then the SAME greedy
+    // walk the batch twin uses
+    val sbands = Dedup.minhashBands(survivors, "id", "sig", bands)
+    val pairs = sbands.as("A").join(sbands.as("B"),
+        col("A.band") === col("B.band") &&
+        col("A.band_hash") === col("B.band_hash") && col("A.id") < col("B.id"))
+      .select(col("A.id").as("a"), col("B.id").as("b")).distinct()
+      .join(survivors.select(col("id").as("a"), col("sh").as("sa")), "a")
+      .join(survivors.select(col("id").as("b"), col("sh").as("sb")), "b")
+      .filter(Dedup.shingleJaccard(col("sa"), col("sb")) >= threshold)
+      .select("a", "b")
+    val admitted = Dedup.greedyKeepFromPairs(survivors, "id", pairs)
+      .localCheckpoint()
+
+    // per-batch Overwrite subdirs = idempotent redelivery (see scaladoc)
+    Dedup.minhashBands(admitted, "id", "sig", bands)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/bands/batch=$batchId")
+    admitted.select("id", "sh")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/shingles/batch=$batchId")
+    admitted.select(col("id").as(idCol), col("text").as(textCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    ()
+  }
+
+  /** Union of all `batch=<n>` state subdirs EXCEPT the current batch's
+    * own (possibly torn) one; empty frame with the given schema when no
+    * prior state exists. */
+  private def readBatchState(spark: SparkSession, dir: String,
+      currentBatch: Long, schema: String): DataFrame = {
+    val prior = graft.store.StoreIO.list(spark, dir)
+      .filter(n => n.startsWith("batch=") && n != s"batch=$currentBatch")
+      .map(n => s"$dir/$n")
+    if (prior.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(prior: _*)
+  }
+
   // ------------------------------------------------------------- streaming
 
   /** Streaming RDF ingest: watch a directory for N-Triples files, parse +

@@ -295,6 +295,55 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("greedy keep re-admits chain tails that components drop") {
+    val universe = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val greedy = Dedup.greedyKeepFromPairs(universe, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // 1 admitted; 2 blocked by 1; 3 re-admitted (its only near-dup, 2,
+    // was never admitted); 4 admitted; 5 blocked; 6 untouched
+    assert(greedy === Set(1L, 3L, 4L, 6L))
+    val comp = Dedup.keepFromPairs(universe, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(comp === Set(1L, 4L, 6L), "components drop the chain tail")
+    // orientation-independent: reversed pair columns normalize to a<b
+    val rev = Dedup.greedyKeepFromPairs(universe, "id",
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      .collect().map(_.getLong(0)).toSet
+    assert(rev === greedy)
+  }
+
+  test("greedy keep: driver, distributed, and brute walks agree") {
+    def brute(n: Long, ps: Seq[(Long, Long)]): Set[Long] = {
+      val admitted = scala.collection.mutable.Set.empty[Long]
+      (1L to n).foreach { id =>
+        if (!ps.exists { case (a, b) => b == id && admitted(a) }) admitted += id
+      }
+      admitted.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 25L
+      val ps = for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.08
+      } yield (a, b)
+      val expect = brute(n, ps)
+      val u = (1L to n).map(Tuple1(_)).toDF("id")
+      val pdf = ps.toDF("a", "b")
+      val driver = Dedup.greedyKeepFromPairs(u, "id", pdf)
+        .collect().map(_.getLong(0)).toSet
+      val dist = Dedup.greedyKeepFromPairs(u, "id", pdf, maxDriverEdges = 0L)
+        .collect().map(_.getLong(0)).toSet
+      assert(driver === expect, s"driver walk diverged on $ps")
+      assert(dist === expect, s"distributed walk diverged on $ps")
+    }
+    // empty pair list: everything admitted, no jobs wasted on drops
+    val u = Seq(Tuple1(7L), Tuple1(8L)).toDF("id")
+    assert(Dedup.greedyKeepFromPairs(u, "id",
+        spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))
+      .count() === 2L)
+  }
+
   test("simhash pigeonhole candidates are lossless vs brute force") {
     // the pair gate's law: chunk-equality candidates + hamming verify
     // must equal a full O(n²) scan at the bound — <= 3 differing bits

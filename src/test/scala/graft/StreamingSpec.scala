@@ -111,6 +111,46 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(1L, 3L))
   }
 
+  test("nearDedupStream batches equal the batch greedy twin; replays are idempotent") {
+    import graft.ops.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val (state, out) = (s"$root/state", s"$root/out")
+    // long bases so 3-word-shingle Jaccard behaves; B extends A, C
+    // extends B (a near-dup CHAIN under threshold 0.6), unrelated fillers
+    val tA = "the quick brown fox jumps over the lazy dog near the wide river bank today"
+    val tB = tA + " while the morning sun climbs slowly above the misty eastern hills"
+    val tC = tB + " and distant church bells ring across the quiet sleeping village below"
+    val tU1 = "columnar execution engines vectorize analytical query operators across partitioned parquet files"
+    val tU2 = "alpine glaciers retreat measurably every summer as freezing lines rise higher"
+    val b1 = Seq((1L, tA), (2L, tU1)).toDF("doc_id", "text")
+    val b2 = Seq((3L, tB), (4L, tA), (5L, tU2)).toDF("doc_id", "text") // 4 = exact dup of 1
+    val b3 = Seq((6L, tC), (7L, tU1)).toDF("doc_id", "text")           // 7 = exact dup of 2
+    val th = 0.6
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streaming.nearDedupBatch(spark, batch, "doc_id", "text", state, out,
+        id, th, 64, 3, 16)
+    def admittedIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    run(b1, 0); run(b2, 1)
+    // at-least-once redelivery: replaying a batch against the same prior
+    // state overwrites its subdir with identical content
+    val afterTwo = admittedIds
+    run(b2, 1)
+    assert(admittedIds === afterTwo)
+    run(b3, 2)
+    val got = admittedIds
+    // certain regardless of band luck: exact dups are killed cross-batch
+    assert(!got.contains(4L) && !got.contains(7L))
+    assert(got.contains(1L) && got.contains(2L) && got.contains(5L))
+    // STRICT stream==batch parity: same sketches, same verify, same
+    // greedy walk over the concatenation (arrival order = id order)
+    val all = b1.union(b2).union(b3)
+    val twin = Dedup.greedyKeepFromPairs(all, "doc_id",
+        Dedup.minhashDedup(all, "doc_id", "text", threshold = th))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === twin)
+  }
+
   test("dedupStream drops duplicate texts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
