@@ -342,6 +342,20 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.greedyKeepFromPairs(u, "id",
         spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))
       .count() === 2L)
+    // a 12-deep chain forces the distributed frontier to propagate one
+    // node per round (the worst case for the DAG walk): greedy admits
+    // every other node. Also pins the conservative maxRounds over-drop:
+    // a too-small round budget must never ADMIT an undecided node.
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val cu = (1L to 12L).map(Tuple1(_)).toDF("id")
+    val deep = Dedup.greedyKeepFromPairs(cu, "id", chain, maxDriverEdges = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(deep === (1L to 12L by 2).toSet)
+    val truncated = Dedup.greedyKeepFromPairs(cu, "id", chain,
+        maxDriverEdges = 0L, maxRounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(truncated.subsetOf(deep), "maxRounds must only ever drop MORE")
+    assert((1L to 3L by 2).toSet.subsetOf(truncated), "decided prefix kept")
   }
 
   test("simhash pigeonhole candidates are lossless vs brute force") {
