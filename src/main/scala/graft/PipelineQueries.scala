@@ -179,8 +179,20 @@ object PipelineQueries {
   def clearCaches(): Unit = {
     pairsCache.clear(); mediaCache.clear(); audioCache.clear()
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
-    docsCountCache.clear(); embParCache.clear()
+    docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
   }
+
+  // One fitted PCA model per sfDir, shared by the q_emb_pca gate and
+  // [[exportOracleAux]]'s policy dump: the moment merge's FP sum order
+  // varies across runs (aggregation is order-free only in exact math),
+  // so a re-fit could differ in low bits and flip a 4-dp-rounded
+  // coordinate between the gate and the oracle's exported basis. One
+  // fit per dir makes them read the SAME model by construction.
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[String, graft.ops.PcaModel]()
+  private def pcaModel(s: SparkSession, dir: String): graft.ops.PcaModel =
+    pcaCache.computeIfAbsent(dir, { _ =>
+      graft.ops.Pca.fit(emb(s, dir), "embedding", k = 8, whiten = true)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -691,6 +703,22 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // PCA / whitening projection, hash-EXACT at the policy seam: the
+    // fitted model (mean + whitening-folded axes — the part that needs
+    // an eigensolver) is exported via [[exportOracleAux]]; DuckDB
+    // recomputes every projection coordinate from the raw embeddings
+    // with list_dot_product over the centered vectors, so the codegen
+    // mat-vec (ProjectExpr) is replayed end-to-end. Model LAWS
+    // (orthonormal axes, descending eigenvalues, whitened covariance =
+    // identity, reconstruction) are pinned in OpsSpec.
+    "q_emb_pca" -> ((s, dir) => {
+      graft.ops.Pca.transform(emb(s, dir), "embedding", pcaModel(s, dir), "proj")
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").as("comp"),
+          round(col("col"), 4).as("coord"))
+        .orderBy("vec_id", "comp")
+    }),
+
     // per-label centroids in exact e4 fixed point (the k-means/IVF
     // summary primitive); oracle compares the integer sums
     "q_emb_centroids" -> ((s, dir) => {
@@ -819,6 +847,19 @@ object PipelineQueries {
     simhashCorpus(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/simhash_sigs")
+    // PCA policy seam: the fitted mean + whitening-folded axes (the
+    // eigensolver output); DuckDB recomputes every projection from the
+    // raw embeddings against them. Shares [[pcaModel]]'s one-fit cache
+    // with the gate so both sides read the SAME model bits.
+    locally {
+      val m = pcaModel(s, dir)
+      import s.implicits._
+      Seq(m.mean.toSeq).toDF("mean").coalesce(1)
+        .write.mode("overwrite").parquet(s"$oracleAuxDir/pca_mean")
+      m.effectiveBasis.zipWithIndex.toSeq
+        .map { case (ax, i) => (i, ax.toSeq) }.toDF("comp", "axis").coalesce(1)
+        .write.mode("overwrite").parquet(s"$oracleAuxDir/pca_basis")
+    }
     val q = queryVec(s, dir)
     // deterministic rebuilds of exactly the gates' indexes (seeded
     // hyperplanes / seeded k-means): same buckets, cells, probe lists
@@ -1359,6 +1400,19 @@ object PipelineQueries {
         |SELECT CAST(least(n // 32, 15) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
         |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // every projection coordinate recomputed from the raw embeddings
+    // against the ENGINE-EXPORTED model (mean + whitening-folded axes):
+    // centered vector per row, then the same ascending-order double dot
+    // the codegen ProjectExpr runs
+    "q_emb_pca" ->
+      s"""WITH m AS (SELECT mean FROM read_parquet('$oracleAuxDir/pca_mean/*.parquet')),
+         |b AS (SELECT comp, axis FROM read_parquet('$oracleAuxDir/pca_basis/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id, [v[i] - mean[i] for i in range(1, len(v) + 1)] AS cv
+         |      FROM e, m)
+         |SELECT vec_id, CAST(comp AS INT) AS comp,
+         |  round(list_dot_product(cv, axis), 4) AS coord
+         |FROM c, b ORDER BY vec_id, comp""".stripMargin,
     "q_emb_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
         |s AS (SELECT vec_id, va, list_max(list_transform(va, x -> abs(x))) AS scale FROM v),

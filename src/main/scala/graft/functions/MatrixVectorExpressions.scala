@@ -235,3 +235,65 @@ object CellAngleExpr {
   def apply(vec: Column, centroids: Array[Array[Float]]): Column =
     GraftShims.column(CellAngleExpr(GraftShims.expression(vec), centroids))
 }
+
+/** PCA projection — the k coordinates of the mean-centered vector
+  * against a fixed (possibly whitening-scaled) principal-axis matrix,
+  * as one codegen mat-vec with the model shipped as plan constants
+  * (same no-UDF, no-broadcast pattern as the ANN cell assignment).
+  * Each coordinate sums `(x_i - mean_i) * axis_i` in ascending index
+  * order over `min(|vec|, |mean|, |axis|)` elements (the repo-wide
+  * ragged clamp), matching DuckDB's `list_dot_product` evaluation so
+  * the exported-basis oracle replays bit-for-bit. Null vector → null. */
+case class ProjectExpr(child: Expression, mean: Array[Double],
+    basis: Array[Array[Double]])
+    extends UnaryExpression with MatrixVectorTyping {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  override def nullSafeEval(v: Any): Any =
+    ProjectExpr.compute(v.asInstanceOf[ArrayData], mean, basis, childIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("mean", mean, "double[]")
+    val bRef = ctx.addReferenceObj("basis", basis, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = graft.functions.ProjectExpr.compute($v, $mRef, $bRef, $childIsDouble);"
+    })
+  }
+
+  override def toString: String =
+    s"pca_project($child, k=${basis.length}, dim=${mean.length})"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ProjectExpr {
+
+  /** Hot loop shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, mean: Array[Double],
+      basis: Array[Array[Double]], vDouble: Boolean): ArrayData = {
+    val len = vec.numElements()
+    val out = new Array[Any](basis.length)
+    var c = 0
+    while (c < basis.length) {
+      val ax = basis(c)
+      var n = if (len < mean.length) len else mean.length
+      if (ax.length < n) n = ax.length
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (vDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        dot += (x - mean(i)) * ax(i)
+        i += 1
+      }
+      out(c) = dot
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(vec: Column, mean: Array[Double], basis: Array[Array[Double]]): Column =
+    GraftShims.column(ProjectExpr(GraftShims.expression(vec), mean, basis))
+}

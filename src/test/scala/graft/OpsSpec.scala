@@ -295,6 +295,74 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("pca: orthonormal descending basis, whitening, reconstruction, projection parity") {
+    import graft.ops.Pca
+    // anisotropic deterministic cloud: dim 6, per-dim scales spread two
+    // orders of magnitude so the eigen-order is unambiguous
+    val rnd = new scala.util.Random(7)
+    val scales = Array(10.0, 5.0, 2.0, 1.0, 0.5, 0.1)
+    val shift = Array(1.0, -2.0, 0.5, 0.0, 3.0, -1.0)
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, Array.tabulate(6)(j => (rnd.nextGaussian() * scales(j) + shift(j)).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 6)
+    // unit, pairwise-orthogonal axes; eigenvalues descending and >= 0
+    for (a <- m.basis) assert(math.abs(a.map(x => x * x).sum - 1.0) < 1e-9)
+    for (i <- m.basis.indices; j <- (i + 1) until m.basis.length)
+      assert(math.abs(m.basis(i).zip(m.basis(j)).map { case (x, y) => x * y }.sum) < 1e-9)
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.eigenvalues.forall(_ >= -1e-9))
+    // dominant axis aligns with the widest dimension
+    assert(math.abs(m.basis(0)(0)) > 0.99)
+    // per-component projection variance equals the eigenvalue (same
+    // 1/n scaling the covariance uses)
+    val proj = Pca.transform(df, "embedding", m, "p")
+      .select("p").collect().map(_.getSeq[Double](0).toArray)
+    val n = proj.length.toDouble
+    for (j <- 0 until 6) {
+      val c = proj.map(_(j))
+      val mu = c.sum / n
+      val v = c.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - m.eigenvalues(j)) < 1e-6 * math.max(1.0, m.eigenvalues(j)),
+        s"component $j variance $v != eigenvalue ${m.eigenvalues(j)}")
+    }
+    // full-rank reconstruction: mean + coords . basis restores the input
+    val first = rows.head._2.map(_.toDouble).toArray
+    val firstProj = proj(0)
+    val rec = Array.tabulate(6)(i =>
+      m.mean(i) + m.basis.indices.map(j => firstProj(j) * m.basis(j)(i)).sum)
+    for (i <- 0 until 6) assert(math.abs(rec(i) - first(i)) < 1e-4)
+    // whitened projection has identity covariance
+    val mw = Pca.fit(df, "embedding", k = 6, whiten = true)
+    val wproj = Pca.transform(df, "embedding", mw, "p")
+      .select("p").collect().map(_.getSeq[Double](0).toArray)
+    for (i <- 0 until 6; j <- i until 6) {
+      val mi = wproj.map(_(i)).sum / n
+      val mj = wproj.map(_(j)).sum / n
+      val cov = wproj.map(r => (r(i) - mi) * (r(j) - mj)).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-6, s"whitened cov($i,$j) = $cov")
+    }
+    // null vectors: skipped in fit, project to null
+    val withNull = df.union(Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val m2 = Pca.fit(withNull, "embedding", k = 2)
+    // same data (null skipped) but different partitioning → FP sum
+    // order differs, so compare loosely
+    assert(math.abs(m2.eigenvalues(0) - m.eigenvalues(0)) < 1e-6 * m.eigenvalues(0))
+    val nullRow = Pca.transform(withNull, "embedding", m2, "p")
+      .filter(col("vec_id") === 999L).select("p").collect()(0)
+    assert(nullRow.isNullAt(0))
+    // mixed dims ACROSS partitions fail LOUDLY at fit (the element-wise
+    // moment merge would silently misalign otherwise) — build the two
+    // partitions explicitly so the placement is deterministic
+    // repartition(1) on each side: a bare union of local relations
+    // collapses to ONE partition and the clamp would hide the mismatch
+    val ragged = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding").repartition(1)
+      .union(Seq((2L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding").repartition(1))
+    intercept[IllegalArgumentException] { Pca.fit(ragged, "embedding", k = 1) }
+  }
+
   test("greedy keep re-admits chain tails that components drop") {
     val universe = (1L to 6L).map(Tuple1(_)).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
