@@ -495,6 +495,44 @@ object PipelineQueries {
         .toDF().orderBy("user_id", "startMs")
     }),
 
+    // as-of join (every click paired with the latest at-or-before view
+    // of its user) — the union-tag-window composition, ONE shuffle on
+    // the key; oracle is DuckDB's native ASOF LEFT JOIN, so the whole
+    // carry-forward semantics incl. equal-ts matches and unmatched-left
+    // nulls is replayed by an independent implementation. Both sides
+    // pre-dedup right rows sharing (user, ts) the same way (keep max
+    // event_id) — the operator's documented tie contract.
+    "q_events_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.ops.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id", "view_value"))
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // temporal band self-join (all same-user event pairs within 5
+    // minutes) — the bucket-and-verify range join: candidates from a
+    // (user, time-bucket ± 1) equi-join, exact band verify after, so
+    // the prune is lossless and cost follows true neighbor counts.
+    // Gap emitted as integer seconds (no raw timestamps → no TZ seam).
+    "q_events_band_pairs" -> ((s, dir) => {
+      graft.ops.AsOf.rangeSelfPairs(
+          events(s, dir).select("user_id", "event_id", "ts"),
+          Seq("user_id"), "ts", "event_id", bandSeconds = 300L)
+        .select(col("user_id"), col("a"), col("b"),
+          (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_s"))
+        .orderBy("a", "b")
+    }),
+
     // IVF-partitioned approximate top-k (the second ANN scale path;
     // recall vs brute tested in OpsSpec)
     "q_emb_ivf" -> ((s, dir) => {
@@ -1184,6 +1222,30 @@ object PipelineQueries {
          |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
          |  ORDER BY sim DESC, vec_id LIMIT 10)
          |ORDER BY sim DESC, vec_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the independent replay of the
+    // union-tag-window carry (same >= tie rule, same left-null rule)
+    "q_events_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, v.view_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // brute-force range self-join — the bucketed candidates + exact
+    // verify must reproduce it pair for pair
+    "q_events_band_pairs" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events)
+        |SELECT e1.user_id, e1.event_id AS a, e2.event_id AS b,
+        |  e2.sec - e1.sec AS gap_s
+        |FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        | AND ((e2.sec > e1.sec AND e2.sec - e1.sec <= 300)
+        |   OR (e2.sec = e1.sec AND e2.event_id > e1.event_id))
+        |ORDER BY a, b""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start_s,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -295,6 +295,50 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("asof join: carry-forward, equal-ts match, unmatched nulls, key isolation") {
+    import graft.ops.AsOf
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(10), 100L), // after r@5 -> matches 5
+      (1L, ts(20), 101L), // equal ts to r@20 -> MUST match 20 (>= rule)
+      (1L, ts(3), 102L),  // before any right row -> nulls
+      (2L, ts(50), 103L), // other key: only key-2 right rows visible
+      (3L, ts(9), 104L)   // key with no right rows at all -> nulls
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), 900L, 0.5), (1L, ts(20), 901L, 0.7), (1L, ts(30), 902L, 0.9),
+      (2L, ts(49), 903L, 1.5)
+    ).toDF("k", "ts", "rid", "rv")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    assert(got === Set(
+      (100L, 900L, 0.5), (101L, 901L, 0.7), (102L, -1L, -1.0),
+      (103L, 903L, 1.5), (104L, -1L, -1.0)))
+  }
+
+  test("range self pairs: bucketed candidates reproduce brute force") {
+    import graft.ops.AsOf
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(120) { i =>
+      (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(400).toLong))
+    }
+    val band = 60L
+    val brute = (for {
+      (k1, a, t1) <- rows; (k2, b, t2) <- rows
+      if k1 == k2
+      s1 = t1.getTime / 1000; s2 = t2.getTime / 1000
+      if (s2 > s1 && s2 - s1 <= band) || (s2 == s1 && b > a)
+    } yield (k1, a, b)).toSet
+    val got = AsOf.rangeSelfPairs(rows.toDF("k", "id", "ts"),
+        Seq("k"), "ts", "id", band)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "band too narrow for the test data")
+  }
+
   test("pca: orthonormal descending basis, whitening, reconstruction, projection parity") {
     import graft.ops.Pca
     // anisotropic deterministic cloud: dim 6, per-dim scales spread two
