@@ -331,4 +331,28 @@ class PlanContractSpec extends SparkSpec {
       s"point insert must union the delta, not join it:\n$iPlan")
     assert(g3.triples.count() === g.triples.count() + 1)
   }
+
+  test("asof join: one key exchange, a window carry, and no join operator") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = (1L to 40L).map(i => (i % 4, ts(i * 10), i)).toDF("k", "ts", "lid")
+    val right = (1L to 20L).map(i => (i % 4, ts(i * 17), i, 0.5)).toDF("k", "ts", "rid", "rv")
+    val p = plan(graft.ops.AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv")))
+    assert(!p.contains("Join"), s"asof must be a window carry, not a join:\n$p")
+    assert(p.contains("Window"), s"asof lost its window carry:\n$p")
+    // exactly one exchange: the key partitioning for the window (the
+    // union's two local scans feed it directly)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"asof should shuffle once, on the key:\n$p")
+  }
+
+  test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = (1L to 60L).map(i => (i % 3, i, ts(i * 7))).toDF("k", "id", "ts")
+    val p = plan(graft.ops.AsOf.rangeSelfPairs(rows, Seq("k"), "ts", "id", 60L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product:\n$p")
+    assert(p.contains("Join"), s"band join lost its equi-join:\n$p")
+  }
 }
