@@ -151,6 +151,24 @@ class StreamingSpec extends SparkSpec {
     assert(got === twin)
   }
 
+  test("nearDedupStream wrapper: micro-batches flow through foreachBatch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-w").toString
+    val mem = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog near the wide river bank today"
+    val q = Streaming.nearDedupStream(spark, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/state", s"$root/out", s"$root/ckpt", threshold = 0.6)
+    mem.addData(Seq((1L, base), (2L, "unrelated columnar engine prose")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, base), (4L, "alpine glacier retreat measurements")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$root/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 3 is an exact dup of 1 arriving a batch later: killed by state
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
   test("dedupStream drops duplicate texts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
