@@ -351,6 +351,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-safe train/val split: every near-dup cluster lands wholly
+    // on one side (a row-wise random split would put near-dups of
+    // training docs into validation). Hash rule chosen for bit-exact
+    // replay in any md5-capable engine; DuckDB recomputes components +
+    // assignment end-to-end from the exported pair table.
+    "q_doc_split" -> ((s, dir) => {
+      Dedup.splitByCluster(minhashCorpus(s, dir).select("doc_id"),
+          "doc_id", minhashPairs(s, dir))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
+    // percentile curation: drop the bottom decile by quality score via
+    // the DISCRETE corpus quantile (pure rank counting — deliberately
+    // not the interpolated quantile, whose last-ulp lerp differs across
+    // engines); DuckDB replays threshold choice and cut exactly.
+    "q_doc_quality_cut" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.Selection.keepAboveQuantile(scored, "quality", 0.10)
+        .orderBy("doc_id")
+    }),
+
     // near-dup clustering: MinHash pairs -> connected components with
     // min-id canonical per cluster. Oracle-EXACT: Verify exports the
     // pair table ([[exportOracleAux]]) and DuckDB recomputes the
@@ -1046,6 +1068,46 @@ object PipelineQueries {
          |       + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
          |      ) / 3.0, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    // components replayed like q_doc_clusters, then the same md5-nibble
+    // assignment rule (valSlices=64 -> first two hex chars < '40');
+    // unpaired docs are their own singleton cluster
+    "q_doc_split" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a, b FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT x, x FROM edges
+         |  UNION
+         |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |corpus AS (SELECT doc_id FROM documents
+         |           UNION ALL SELECT 1000000 FROM documents WHERE doc_id = 0),
+         |asg AS (SELECT c.doc_id, coalesce(k.cluster, c.doc_id) AS cl
+         |        FROM corpus c LEFT JOIN comp k ON c.doc_id = k.id)
+         |SELECT doc_id,
+         |  CASE WHEN substring(md5('split:' || CAST(cl AS VARCHAR)), 1, 2) < '40'
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
+    // discrete-quantile cut: threshold = smallest quality whose
+    // cumulative count reaches ceil(0.1 * n) — integer rank logic, no
+    // interpolation, so the replay is exact on any engine
+    "q_doc_quality_cut" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    round((least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)/100.0, 1.0)
+         |         + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |             x -> x IN ($stopList))) AS DOUBLE)
+         |             / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0)
+         |         + greatest(1.0 - CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS DOUBLE)
+         |             / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 0.0)
+         |        ) / 3.0, 4) AS quality
+         |  FROM documents WHERE text IS NOT NULL),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+         |cum AS (SELECT quality, sum(cnt) OVER (ORDER BY quality) AS cum
+         |        FROM (SELECT quality, count(*) AS cnt FROM t GROUP BY 1)),
+         |thr AS (SELECT min(quality) AS th FROM cum, nn WHERE cum >= ceil(0.1 * n))
+         |SELECT doc_id, quality FROM t, thr WHERE quality >= th
+         |ORDER BY doc_id""".stripMargin,
     "q_doc_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt

@@ -345,6 +345,34 @@ object Dedup {
     }
   }
 
+  /** Leakage-safe train/val split: every near-dup CLUSTER lands wholly
+    * on one side, so a validation document can never have a near-dup
+    * in training (the leak a row-wise random split creates whenever
+    * the corpus has near-dups — the reason dedup-aware pipelines split
+    * by cluster/domain, not by row). Assignment hashes the cluster's
+    * canonical id — md5 of the decimal string, first two hex chars
+    * compared against `valSlices` (out of 256) — a rule chosen to be
+    * bit-reproducible in ANY engine with an md5 function, which is
+    * what lets the gate's DuckDB oracle replay the split exactly.
+    * Unpaired rows are their own singleton cluster. Adds a `split`
+    * column ('val' / 'train'); cost = [[clusters]] + one hash filter. */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      valSlices: Int = 64, salt: String = "split"): DataFrame = {
+    require(valSlices >= 1 && valSlices <= 255,
+      s"valSlices must be in [1, 255] (slices of 256), got $valSlices")
+    val canon = clusters(pairs).withColumnRenamed("id", "__cid")
+    val bound = f"$valSlices%02x"
+    val withCluster = df.join(canon, df(idCol) === col("__cid"), "left")
+      .withColumn("__cluster",
+        coalesce(col("cluster"), col(idCol).cast("long")))
+    withCluster
+      .withColumn("split",
+        when(substring(md5(concat(lit(salt + ":"),
+            col("__cluster").cast("string"))), 1, 2) < bound, "val")
+          .otherwise("train"))
+      .drop("__cid", "cluster", "__cluster")
+  }
+
   /** Greedy FIRST-WINS near-dup admission over a pair list: walk ids
     * ascending and admit an id iff none of its smaller near-dup
     * neighbors was itself ADMITTED. This is ingest-order dedup (the

@@ -60,4 +60,44 @@ object Selection {
       .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= shardBudget)
   }
+
+  /** Percentile-threshold curation: keep rows whose `scoreCol` is at
+    * or above the corpus's DISCRETE q-quantile — "drop the bottom
+    * decile by quality". The threshold is the smallest score value v
+    * with `#{x <= v} >= ceil(q·n)`: an actual data value chosen by
+    * pure integer rank counting, deliberately NOT the interpolated
+    * (`quantile_cont`) quantile, whose lerp arithmetic differs in the
+    * last ulp across engines and makes `>=` at a tied threshold
+    * engine-dependent — rank counting is bit-free and any engine
+    * replays it exactly (the gate's DuckDB oracle does, via a
+    * cumulative-count window). `ceil(q·n)` is evaluated in double
+    * arithmetic on both sides, so whatever the IEEE product rounds to,
+    * both engines pick the same rank by construction.
+    *
+    * Cost: ONE map-side-combined `groupBy(score)` histogram collected
+    * to the driver — bounded by the DISTINCT score count, not the
+    * corpus (quality-style scores are rounded to a fixed grid, ≤ ~10⁴
+    * values at 4 dp, at any corpus size), then a scalar filter. No
+    * window over the corpus, no global sort, no TakeOrdered of q·n
+    * rows through one partition. Null scores are never kept and don't
+    * count toward n. */
+  def keepAboveQuantile(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1), got $q")
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__s"))
+      .collect()
+    if (hist.isEmpty) return df.filter(lit(false))
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val k = math.ceil(q * n).toLong
+    var cum = 0L
+    var th = hist.last.getDouble(0)
+    var i = 0
+    while (i < hist.length && cum < k) {
+      th = hist(i).getDouble(0)
+      cum += hist(i).getLong(1)
+      i += 1
+    }
+    df.filter(col(scoreCol) >= th)
+  }
 }

@@ -295,6 +295,40 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("discrete quantile cut: rank threshold, ties kept, nulls dropped") {
+    import graft.ops.Selection
+    // n=10, q=0.3 -> k=3 -> threshold = 3rd smallest = 0.2; BOTH 0.2
+    // rows stay (>= on a data value, no interpolation)
+    val df = Seq(0.1, 0.2, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val kept = Selection.keepAboveQuantile(df, "score", 0.3)
+      .collect().map(_.getDouble(1)).sorted
+    assert(kept.head === 0.2 && kept.length === 9)
+    // nulls: never kept, never counted toward n
+    val withNull = df.union(Seq((99L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "score"))
+    val kept2 = Selection.keepAboveQuantile(withNull, "score", 0.3)
+    assert(kept2.count() === 9 && kept2.filter(col("id") === 99L).isEmpty)
+  }
+
+  test("leakage-safe split: near-dup clusters never straddle the boundary") {
+    val universe = (1L to 200L).map(Tuple1(_)).toDF("id")
+    // chain 1-2-3 plus pair 10-11: whole components must share a side
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val split = Dedup.splitByCluster(universe, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(split(1L), split(2L), split(3L)).size === 1, "chain split apart")
+    assert(split(10L) === split(11L), "pair split apart")
+    assert(split.values.toSet === Set("val", "train"), "degenerate split")
+    // default 64/256 slices: roughly a quarter lands in val
+    val valFrac = split.values.count(_ == "val").toDouble / split.size
+    assert(valFrac > 0.10 && valFrac < 0.45, s"val fraction $valFrac implausible")
+    // deterministic: same inputs, same assignment
+    val again = Dedup.splitByCluster(universe, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === split)
+  }
+
   test("asof join: carry-forward, equal-ts match, unmatched nulls, key isolation") {
     import graft.ops.AsOf
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
