@@ -367,7 +367,9 @@ object PipelineQueries {
     // not the interpolated quantile, whose last-ulp lerp differs across
     // engines); DuckDB replays threshold choice and cut exactly.
     "q_doc_quality_cut" -> ((s, dir) => {
-      val scored = docs(s, dir).select(col("doc_id"),
+      // docsPar: the quality pass is row-local-heavy and runs TWICE
+      // (histogram + cut) — never off the single-row-group scan
+      val scored = docsPar(s, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       graft.ops.Selection.keepAboveQuantile(scored, "quality", 0.10)
         .orderBy("doc_id")
