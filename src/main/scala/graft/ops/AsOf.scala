@@ -38,19 +38,29 @@ object AsOf {
     * `rightCols` are carried as ONE struct through the window, so the
     * matched values always come from the SAME right row even when some
     * of them are null. Output = every left column, plus `rightCols`
-    * (null when no right row precedes). */
+    * (null when no right row precedes). With `toleranceSeconds`, a
+    * match staler than the bound is rejected (nulls, as if no right
+    * row preceded) — the standard max-staleness as-of shape; the
+    * matched right ts rides the same struct, so the check cannot pair
+    * a gap with the wrong row. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, rightCols: Seq[String]): DataFrame = {
+      tsCol: String, rightCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     require(rightCols.nonEmpty, "asofJoin needs at least one right value column")
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     // common shape: keys, ts, tag (right=0 < left=1 so an equal-ts right
     // row sorts FIRST and is visible to the left row), left payload,
     // right struct
+    toleranceSeconds.foreach(t =>
+      require(t > 0, s"tolerance must be positive, got $t"))
     val taggedRight = right.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(rightCols.map(col): _*).as("__r")): _*)
+        // the matched row's ts rides the struct so the staleness check
+        // reads the SAME row the values came from
+        Seq(struct((rightCols.map(col) :+
+          col(tsCol).cast("long").as("__rts")): _*).as("__r")): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
         leftPayload.map(col) ++
@@ -60,7 +70,13 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-    carried.filter(col("__tag") === 1)
+    val gated = toleranceSeconds match {
+      case Some(t) => carried.withColumn("__m",
+        when(col(tsCol).cast("long") - col("__m").getField("__rts") <= t,
+          col("__m")))
+      case None => carried
+    }
+    gated.filter(col("__tag") === 1)
       .select(keyCols.map(col) ++ Seq(col(tsCol)) ++ leftPayload.map(col) ++
         rightCols.map(c => col("__m").getField(c).as(c)): _*)
   }

@@ -350,6 +350,16 @@ class OpsSpec extends SparkSpec {
     assert(got === Set(
       (100L, 900L, 0.5), (101L, 901L, 0.7), (102L, -1L, -1.0),
       (103L, 903L, 1.5), (104L, -1L, -1.0)))
+    // max-staleness: lid 100's match (ts 5, gap 5 s) dies under a 4 s
+    // tolerance; lid 101's equal-ts match (gap 0) and lid 103 (gap 1)
+    // survive — staleness reads the ts of the MATCHED row, not any
+    // later right row
+    val tol = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("rid", "rv"),
+        toleranceSeconds = Some(4L))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(tol === Set((100L, -1L), (101L, 901L), (102L, -1L),
+      (103L, 903L), (104L, -1L)))
   }
 
   test("range self pairs: bucketed candidates reproduce brute force") {
