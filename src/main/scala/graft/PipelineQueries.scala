@@ -298,6 +298,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // epoch repetition (domain UP-weighting): each row appears once per
+    // granted epoch; whole epochs unconditional, the fractional epoch a
+    // salted-hash Bernoulli per row — oracle-checked exactly
+    "q_doc_epochs" -> ((s, dir) => {
+      val eps = Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.4, "src3" -> 0.0)
+      graft.ops.Sampling.epochRepeat(
+          docs(s, dir).select("doc_id", "source"), "doc_id", "source",
+          eps, defaultEpochs = 1.0, salt = "ep")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // deterministic global shuffle + shard layout: salted-hash (shard,
+    // pos) coordinates, reproducible on any partitioning — oracle-checked
+    // exactly (DuckDB recomputes both hashes and the per-shard rank)
+    "q_doc_shard" -> ((s, dir) => {
+      graft.ops.Shards.trainingShuffle(
+          docs(s, dir).select("doc_id"), "doc_id", nShards = 8, salt = "shuf")
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs (exact brute path at this scale;
     // the LSH-routed approximate path above maxBrute is recall-tested in
     // OpsSpec) — oracle-checked exactly
@@ -1351,6 +1371,31 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT
         |  < CAST(round(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.3 ELSE 0.8 END * 4294967296) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_epochs" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0
+        |                WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 0.0
+        |                ELSE 1.0 END AS ep,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep'), 1, 8))::UBIGINT AS b
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(ep) AS BIGINT)
+        |      + CASE WHEN b < CAST(round((ep - floor(ep)) * 4294967296) AS BIGINT)
+        |             THEN 1 ELSE 0 END AS reps
+        |  FROM e)
+        |SELECT doc_id, source, CAST(unnest(range(0, reps)) AS BIGINT) AS epoch
+        |FROM n ORDER BY doc_id, epoch""".stripMargin,
+    "q_doc_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:pos'), 1, 8))::UBIGINT AS ph
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_emb_near_dup" ->
       s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) ea

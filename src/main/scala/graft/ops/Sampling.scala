@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * function of the row key: a salted md5 bucket compared against the
   * domain's rate. Row-local, no shuffle; a 100 TB corpus maps straight
   * through the filter. Rates are keep-probabilities in [0, 1] —
-  * UP-weighting (books 2×) is epoch repetition, a different operator
-  * (duplicate the reader pass, don't duplicate rows). Rows with a NULL
-  * key are dropped at any rate (no key, no reproducible decision).
+  * UP-weighting (books 2×) is epoch repetition, [[epochRepeat]] (which
+  * plans reader passes rather than duplicating storage). Rows with a
+  * NULL key are dropped at any rate (no key, no reproducible decision).
   */
 object Sampling {
 
@@ -44,6 +44,45 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt) <
       round(rateCol * lit(4294967296.0)).cast("long"))
+  }
+
+  /** Epoch repetition — the UP-weighting counterpart of
+    * [[mixtureSample]]: a training mixture that over-samples a domain
+    * (books 2.5×) reads it for 2 full epochs and Bernoulli-samples 50%
+    * of it for a third. This operator emits that plan as rows: each
+    * input row appears once per granted epoch with an `epoch` index
+    * (0-based, contiguous), so `filter(epoch = i)` is exactly the i-th
+    * reader pass and a trainer/writer can stream per-epoch slices
+    * without ever materializing the duplication.
+    *
+    * Fractional epochs are decided per row by the same salted
+    * [[hashBucket]] rule as [[mixtureSample]] — reproducible on any
+    * cluster and any partitioning. Whole epochs are unconditional (no
+    * key needed); a NULL key is never granted the fractional epoch
+    * (no key, no reproducible decision). `epochs(group)` of 0 drops
+    * the group. Row-local + a streamed `explode` — no shuffle; a
+    * 100 TB corpus maps straight through. */
+  def epochRepeat(df: DataFrame, keyCol: String, groupCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "epoch", epochCol: String = "epoch"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 1024.0),
+      "epochs are repeat counts in [0, 1024] — a larger up-weight is a config bug")
+    require(!df.columns.contains(epochCol),
+      s"input already has a '$epochCol' column — pass a different epochCol")
+    val eCol = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (g, e)) => when(col(groupCol) === g, lit(e)).otherwise(acc)
+    }
+    // integer threshold, same construction as mixtureSample: no
+    // floating-point boundary ambiguity, engine-portable (the gate's
+    // DuckDB oracle recomputes it verbatim)
+    val fracGranted = hashBucket(col(keyCol), salt) <
+      round((eCol - floor(eCol)) * lit(4294967296.0)).cast("long")
+    val reps = floor(eCol).cast("long") +
+      when(fracGranted, 1L).otherwise(0L)
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
   }
 
   /** Deterministic stratified sample: exactly min(k, |group|) rows per

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + sharding — the layout step between a
+  * curated corpus and a trainer's data loader.
+  *
+  * Training wants the corpus in a pseudo-random order that is
+  * REPRODUCIBLE (restartable jobs, audit trails) and produced with
+  * BOUNDED memory. A true global `orderBy(rand())` is neither: the
+  * order moves with the partitioning, and a single total sort of
+  * 100 TB funnels through one range-partitioned sort pass whose output
+  * order still has to be re-split into loader shards. The standard
+  * layout instead assigns every row a salted-hash (shard, position):
+  *
+  *   shard = bucket(key, salt:shard) mod nShards
+  *   pos   = rank of bucket(key, salt:pos) within the shard
+  *
+  * Both coordinates are pure functions of (key, salt, nShards) — the
+  * same layout on any cluster, any partitioning, any run — and the
+  * only data movement is ONE hash-partitioned exchange on `shard`
+  * followed by a per-shard sort (Spark's external sort spills, so a
+  * shard need not fit in memory). Size `nShards` so one shard ≈ one
+  * comfortable output file (corpus_bytes / ~1 GB); at 1000 executors
+  * that is thousands of independent sort tasks, no global barrier.
+  *
+  * Rows with a NULL key are dropped (no key, no reproducible
+  * position — same rule as [[Sampling.mixtureSample]]).
+  */
+object Shards {
+
+  /** Adds (`shardCol`, `posCol`) — the deterministic shuffle
+    * coordinates described above. `posCol` is 1-based and dense within
+    * each shard. Key ties on the position hash break by the key
+    * itself, so the layout is total even under hash collisions. */
+  def trainingShuffle(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = "shuf", shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains(shardCol) && !df.columns.contains(posCol),
+      s"input already has a '$shardCol'/'$posCol' column — pass different names")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(Sampling.hashBucket(col(keyCol), salt + ":pos").asc,
+        col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn(shardCol,
+        pmod(Sampling.hashBucket(col(keyCol), salt + ":shard"),
+          lit(nShards.toLong)))
+      .withColumn(posCol, row_number().over(w).cast("long"))
+  }
+
+  /** Materializes the shuffled layout: one parquet directory per shard
+    * (`shard=N/`), rows stored in position order so a loader reading a
+    * shard front-to-back replays the exact layout. The `repartition` on
+    * the shard column makes the window's exchange double as the write
+    * layout — shard rows are already co-located when the files are cut,
+    * so the writer adds no extra shuffle. */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int,
+      path: String, salt: String = "shuf"): Unit =
+    trainingShuffle(df, keyCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

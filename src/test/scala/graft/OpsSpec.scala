@@ -1088,6 +1088,60 @@ class OpsSpec extends SparkSpec {
     assert(kept2 === kept)
   }
 
+  test("epoch repetition: whole epochs unconditional, fractional Bernoulli, partition-invariant") {
+    val rows = (0 until 400).map(i => (i.toLong, i % 4 match {
+      case 0 => "x2"; case 1 => "x25"; case 2 => "zero"; case _ => "def"
+    })).toDF("id", "grp")
+    val eps = Map("x2" -> 2.0, "x25" -> 2.5, "zero" -> 0.0)
+    val got = graft.ops.Sampling.epochRepeat(rows, "id", "grp", eps)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // e = 2.0: exactly epochs 0,1 — no Bernoulli involved
+    (0 until 400 by 4).foreach(i => assert(byId(i.toLong) === Seq(0L, 1L)))
+    // e = 0.0 drops the group entirely
+    (2 until 400 by 4).foreach(i => assert(!byId.contains(i.toLong)))
+    // defaultEpochs = 1.0: exactly epoch 0
+    (3 until 400 by 4).foreach(i => assert(byId(i.toLong) === Seq(0L)))
+    // e = 2.5: contiguous 2 or 3 epochs, third granted ~binomial(100, .5)
+    val x25 = (1 until 400 by 4).map(i => byId(i.toLong))
+    assert(x25.forall(s => s == Seq(0L, 1L) || s == Seq(0L, 1L, 2L)))
+    val third = x25.count(_.size == 3)
+    assert(third > 25 && third < 75, s"fractional epoch granted $third of 100")
+    // identical plan on a different partitioning
+    val got2 = graft.ops.Sampling.epochRepeat(rows.repartition(7), "id", "grp", eps)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got2.toSet === got.toSet)
+  }
+
+  test("training shuffle: dense per-shard positions, partition-invariant, null keys dropped") {
+    val rows = ((0 until 500).map(i => (Option(i.toLong), s"t$i")) :+
+      ((Option.empty[Long], "nokey"))).toDF("id", "txt")
+    val got = graft.ops.Shards.trainingShuffle(rows, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length === 500) // the null-key row is dropped
+    assert(got.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    // positions are dense 1..n within every shard
+    got.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq, s"shard $sh")
+    }
+    // the layout is a pure function of (key, salt, nShards)
+    val got2 = graft.ops.Shards.trainingShuffle(rows.repartition(11), "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got2.toSet === got.toSet)
+    // physical writer round-trips the exact layout, one dir per shard
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      graft.ops.Shards.writeShards(rows, "id", nShards = 8, path = dir)
+      val back = spark.read.parquet(dir)
+        .select(col("id"), col("shard").cast("long"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(back.toSet === got.toSet)
+      assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("shard=")) === 8)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     def randVec(tag: String): Array[Float] = Array.tabulate(64)(d =>
       (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
