@@ -345,6 +345,18 @@ object PipelineQueries {
         .coalesce(1).orderBy("vec_id")
     }),
 
+    // SemDedup: cluster-scoped semantic dedup — candidates only within
+    // k-means cells (Σ|cell|², never corpus²); hash-EXACT at the policy/
+    // execution seam: the cell table is exported (ivf_cells aux, the
+    // same deterministic build the IVF gates pin) and DuckDB recomputes
+    // within-cell exact cosine + components + the min-id keep from it
+    "q_emb_semdedup" -> ((s, dir) => {
+      Similarity.semDedupKeep(emb(s, dir).select("vec_id", "embedding", "label"),
+          "vec_id", "embedding", threshold = 0.45, nLists = 16)
+        .select("vec_id", "label")
+        .coalesce(1).orderBy("vec_id")
+    }),
+
     // MinHash+LSH near-dup, hash-EXACT at the policy/execution seam
     // (same split as q_emb_lsh/q_emb_ivf): the banded-LSH CANDIDATE set
     // is the engine's approximation policy and is exported verbatim
@@ -1410,6 +1422,30 @@ object PipelineQueries {
          |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) eb
          |    ON ea.vec_id < eb.vec_id
          |  WHERE round($cosSql, 4) >= 0.45),
+         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT x, x FROM edges
+         |  UNION
+         |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
+         |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT e3.vec_id, e3.label FROM embeddings e3 LEFT JOIN comp ON e3.vec_id = comp.id
+         |WHERE comp.id IS NULL OR comp.cluster = comp.id
+         |ORDER BY vec_id""".stripMargin,
+    // SemDedup policy seam: cells from the exported deterministic IVF
+    // build (same table the q_emb_ivf oracle pins); everything after —
+    // within-cell exact cosine, components, min-id keep — is DuckDB's
+    "q_emb_semdedup" ->
+      s"""WITH RECURSIVE cells AS (
+         |  SELECT vec_id, cell FROM read_parquet('$oracleAuxDir/ivf_cells/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT ca.vec_id AS a, cb.vec_id AS b
+         |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |  JOIN e ea ON ea.vec_id = ca.vec_id
+         |  JOIN e eb ON eb.vec_id = cb.vec_id
+         |  WHERE round(list_dot_product(ea.v, eb.v)
+         |          / sqrt(list_dot_product(ea.v, ea.v))
+         |          / sqrt(list_dot_product(eb.v, eb.v)), 4) >= 0.45),
          |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
          |reach(id, lbl) AS (
          |  SELECT x, x FROM edges

@@ -184,6 +184,41 @@ object Similarity {
     }
   }
 
+  /** SemDedup — cluster-scoped semantic dedup (the recipe of Abbas et
+    * al. 2023, arXiv:2303.09540): k-means cells bound the candidate
+    * space, exact cosine ≥ `threshold` decides within a cell, connected
+    * components over the edges, keep the min-id member of each. The
+    * pairwise pass costs Σ|cell|² instead of |corpus|² — the property
+    * that keeps semantic dedup tractable at 100 TB. Cross-cell
+    * near-duplicates are the published recall trade, tuned by `nLists`
+    * (size it so a cell is ~10⁴–10⁵ rows at the target corpus; with
+    * `nLists = 1` the op degenerates to the EXACT global dedup —
+    * pinned as a parity law in OpsSpec). The cell assignment is one
+    * codegen'd scan pass ([[graft.functions.NearestCellExpr]]); the
+    * within-cell join shuffles on `cell` only.
+    *
+    * Keeps every column of `emb`; rows never paired survive untouched
+    * (same keep contract as [[Dedup.keepFromPairs]], which this
+    * reuses). */
+  def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nLists: Int = 16): DataFrame = {
+    val cells = Ivf.build(emb, idCol, vecCol, nLists).cells
+    val withNorm = cells.withColumn("__n",
+      sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
+    val a = withNorm.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("__n").as("na"), col("cell"))
+    val b = withNorm.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("__n").as("nb"), col("cell").as("cell_b"))
+    // same guarded-round predicate as Dedup.embeddingPairs: the cheap
+    // raw compare culls candidates, the exact 4-dp check decides
+    // (bit-parity with an oracle's round(cos, 4) cut)
+    val pairs = a.join(b,
+        col("cell") === col("cell_b") && col("a") < col("b") &&
+          pairSim >= threshold - 1e-3 && round(pairSim, 4) >= threshold)
+      .select(col("a"), col("b"))
+    Dedup.keepFromPairs(emb, idCol, pairs)
+  }
+
   /** Top-n most similar pairs (see [[candidatePairs]] for the
     * brute-vs-LSH routing contract). */
   def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,

@@ -1088,6 +1088,30 @@ class OpsSpec extends SparkSpec {
     assert(kept2 === kept)
   }
 
+  test("semDedup: keeps min-id of planted clone pairs; nLists=1 equals global dedup") {
+    def randVec(tag: String): Array[Float] = Array.tabulate(32)(d =>
+      (graft.functions.Hash64.hashString(s"$tag:$d").toDouble / Long.MaxValue).toFloat)
+    // 120 spread vectors + 3 exact clones of vector 5 (ids 500-502)
+    val base = (0 until 120).map(i => (i.toLong, randVec(s"sd$i"), i % 3))
+    val clones = (500 until 503).map(i => (i.toLong, randVec("sd5"), 99))
+    val vecs = (base ++ clones).toDF("vec_id", "embedding", "label")
+    val kept = graft.ops.Similarity.semDedupKeep(vecs, "vec_id", "embedding",
+        threshold = 0.95, nLists = 4)
+      .collect().map(_.getLong(0)).toSet
+    // identical vectors land in the same cell by construction, so the
+    // clone component must collapse to its min id even cell-scoped
+    assert(kept.contains(5L) && !kept.contains(500L) &&
+      !kept.contains(501L) && !kept.contains(502L))
+    // nLists = 1 degenerates to the EXACT global semantic dedup
+    val cellScoped = graft.ops.Similarity.semDedupKeep(vecs, "vec_id", "embedding",
+        threshold = 0.8, nLists = 1)
+      .collect().map(_.getLong(0)).toSet
+    val globalPairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.8)
+    val global = Dedup.keepFromPairs(vecs, "vec_id", globalPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(cellScoped === global)
+  }
+
   test("epoch repetition: whole epochs unconditional, fractional Bernoulli, partition-invariant") {
     val rows = (0 until 400).map(i => (i.toLong, i % 4 match {
       case 0 => "x2"; case 1 => "x25"; case 2 => "zero"; case _ => "def"
