@@ -201,7 +201,16 @@ object Similarity {
     * (same keep contract as [[Dedup.keepFromPairs]], which this
     * reuses). */
   def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nLists: Int = 16): DataFrame = {
+      threshold: Double, nLists: Int = 16): DataFrame =
+    Dedup.keepFromPairs(emb, idCol,
+      semDedupPairs(emb, idCol, vecCol, threshold, nLists))
+
+  /** The cell-scoped candidate-edge frame behind [[semDedupKeep]] —
+    * exposed so the plan contract (cell-conjunct equi-join, never a
+    * corpus² product) is pinnable before keepFromPairs eagerly resolves
+    * small edge sets on the driver. */
+  private[graft] def semDedupPairs(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nLists: Int): DataFrame = {
     val cells = Ivf.build(emb, idCol, vecCol, nLists).cells
     val withNorm = cells.withColumn("__n",
       sqrt(graft.functions.DotProduct(col(vecCol), col(vecCol))))
@@ -212,11 +221,10 @@ object Similarity {
     // same guarded-round predicate as Dedup.embeddingPairs: the cheap
     // raw compare culls candidates, the exact 4-dp check decides
     // (bit-parity with an oracle's round(cos, 4) cut)
-    val pairs = a.join(b,
+    a.join(b,
         col("cell") === col("cell_b") && col("a") < col("b") &&
           pairSim >= threshold - 1e-3 && round(pairSim, 4) >= threshold)
       .select(col("a"), col("b"))
-    Dedup.keepFromPairs(emb, idCol, pairs)
   }
 
   /** Top-n most similar pairs (see [[candidatePairs]] for the

@@ -346,6 +346,31 @@ class PlanContractSpec extends SparkSpec {
       s"asof should shuffle once, on the key:\n$p")
   }
 
+  test("epoch repetition is shuffle-free; shuffle-shard pays exactly one exchange") {
+    import spark.implicits._
+    val docsDf = (1L to 80L).map(i => (i, s"src${i % 5}")).toDF("id", "grp")
+    val pe = plan(graft.ops.Sampling.epochRepeat(
+      docsDf, "id", "grp", Map("src0" -> 2.5, "src1" -> 0.3)))
+    assert(!pe.contains("Exchange"), s"epochRepeat plan shuffles:\n$pe")
+    val ps = plan(graft.ops.Shards.trainingShuffle(docsDf, "id", nShards = 4))
+    // one hash exchange on shard feeding the rank window — nothing else
+    assert("Exchange".r.findAllIn(ps).size === 1,
+      s"trainingShuffle should shuffle once, on the shard column:\n$ps")
+    assert(ps.contains("Window"), s"trainingShuffle lost its rank window:\n$ps")
+  }
+
+  test("semDedup pairs join carries the cell conjunct — never a pure product") {
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i => (i, Array(0.1f * i, 1f - 0.05f * i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(graft.ops.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.99, nLists = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup candidate join degenerated to a corpus-squared product:\n$p")
+    assert(p.toLowerCase.contains("cell"),
+      s"semDedup lost its cell-scoped candidate join:\n$p")
+  }
+
   test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
