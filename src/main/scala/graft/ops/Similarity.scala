@@ -190,20 +190,37 @@ object Similarity {
     * components over the edges, keep the min-id member of each. The
     * pairwise pass costs Σ|cell|² instead of |corpus|² — the property
     * that keeps semantic dedup tractable at 100 TB. Cross-cell
-    * near-duplicates are the published recall trade, tuned by `nLists`
-    * (size it so a cell is ~10⁴–10⁵ rows at the target corpus; with
-    * `nLists = 1` the op degenerates to the EXACT global dedup —
-    * pinned as a parity law in OpsSpec). The cell assignment is one
+    * near-duplicates are the published recall trade, tuned by the cell
+    * count (with one cell the op degenerates to the EXACT global dedup
+    * — pinned as a parity law in OpsSpec). The cell assignment is one
     * codegen'd scan pass ([[graft.functions.NearestCellExpr]]); the
     * within-cell join shuffles on `cell` only.
+    *
+    * `nLists = 0` (the default) derives the cell count from the corpus
+    * size at a fixed ~2048-row target cell, making total pair work
+    * n·cell/2 — LINEAR in the corpus (a pinned cell count leaves the
+    * pass quadratic across data growth, the q_emb_semdedup gate's
+    * sf0.1→sf1 step measures exactly that). Pass `nLists` explicitly
+    * when the cell policy must be byte-reproducible across corpus
+    * sizes (the gate pins 16 so DuckDB rechecks a stable cell table);
+    * the derivation costs one count job unless `knownCount` is given.
     *
     * Keeps every column of `emb`; rows never paired survive untouched
     * (same keep contract as [[Dedup.keepFromPairs]], which this
     * reuses). */
   def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nLists: Int = 16): DataFrame =
+      threshold: Double, nLists: Int = 0,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(nLists >= 0, s"nLists must be >= 0 (0 = derive), got $nLists")
+    val cells =
+      if (nLists > 0) nLists
+      else {
+        val n = knownCount.getOrElse(emb.count())
+        math.max(1L, n / 2048L).toInt
+      }
     Dedup.keepFromPairs(emb, idCol,
-      semDedupPairs(emb, idCol, vecCol, threshold, nLists))
+      semDedupPairs(emb, idCol, vecCol, threshold, cells))
+  }
 
   /** The cell-scoped candidate-edge frame behind [[semDedupKeep]] —
     * exposed so the plan contract (cell-conjunct equi-join, never a

@@ -1110,6 +1110,12 @@ class OpsSpec extends SparkSpec {
     val global = Dedup.keepFromPairs(vecs, "vec_id", globalPairs)
       .collect().map(_.getLong(0)).toSet
     assert(cellScoped === global)
+    // nLists = 0 derives the cell count from the corpus size — at 123
+    // rows that is one ~2048-row-target cell, i.e. the global dedup
+    val derived = graft.ops.Similarity.semDedupKeep(vecs, "vec_id", "embedding",
+        threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(derived === global)
   }
 
   test("epoch repetition: whole epochs unconditional, fractional Bernoulli, partition-invariant") {
