@@ -59,7 +59,8 @@ object Sampling {
     * [[hashBucket]] rule as [[mixtureSample]] — reproducible on any
     * cluster and any partitioning. Whole epochs are unconditional (no
     * key needed); a NULL key is never granted the fractional epoch
-    * (no key, no reproducible decision). `epochs(group)` of 0 drops
+    * (no key, no reproducible decision), and a NULL group falls to
+    * `defaultEpochs` (no group match). `epochs(group)` of 0 drops
     * the group. Row-local + a streamed `explode` — no shuffle; a
     * 100 TB corpus maps straight through. */
   def epochRepeat(df: DataFrame, keyCol: String, groupCol: String,

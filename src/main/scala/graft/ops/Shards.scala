@@ -33,8 +33,12 @@ object Shards {
 
   /** Adds (`shardCol`, `posCol`) — the deterministic shuffle
     * coordinates described above. `posCol` is 1-based and dense within
-    * each shard. Key ties on the position hash break by the key
-    * itself, so the layout is total even under hash collisions. */
+    * each shard. Hash collisions between DISTINCT keys break by the
+    * key itself, so the layout stays total; rows sharing the SAME key
+    * value tie on both sort columns and take arbitrary adjacent
+    * positions — `keyCol` must identify rows uniquely (dedup first,
+    * or shuffle on a composite key) for the layout to be reproducible
+    * row-for-row. */
   def trainingShuffle(df: DataFrame, keyCol: String, nShards: Int,
       salt: String = "shuf", shardCol: String = "shard",
       posCol: String = "pos"): DataFrame = {
