@@ -200,6 +200,57 @@ class WarehouseSpec extends SparkSpec {
       "seq-stamped re-insert lost its seq in a mixed-schema delta read")
   }
 
+  test("random mutation walk matches a naive set model (tombstones, re-inserts, compact)") {
+    import spark.implicits._
+    import graft.functions.Hash64
+    val dir = freshDir()
+    Build.write(Build.graphFromQuads(spark,
+      Seq(Quad("<urn:w:s0>", "<urn:w:p0>", "\"o0\"", "")).toDF()), dir)
+    val wh = new Warehouse(spark, dir)
+    // tiny universe so random ops collide: re-insert deleted quads,
+    // wildcard-sweep multi-object keys, refuse duplicates/missing
+    val ss = Seq("<urn:w:s0>", "<urn:w:s1>")
+    val ps = Seq("<urn:w:p0>", "<urn:w:p1>")
+    val os = Seq("\"o0\"", "\"o1\"", "\"o2\"")
+    val model = scala.collection.mutable.Set(("<urn:w:s0>", "<urn:w:p0>", "\"o0\"", ""))
+    val rnd = new scala.util.Random(42)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    def checkEqual(tag: String): Unit = {
+      val got = wh.load().triples.select("s", "p", "o", "g").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = model.map { case (s, p, o, g) =>
+        (Hash64.hashString(s), Hash64.hashString(p),
+          Hash64.hashString(o), Hash64.hashString(g)) }.toSet
+      assert(got === want, s"store diverged from model $tag (${model.size} quads)")
+    }
+    for (step <- 1 to 40) {
+      rnd.nextInt(3) match {
+        case 0 => // insert batch of 1-2: refused iff ANY quad already exists
+          val batch = Seq.fill(1 + rnd.nextInt(2))(
+            Quad(pick(ss), pick(ps), pick(os), "")).distinct
+          val dup = batch.exists(q => model.contains((q.s, q.p, q.o, q.g)))
+          val r = wh.insert(batch)
+          assert(r.error.isDefined === dup, s"step $step insert dup=$dup got ${r.error}")
+          if (!dup) batch.foreach(q => model += ((q.s, q.p, q.o, q.g)))
+        case 1 => // exact delete: refused iff the quad is missing
+          val q = (pick(ss), pick(ps), pick(os), "")
+          val missing = !model.contains(q)
+          val r = wh.delete(Seq((q._1, q._2, Some(q._3), q._4)))
+          assert(r.error.isDefined === missing, s"step $step exact-del got ${r.error}")
+          if (!missing) model -= q
+        case _ => // wildcard (s,p,g) delete: refused iff nothing matches
+          val (s, p) = (pick(ss), pick(ps))
+          val victims = model.filter(t => t._1 == s && t._2 == p)
+          val r = wh.delete(Seq((s, p, None, "")))
+          assert(r.error.isDefined === victims.isEmpty, s"step $step wild-del got ${r.error}")
+          victims.foreach(model -= _)
+      }
+      if (step % 10 == 0) checkEqual(s"at step $step")
+      if (step == 20) { wh.compact(); checkEqual("after compact") }
+    }
+    checkEqual("at walk end")
+  }
+
   test("batch delete validation refuses when any item is missing") {
     import spark.implicits._
     val dir = freshDir()
