@@ -151,6 +151,56 @@ class StreamingSpec extends SparkSpec {
     assert(got === twin)
   }
 
+  test("nearDedupStream == batch greedy twin on random corpora and batch splits") {
+    import graft.ops.Dedup
+    // deterministic sketches mean stream admission must equal the batch
+    // twin for ANY corpus and ANY micro-batch partition — sweep seeded
+    // random corpora (planted exact dups, extension near-dup chains,
+    // unique fillers) through random ordered batch splits
+    val rnd = new scala.util.Random(7)
+    val words = Vector("river", "engine", "glacier", "signal", "harbor",
+      "meadow", "circuit", "lantern", "orchard", "granite", "thermal", "willow")
+    def sentence(): String =
+      Seq.fill(14 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+    for (trial <- 1 to 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-ndp$trial").toString
+      val (state, out) = (s"$root/state", s"$root/out")
+      // build 8-14 docs: ~1/3 fresh, ~1/3 exact dups of earlier docs,
+      // ~1/3 extensions of earlier docs (near-dup chains)
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      val n = 8 + rnd.nextInt(7)
+      while (texts.length < n) {
+        if (texts.isEmpty) texts += sentence()
+        else rnd.nextInt(3) match {
+          case 0 => texts += sentence()
+          case 1 => texts += texts(rnd.nextInt(texts.length))
+          case _ => texts += texts(rnd.nextInt(texts.length)) + " " +
+            words(rnd.nextInt(words.length)) + " " + words(rnd.nextInt(words.length))
+        }
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+      // random ordered split into 2-4 micro-batches (arrival = id order)
+      val nb = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, docs.length) ++
+        Seq.fill(nb - 1)(1 + rnd.nextInt(docs.length - 1))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => docs.slice(a, b) }
+      val th = 0.6
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Streaming.nearDedupBatch(spark, b.toDF("doc_id", "text"), "doc_id",
+          "text", state, out, i.toLong, th, 64, 3, 16)
+      }
+      val got = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val all = docs.toDF("doc_id", "text")
+      val twin = Dedup.greedyKeepFromPairs(all, "doc_id",
+          Dedup.minhashDedup(all, "doc_id", "text", threshold = th))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === twin,
+        s"trial $trial: stream admission diverged from the batch twin " +
+          s"(batches=${batches.map(_.length).mkString(",")}, docs=$docs)")
+    }
+  }
+
   test("nearDedupStream wrapper: micro-batches flow through foreachBatch state") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-neardup-w").toString
