@@ -86,4 +86,42 @@ class IngestSpec extends SparkSpec {
     assert(g1.dict.collect().map(_.getString(1)).toSet ===
       g0.dict.collect().map(_.getString(1)).toSet)
   }
+
+  test("export round-trip holds on random quad sets (fuzz)") {
+    import spark.implicits._
+    import graft.ingest.Quad
+    val rnd = new scala.util.Random(11)
+    val ps = (0 until 3).map(i => s"<urn:f:p$i>")
+    val ss = (0 until 5).map(i => s"<urn:f:s$i>")
+    val litWords = Vector("alpha", "beta gamma", "x.y", "étoile", "done .")
+    def obj(): String =
+      if (rnd.nextBoolean()) ss(rnd.nextInt(ss.length))
+      else {
+        val base = "\"" + litWords(rnd.nextInt(litWords.length)) + "\""
+        rnd.nextInt(3) match {
+          case 0 => base
+          case 1 => base + "@en"
+          case _ => base + "^^<urn:f:dt>"
+        }
+      }
+    for (trial <- 1 to 3) {
+      val gs = Seq("") ++ (0 until rnd.nextInt(3)).map(i => s"<urn:f:g$i>")
+      val quads = (0 until (4 + rnd.nextInt(10))).map { _ =>
+        Quad(ss(rnd.nextInt(ss.length)), ps(rnd.nextInt(ps.length)),
+          obj(), gs(rnd.nextInt(gs.length)))
+      }.distinct
+      val g0 = graft.ingest.Build.graphFromQuads(spark, quads.toDF())
+      val dir = Files.createTempDirectory(s"graft-exfuzz$trial").toString + "/out"
+      graft.ingest.Export.nt(g0, dir, singleFile = true)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".txt")).head
+      val trig = file.toPath.getParent.resolve("rt.trig")
+      Files.copy(file.toPath, trig)
+      val g1 = graft.ingest.Build.graphFromFiles(spark, Seq(trig.toString))
+      def tset(g: graft.store.Graph) = g.triples.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(tset(g1) === tset(g0),
+        s"trial $trial: round-trip diverged for quads $quads")
+    }
+  }
 }
