@@ -46,6 +46,47 @@ object Sampling {
       round(rateCol * lit(4294967296.0)).cast("long"))
   }
 
+  /** Plan a training mixture under a token budget — the step between
+    * per-domain token counts and [[mixtureSample]]/[[epochRepeat]]
+    * (the UniMax recipe, Chung et al. 2023: allocate the budget by
+    * temperature-scaled proportions, cap every domain at `maxEpochs`
+    * passes over its data, and water-fill the remainder over the
+    * uncapped domains). Returns tokens-to-draw per domain; divide by
+    * the domain size to get the epoch count to feed [[epochRepeat]]
+    * (values < 1 are [[mixtureSample]] rates).
+    *
+    * `alpha` is the usual temperature exponent on the size
+    * distribution: 1.0 = proportional sampling, 0 = uniform across
+    * domains, in between up-weights the tail. Driver-side pure math —
+    * the inputs are one aggregate row per domain, never corpus-scale.
+    * Deterministic: domains process in sorted-name order and the
+    * water-filling loop is a pure function of (sizes, alpha, budget,
+    * maxEpochs). */
+  def planMixture(tokens: Map[String, Long], budget: Long,
+      alpha: Double = 0.7, maxEpochs: Double = 4.0): Map[String, Double] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
+    require(tokens.values.forall(_ > 0), "domain token counts must be positive")
+    if (tokens.isEmpty) return Map.empty
+    val names = tokens.keys.toSeq.sorted
+    val w = names.map(n => n -> math.pow(tokens(n).toDouble, alpha)).toMap
+    val cap = names.map(n => n -> maxEpochs * tokens(n)).toMap
+    // water-fill: give each uncapped domain budget·w/Σw; domains that
+    // would exceed their cap freeze at it and release the excess
+    var alloc = names.map(n => n -> 0.0).toMap
+    var remaining = math.min(budget.toDouble, cap.values.sum)
+    var open = names
+    while (remaining > 1e-9 && open.nonEmpty) {
+      val wSum = open.map(w).sum
+      val next = open.map(n => n -> math.min(cap(n) - alloc(n), remaining * w(n) / wSum))
+      alloc = alloc ++ next.map { case (n, a) => n -> (alloc(n) + a) }
+      remaining -= next.map(_._2).sum
+      open = open.filter(n => cap(n) - alloc(n) > 1e-9)
+    }
+    alloc
+  }
+
   /** Epoch repetition — the UP-weighting counterpart of
     * [[mixtureSample]]: a training mixture that over-samples a domain
     * (books 2.5×) reads it for 2 full epochs and Bernoulli-samples 50%

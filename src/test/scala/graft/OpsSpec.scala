@@ -1118,6 +1118,31 @@ class OpsSpec extends SparkSpec {
     assert(derived === global)
   }
 
+  test("planMixture: proportional/uniform/capped water-filling laws") {
+    import graft.ops.Sampling.planMixture
+    val sizes = Map("web" -> 800L, "books" -> 100L, "code" -> 100L)
+    // alpha = 1, ample caps: exactly proportional
+    val prop = planMixture(sizes, budget = 500L, alpha = 1.0, maxEpochs = 10.0)
+    assert(math.abs(prop("web") - 400.0) < 1e-6 &&
+      math.abs(prop("books") - 50.0) < 1e-6 && math.abs(prop("code") - 50.0) < 1e-6)
+    // alpha = 0: uniform split across domains
+    val uni = planMixture(sizes, budget = 300L, alpha = 0.0, maxEpochs = 10.0)
+    assert(uni.values.forall(v => math.abs(v - 100.0) < 1e-6))
+    // cap binds: books/code freeze at maxEpochs x size, surplus refills web
+    val capped = planMixture(sizes, budget = 1000L, alpha = 0.0, maxEpochs = 2.0)
+    assert(math.abs(capped("books") - 200.0) < 1e-6 &&
+      math.abs(capped("code") - 200.0) < 1e-6 &&
+      math.abs(capped("web") - 600.0) < 1e-6)
+    // budget beyond every cap: all domains at cap, total = sum of caps
+    val maxed = planMixture(sizes, budget = 100000L, alpha = 0.7, maxEpochs = 2.0)
+    assert(math.abs(maxed.values.sum - 2.0 * 1000.0) < 1e-6 &&
+      maxed.forall { case (d, v) => math.abs(v - 2.0 * sizes(d)) < 1e-6 })
+    // conservation: allocations always sum to min(budget, total cap)
+    val some = planMixture(sizes, budget = 700L, alpha = 0.5, maxEpochs = 1.5)
+    assert(math.abs(some.values.sum - 700.0) < 1e-6)
+    assert(some.forall { case (d, v) => v <= 1.5 * sizes(d) + 1e-6 })
+  }
+
   test("epoch repetition: whole epochs unconditional, fractional Bernoulli, partition-invariant") {
     val rows = (0 until 400).map(i => (i.toLong, i % 4 match {
       case 0 => "x2"; case 1 => "x25"; case 2 => "zero"; case _ => "def"
