@@ -36,7 +36,9 @@ object Ivf {
     * the hash ordering is a pure function of the data. */
   def trainCentroids(emb: DataFrame, vecCol: String, nLists: Int,
       sampleSize: Int = 2048, iterations: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
-    val sample = emb.select(col(vecCol))
+    // null vectors carry no geometry and would NPE the collect — skip
+    // them here; an all-null corpus then hits the empty-corpus refusal
+    val sample = emb.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .orderBy(hash(col(vecCol), lit(seed.toInt)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
