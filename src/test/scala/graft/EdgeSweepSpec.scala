@@ -69,6 +69,37 @@ class EdgeSweepSpec extends SparkSpec {
     }
   }
 
+  test("every query shape answers cleanly over an empty store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-api").toString
+    val nt = s"$dir/data.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nt), "")
+    val bk = new graft.api.Bikidata(spark, s"$dir/wh")
+    assert(bk.build(Seq(nt)) === 0)
+    assert(bk.total() === 0)
+    // each representative shape must return a valid (empty) envelope,
+    // not throw out of an empty dict/index/pref table
+    val shapes = Seq(
+      """{"filters":[{"p":"<urn:p>","o":"<urn:o>"}]}""",
+      """{"filters":[{"p":"<urn:p>"}]}""",
+      """{"filters":[{"o":"<urn:o>"}]}""",
+      """{"filters":[{"p":"fts","o":"anything"}]}""",
+      """{"filters":[{"p":"regex","o":"ab.*"}]}""",
+      """{"filters":[{"p":"random 5"}]}""",
+      """{"filters":[{"p":"<urn:p>","o":"<urn:o>"}],"facets":["<urn:f>"]}""",
+      """{"filters":[{"p":"<urn:p>","o":"<urn:o>"}],"facets":["properties","graphs"]}""",
+      """{"filters":[{"p":"<urn:p>","o":"<urn:o>"}],"order":[{"type":"label"}]}""",
+      """{"filters":[{"p":"<urn:p>","o":"<urn:o>"}],"order":[{"type":"natural"}]}""",
+      """{"filters":[{"p":"paths <urn:p>","id":"<urn:s>"}]}""")
+    shapes.foreach { s =>
+      sweep(s"empty-store $s") {
+        val r = bk.queryJson(s, useCache = false)
+        assert(r.contains("\"total\""), s"no envelope for $s: $r")
+      }
+    }
+    sweep("empty-store sp") { bk.sp(Seq("<urn:s>")).collect(); () }
+    sweep("empty-store spo") { bk.spo(s = Some("<urn:s>")).collect(); () }
+  }
+
   test("embedding ops survive empty and all-null vectors") {
     for ((tag, vecs) <- Seq("empty" -> emptyVecs, "null" -> nullVecs)) {
       sweep(s"knn/$tag") {
