@@ -68,6 +68,37 @@ object DedupProps extends Properties("dedup") {
     ids.map(i => i -> find(i)).toMap
   }
 
+  private val genBench: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 4)
+    docs <- Gen.listOfN(n, Gen.choose(3, 6)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+
+  /** Mirror of TextAnalysis.wordGrams: whitespace tokens, sliding-n
+    * space-joined, distinct; < n tokens -> none. */
+  private def ngrams(text: String, n: Int): Set[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  property("decontamination == naive shared-ngram scan") =
+    Prop.forAll(genCorpus, genBench, Gen.choose(2, 4)) { (corpus, bench, n) =>
+      import spark.implicits._
+      val gotFlagged = graft.ops.Decontam.contaminated(
+          corpus.toDF("id", "text"), bench.toDF("id", "text"), "id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val benchGrams = bench.flatMap(b => ngrams(b._2, n)).toSet
+      val wantFlagged = corpus
+        .map { case (i, t) => i -> ngrams(t, n).count(benchGrams) }
+        .filter(_._2 >= 1).map { case (i, h) => i -> h.toLong }.toMap
+      val gotClean = graft.ops.Decontam.clean(
+          corpus.toDF("id", "text"), bench.toDF("id", "text"), "id", "text", n)
+        .collect().map(_.getLong(0)).toSet
+      val wantClean = corpus.map(_._1).toSet -- wantFlagged.keySet
+      gotFlagged == wantFlagged && gotClean == wantClean
+    }
+
   property("clusters == naive union-find on BOTH execution paths") =
     Prop.forAll(genEdges) { edges =>
       import spark.implicits._

@@ -46,6 +46,21 @@ object LayoutProps extends Properties("layout") {
     got == want
   }
 
+  property("stratifiedSample == naive salted-hash rank per group") =
+    Prop.forAll(genIds, Gen.choose(1, 6)) { (ids, k) =>
+      import spark.implicits._
+      val rows = ids.map(i => (i, s"g${i % 3}"))
+      val got = graft.ops.Sampling.stratifiedSample(
+          rows.toDF("id", "grp"), "id", "grp", k, salt = "lps")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (g, members) =>
+        members.sortBy { case (id, _) => (bucket(id, "lps"), id) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), i) => (id, g, i + 1) }
+      }.toSet
+      got == want
+    }
+
   property("trainingShuffle is a bijection with dense in-shard positions") = Prop.forAll(genIds, Gen.choose(1, 9)) { (ids, nShards) =>
     import spark.implicits._
     val got = graft.ops.Shards.trainingShuffle(
