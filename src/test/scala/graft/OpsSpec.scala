@@ -1118,6 +1118,38 @@ class OpsSpec extends SparkSpec {
     assert(derived === global)
   }
 
+  test("WET reader: conversion records only, Content-Length cut, gz transparent") {
+    def conv(uri: String, text: String): String =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${text.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$text\r\n\r\n"
+    val wet =
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n" +
+        conv("http://a.example/", "alpha doc body\nwith two lines") +
+        "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://skip/\r\n" +
+        "Content-Length: 2\r\n\r\nhi\r\n\r\n" +
+        conv("http://b.example/", "beta body")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet")
+    java.nio.file.Files.write(dir.resolve("part.wet"), wet.getBytes("UTF-8"))
+    // gz twin: the text source must decompress transparently
+    locally {
+      val gz = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("part2.wet.gz")))
+      gz.write(conv("http://c.example/", "gamma gz body").getBytes("UTF-8"))
+      gz.close()
+    }
+    val got = graft.ops.Sources.readWetDocs(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq ===
+      Seq("http://a.example/", "http://b.example/", "http://c.example/"))
+    assert(got(0)._4 === "alpha doc body\nwith two lines")
+    assert(got(1)._4 === "beta body")
+    assert(got(2)._4 === "gamma gz body")
+    assert(got.forall(_._2 == "2024-01-01T00:00:00Z"))
+    assert(got(1)._3 === "beta body".length.toLong)
+  }
+
   test("planMixture: proportional/uniform/capped water-filling laws") {
     import graft.ops.Sampling.planMixture
     val sizes = Map("web" -> 800L, "books" -> 100L, "code" -> 100L)
