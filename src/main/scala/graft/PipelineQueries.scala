@@ -298,6 +298,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // WET/WARC source round-trip: a deterministic WET file synthesized
+    // from the documents table, read back through the distributed
+    // record-split reader; DuckDB re-parses the SAME file from raw text
+    // — the source format is oracle-checked end-to-end (hash-exact)
+    "q_doc_wet" -> ((s, dir) => {
+      graft.ops.Sources.readWetDocs(s, wetFixture(s, dir))
+        .select(col("url"), col("length"), md5(col("text")).as("t_md5"))
+        .orderBy("url")
+    }),
+
     // epoch repetition (domain UP-weighting): each row appears once per
     // granted epoch; whole epochs unconditional, the fractional epoch a
     // salted-hash Bernoulli per row — oracle-checked exactly
@@ -914,6 +924,29 @@ object PipelineQueries {
     sys.env.getOrElse("GRAFT_ORACLE_AUX",
       new java.io.File("target/oracle_aux").getAbsolutePath)
 
+  /** Synthesize a deterministic WET file from the documents table (one
+    * conversion record per doc, id order, byte Content-Length) — the
+    * fixture behind q_doc_wet: the gate reads it back through
+    * [[graft.ops.Sources.readWetDocs]] and DuckDB re-parses the SAME
+    * file from scratch, so the source format is oracle-checked
+    * end-to-end. Written once per sfDir per JVM (the write is setup,
+    * not the operator under test). */
+  private val wetWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetFixture(s: SparkSession, dir: String): String =
+    wetWritten.computeIfAbsent(dir, { _ =>
+      val path = s"$oracleAuxDir/docs_wet"
+      docs(s, dir).orderBy("doc_id")
+        .select(concat(
+          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: urn:doc:"),
+          col("doc_id"),
+          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+          octet_length(coalesce(col("text"), lit(""))),
+          lit("\r\n\r\n"), coalesce(col("text"), lit(""))).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(path)
+      path
+    })
+
   /** Export the oracle's auxiliary inputs for one sfDir — called by
     * [[Verify]] before the oracle_sql dump. The MinHash pair list lets
     * DuckDB verify the connected-component logic of q_doc_clusters
@@ -1383,6 +1416,22 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT
         |  < CAST(round(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.3 ELSE 0.8 END * 4294967296) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "q_doc_wet" ->
+      s"""WITH raw AS (
+         |  SELECT content FROM read_text('$oracleAuxDir/docs_wet/*.txt')),
+         |recs AS (
+         |  SELECT unnest(string_split(content, 'WARC/1.0' || chr(13) || chr(10))) AS r
+         |  FROM raw),
+         |parsed AS (
+         |  SELECT
+         |    regexp_extract(r, 'WARC-Target-URI: ([^\r\n]+)', 1) AS url,
+         |    CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS length,
+         |    substring(r, strpos(r, chr(13)||chr(10)||chr(13)||chr(10)) + 4) AS body
+         |  FROM recs
+         |  WHERE r LIKE '%WARC-Type: conversion%')
+         |SELECT url, length,
+         |  md5(rtrim(substring(body, 1, CAST(length AS INTEGER)), ' ' || chr(13) || chr(10))) AS t_md5
+         |FROM parsed ORDER BY url""".stripMargin,
     "q_doc_epochs" ->
       """WITH e AS (
         |  SELECT doc_id, source,

@@ -106,7 +106,7 @@ object Sources {
       // the trailing CRLFs are trimmed either way)
       .withColumn("text",
         rtrim(when(col("length").isNotNull, expr("substring(__b, 1, length)"))
-          .otherwise(col("__b"))))
+          .otherwise(col("__b")), " \r\n"))
       .select("url", "date", "length", "text")
   }
 }
