@@ -167,6 +167,14 @@ class WorkerSpec extends SparkSpec {
       // BLPOP on a never-pushed ticket times out to a null array
       assert(c.cmd("BLPOP", "t-nothing", "0.2") === null)
 
+      // an unparseable payload cannot carry a reply ticket: logged and
+      // dropped (reference parity, workers.py:83-85) — and the worker
+      // survives to serve the next valid request
+      assert(c.cmd("LPUSH", RespServer.DefaultQueue, "{not even json") === 1L)
+      assert(c.cmd("BLPOP", "t-bad", "0.3") === null)
+      val after = queryAsync("""{"filters":[{"p":"fts","o":"alpha"}]}""", "t-4", "h-alpha")
+      assert(after === r1, "worker died or cache corrupted after a malformed payload")
+
       // inbound-queue pushes answer with the PUSHED COUNT (wire
       // contract: real Redis returns the resulting list length; a
       // batching client checks it) — and both payloads dispatch
