@@ -31,6 +31,27 @@ object PackingProps extends Properties("packing") {
     }
   }
 
+  property("selectByBudget == naive per-shard greedy prefix") =
+    Prop.forAll(genDocs, Gen.choose(10L, 400L)) { (docs, budget) =>
+      import spark.implicits._
+      val shards = 3
+      val scored = docs.map { case (id, toks) =>
+        (id, math.max(1L, toks), (id * 7 % 13).toDouble) }
+      val got = graft.ops.Selection.selectByBudget(
+          scored.toDF("id", "toks", "score"), "id", "score", "toks",
+          budget, shards)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val base = budget / shards
+      val rem = budget % shards
+      val want = scored.groupBy(t => t._1 % shards).flatMap { case (sh, g) =>
+        val shardBudget = if (sh < rem) base + 1 else base
+        var cum = 0L
+        g.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+          cum += t._2; cum <= shardBudget }.map(_._1)
+      }.toSet
+      got == want
+    }
+
   property("packChunks == naive per-shard concat-and-chunk") = Prop.forAll(genDocs, genBudget) { (docs, budget) =>
     import spark.implicits._
     val shards = 4
