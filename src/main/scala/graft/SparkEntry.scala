@@ -27,7 +27,7 @@ object SparkEntry {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     relCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + dir + "/" + name,
+      s"${System.identityHashCode(s)}:$dir/$name",
       _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

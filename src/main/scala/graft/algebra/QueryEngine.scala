@@ -561,7 +561,7 @@ object QueryEngine {
       val e = ctx.graph.triples.filter(col("p") === h(propIri))
         .select(col("s").as("part"), col("o").as("parent")).distinct().persist()
       val maxMult = e.groupBy(col("part")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head.get(0)
+        .agg(max(col("c"))).head().get(0)
       val single = maxMult == null || maxMult.asInstanceOf[Long] <= 1L
       // broadcast fast path: a single-parent edge set under the bound is
       // collected ONCE per (context, property) into sorted primitive
