@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,24 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     SparkEntry.t(s, dir, "documents")
+
+  /** Documents with a deterministic synthetic url per doc — the corpus
+    * behind the URL/domain gates. The construction exercises every
+    * [[Urls.normalizeUrl]] rule (upper-case scheme/host, www label,
+    * default port, trailing slash, fragment, case-sensitive path) and
+    * spreads docs over 4 registrable domains × 20 source subdomains ×
+    * 5 paths; the SAME arithmetic lives in the oracle SQL, which then
+    * pins the normalization OUTCOME in closed form. */
+  private def urled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("url", concat(
+      lit("HTTP://"),
+      when(col("doc_id") % 7 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Site"), (col("doc_id") % 4).cast("string"),
+      lit(".COM"),
+      when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Path/"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit(""))))
 
   /** The events table stores TIMESTAMP(NANOS), which Spark's reader only
     * surfaces as a long (spark.sql.legacy.parquet.nanosAsLong) — convert
@@ -300,8 +318,10 @@ object PipelineQueries {
 
     // WET/WARC source round-trip: a deterministic WET file synthesized
     // from the documents table, read back through the distributed
-    // record-split reader; DuckDB re-parses the SAME file from raw text
-    // — the source format is oracle-checked end-to-end (hash-exact)
+    // record-split reader; the oracle pins the READER'S OUTPUT against
+    // the source rows themselves (url, byte length, text md5) — a
+    // byte-exact write→read identity check (hash-exact); multi-byte
+    // and early-split byte semantics are pinned in OpsSpec fixtures
     "q_doc_wet" -> ((s, dir) => {
       graft.ops.Sources.readWetDocs(s, wetFixture(s, dir))
         .select(col("url"), col("length"), md5(col("text")).as("t_md5"))
@@ -363,6 +383,22 @@ object PipelineQueries {
     "q_emb_semdedup" -> ((s, dir) => {
       Similarity.semDedupKeep(emb(s, dir).select("vec_id", "embedding", "label"),
           "vec_id", "embedding", threshold = 0.45, nLists = 16)
+        .select("vec_id", "label")
+        .coalesce(1).orderBy("vec_id")
+    }),
+
+    // SemDedup on the SCALE-PATH default (nLists = 0): the cell count
+    // derives from the corpus size at a fixed per-cell target, so pair
+    // work stays LINEAR as data grows — this gate oracle-checks the
+    // derived policy itself (cell table exported at the policy seam,
+    // DuckDB recomputes within-cell cosine + components + min-id keep),
+    // not just the byte-stable pinned-16 twin above. targetCell = 64
+    // keeps the derivation non-degenerate at gate scale (500 rows → 7
+    // cells; 2000 → 31) while the production default stays ~2048.
+    "q_emb_semdedup_derived" -> ((s, dir) => {
+      Similarity.semDedupKeep(emb(s, dir).select("vec_id", "embedding", "label"),
+          "vec_id", "embedding", threshold = 0.45, nLists = 0,
+          knownCount = Some(embCount(s, dir)), targetCell = 64L)
         .select("vec_id", "label")
         .coalesce(1).orderBy("vec_id")
     }),
@@ -750,6 +786,57 @@ object PipelineQueries {
         .orderBy("shard", "bin", "id")
     }),
 
+    // tokenizer-aware packing: same concat-and-chunk layout as
+    // q_doc_pack, but the per-doc token counts come from the codegen
+    // BPE-ish tokenizer over the text itself instead of a caller
+    // column — oracle replays the tokenizer regex + the integer
+    // arithmetic end-to-end
+    "q_doc_pack_tok" -> ((s, dir) => {
+      graft.ops.Packing.packChunksByText(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+          budget = 512L, shards = 8)
+        .orderBy("shard", "bin", "doc_id")
+    }),
+
+    // URL canonicalization: every rule (fragment, case, default port,
+    // www, trailing slash) exercised by a deterministic synthetic url
+    // per doc (same construction in the oracle); the oracle pins the
+    // CLOSED FORM each url must normalize to — an independent
+    // derivation, not the same regexes replayed
+    "q_doc_url_norm" -> ((s, dir) => {
+      val u = urled(s, dir)
+      u.select(col("doc_id"), Urls.normalizeUrl(col("url")).as("url_norm"),
+          Urls.domainOf(Urls.normalizeUrl(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-level exact dedup: one row per canonical url, min doc_id
+    // wins, duplicate multiplicity kept — the crawl "same page fetched
+    // twice" pass; oracle groups by the closed-form canonical url
+    "q_doc_url_dedup" -> ((s, dir) => {
+      Urls.dedupByUrl(urled(s, dir), "doc_id", "url")
+        .orderBy("doc_id")
+    }),
+
+    // per-domain frequency/quality stats: doc count, token mass, and
+    // the 4-dp-scaled INTEGER quality mass (bit-stable under any
+    // partitioning — a double avg would drift with summation order)
+    "q_doc_domain_stats" -> ((s, dir) => {
+      Urls.domainQualityStats(urled(s, dir), "url", "text")
+        .orderBy("domain")
+    }),
+
+    // domain balancing: keep at most 30 docs per registrable domain by
+    // salted-hash rank — deterministic on any partitioning; DuckDB
+    // replays hash, rank and cut exactly
+    "q_doc_domain_cap" -> ((s, dir) => {
+      graft.ops.Urls.capPerDomain(
+          urled(s, dir).select("doc_id", "url"), "doc_id", "url",
+          maxPerDomain = 30, salt = "domcap")
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing: emails/IPv4s/phones counted and redacted. The
     // corpus is synthetic word salad with no PII, so the query plants a
     // deterministic PII tail per doc (same construction in the oracle)
@@ -895,6 +982,20 @@ object PipelineQueries {
   )
 
   private val BpeishRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** The URL-gate corpus in SQL: the same synthetic construction as
+    * [[urled]] plus the CLOSED-FORM canonical url and registrable
+    * domain each row must normalize to — the oracle derives the
+    * expected outcome independently instead of replaying the engine's
+    * regex rules. */
+  private val urlCte: String =
+    // NOTE: interpolated into outer stripMargin strings — no line here
+    // may start with '|' or the outer margin strip would eat it
+    "SELECT doc_id, text, source,\n" +
+      "  'http://' || source || '.site' || CAST(doc_id % 4 AS VARCHAR) ||\n" +
+      "    '.com/Path/' || CAST(doc_id % 5 AS VARCHAR) AS url_norm,\n" +
+      "  'site' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS domain\n" +
+      "FROM documents"
   private val PunctClass = "[^!-/:-@\\[-`{-~]"
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")
   private val cosSql =
@@ -927,25 +1028,32 @@ object PipelineQueries {
   /** Synthesize a deterministic WET file from the documents table (one
     * conversion record per doc, id order, byte Content-Length) — the
     * fixture behind q_doc_wet: the gate reads it back through
-    * [[graft.ops.Sources.readWetDocs]] and DuckDB re-parses the SAME
-    * file from scratch, so the source format is oracle-checked
-    * end-to-end. Written once per sfDir per JVM (the write is setup,
-    * not the operator under test). */
-  private val wetWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def wetFixture(s: SparkSession, dir: String): String =
-    wetWritten.computeIfAbsent(dir, { _ =>
+    * [[graft.ops.Sources.readWetDocs]] and the oracle pins the parsed
+    * rows byte-exactly against the SOURCE documents rows (write → read
+    * identity; DuckDB 1.0.0 cannot replay the byte-based Content-Length
+    * cut itself). The memo is a SINGLE slot keyed by the last-written
+    * dir: a repeat call for the same dir (bench reps) skips the write,
+    * a call for a DIFFERENT dir rewrites — per-dir memoization over the
+    * shared path once let a same-JVM run over two sfDirs silently serve
+    * the second dir's corpus to the first dir's gate. */
+  private var wetWrittenFor: String = null
+  private[graft] def wetFixture(s: SparkSession, dir: String): String =
+    synchronized {
       val path = s"$oracleAuxDir/docs_wet"
-      docs(s, dir).orderBy("doc_id")
-        .select(concat(
-          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: urn:doc:"),
-          col("doc_id"),
-          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
-          octet_length(coalesce(col("text"), lit(""))),
-          lit("\r\n\r\n"), coalesce(col("text"), lit(""))).as("value"))
-        .coalesce(1)
-        .write.mode("overwrite").text(path)
+      if (wetWrittenFor != dir) {
+        wetWrittenFor = dir
+        docs(s, dir).orderBy("doc_id")
+          .select(concat(
+            lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: urn:doc:"),
+            col("doc_id"),
+            lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+            octet_length(coalesce(col("text"), lit(""))),
+            lit("\r\n\r\n"), coalesce(col("text"), lit(""))).as("value"))
+          .coalesce(1)
+          .write.mode("overwrite").text(path)
+      }
       path
-    })
+    }
 
   /** Export the oracle's auxiliary inputs for one sfDir — called by
     * [[Verify]] before the oracle_sql dump. The MinHash pair list lets
@@ -998,10 +1106,44 @@ object PipelineQueries {
     val idx = graft.ops.Ivf.build(emb(s, dir), "vec_id", "embedding")
     idx.cells.select(col("vec_id"), col("cell")).coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_cells")
+    // SemDedup derived-cells policy seam: the SAME seeded k-means build
+    // the q_emb_semdedup_derived gate runs internally (cell count from
+    // Similarity.derivedCells — one derivation, both sides), exported so
+    // DuckDB can recompute the within-cell dedup over the derived table
+    Similarity.semDedupExportCells(emb(s, dir), "vec_id", "embedding",
+        knownCount = Some(embCount(s, dir)), targetCell = 64L)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_cells_derived")
     import s.implicits._
     graft.ops.Ivf.probeCells(idx, q).toDF("cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_probe")
   }
+
+  /** The SemDedup replay, parameterized by which exported cell table
+    * (pinned-16 vs derived) supplies the policy: within-cell exact
+    * cosine ≥ 0.45, undirected reachability, keep the min-id member of
+    * each component plus every never-paired row. */
+  private def semDedupOracle(cellsPath: String): String =
+    s"""WITH RECURSIVE cells AS (
+       |  SELECT vec_id, cell FROM read_parquet('$cellsPath/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (
+       |  SELECT ca.vec_id AS a, cb.vec_id AS b
+       |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN e ea ON ea.vec_id = ca.vec_id
+       |  JOIN e eb ON eb.vec_id = cb.vec_id
+       |  WHERE round(list_dot_product(ea.v, eb.v)
+       |          / sqrt(list_dot_product(ea.v, ea.v))
+       |          / sqrt(list_dot_product(eb.v, eb.v)), 4) >= 0.45),
+       |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT x, x FROM edges
+       |  UNION
+       |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
+       |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT e3.vec_id, e3.label FROM embeddings e3 LEFT JOIN comp ON e3.vec_id = comp.id
+       |WHERE comp.id IS NULL OR comp.cluster = comp.id
+       |ORDER BY vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // per-document codec round-trip laws: the Spark side compares the
@@ -1416,22 +1558,81 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT
         |  < CAST(round(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.3 ELSE 0.8 END * 4294967296) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    // tokenizer-aware packing: q_doc_pack's integer arithmetic with the
+    // BPE-ish tokenizer count as the token mass
+    "q_doc_pack_tok" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeishRe')) AS BIGINT) AS toks,
+         |    doc_id % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, shard,
+         |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM t WHERE toks > 0),
+         |e AS (
+         |  SELECT doc_id, shard, toks, cum_end, cum_end - toks AS cum_start,
+         |    unnest(range((cum_end - toks) // 512, (cum_end - 1) // 512 + 1)) AS bin
+         |  FROM c)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin, doc_id,
+         |  CAST(least((bin + 1) * 512, cum_end) - greatest(bin * 512, cum_start) AS BIGINT) AS tok_in_bin,
+         |  CAST(greatest(bin * 512, cum_start) - cum_start AS BIGINT) AS tok_offset
+         |FROM e ORDER BY shard, bin, doc_id""".stripMargin,
+    "q_doc_url_norm" ->
+      s"""WITH u AS ($urlCte)
+         |SELECT doc_id, url_norm, domain FROM u ORDER BY doc_id""".stripMargin,
+    "q_doc_url_dedup" ->
+      s"""WITH u AS ($urlCte)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url_norm,
+         |  CAST(count(*) AS BIGINT) AS n_dups
+         |FROM u GROUP BY url_norm ORDER BY doc_id""".stripMargin,
+    "q_doc_domain_stats" ->
+      s"""WITH u AS ($urlCte),
+         |t AS (
+         |  SELECT domain, text,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n
+         |  FROM u),
+         |q AS (
+         |  SELECT domain, toks,
+         |    round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) AS quality
+         |  FROM t)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+         |  CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT) AS q4_sum
+         |FROM q GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_doc_domain_cap" ->
+      s"""WITH u AS ($urlCte),
+         |h AS (
+         |  SELECT doc_id, domain,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':domcap'), 1, 8))::UBIGINT AS hb
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain ORDER BY hb, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, domain FROM r WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+    // byte-exact ROUND-TRIP: the fixture is synthesized FROM documents
+    // (urn:doc:<id>, byte Content-Length, raw text), so the reader must
+    // hand back EXACTLY the source rows — url, declared byte length,
+    // text md5 — after the write → lineSep-split → header-parse →
+    // byte-cut pipeline. DuckDB 1.0.0 has no BLOB substring, so it
+    // cannot replay the byte cut on the file itself; pinning against
+    // the source table checks strictly more (writer+reader identity,
+    // including trailing-whitespace preservation the old rtrim oracle
+    // had to forgive). Multi-byte and early-split payloads are pinned
+    // byte-for-byte in SourcesSpec fixtures.
     "q_doc_wet" ->
-      s"""WITH raw AS (
-         |  SELECT content FROM read_text('$oracleAuxDir/docs_wet/*.txt')),
-         |recs AS (
-         |  SELECT unnest(string_split(content, 'WARC/1.0' || chr(13) || chr(10))) AS r
-         |  FROM raw),
-         |parsed AS (
-         |  SELECT
-         |    regexp_extract(r, 'WARC-Target-URI: ([^\r\n]+)', 1) AS url,
-         |    CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS length,
-         |    substring(r, strpos(r, chr(13)||chr(10)||chr(13)||chr(10)) + 4) AS body
-         |  FROM recs
-         |  WHERE r LIKE '%WARC-Type: conversion%')
-         |SELECT url, length,
-         |  md5(rtrim(substring(body, 1, CAST(length AS INTEGER)), ' ' || chr(13) || chr(10))) AS t_md5
-         |FROM parsed ORDER BY url""".stripMargin,
+      """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS length,
+        |  md5(coalesce(text, '')) AS t_md5
+        |FROM documents ORDER BY url""".stripMargin,
     "q_doc_epochs" ->
       """WITH e AS (
         |  SELECT doc_id, source,
@@ -1482,28 +1683,12 @@ object PipelineQueries {
          |ORDER BY vec_id""".stripMargin,
     // SemDedup policy seam: cells from the exported deterministic IVF
     // build (same table the q_emb_ivf oracle pins); everything after —
-    // within-cell exact cosine, components, min-id keep — is DuckDB's
-    "q_emb_semdedup" ->
-      s"""WITH RECURSIVE cells AS (
-         |  SELECT vec_id, cell FROM read_parquet('$oracleAuxDir/ivf_cells/*.parquet')),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |p AS (
-         |  SELECT ca.vec_id AS a, cb.vec_id AS b
-         |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
-         |  JOIN e ea ON ea.vec_id = ca.vec_id
-         |  JOIN e eb ON eb.vec_id = cb.vec_id
-         |  WHERE round(list_dot_product(ea.v, eb.v)
-         |          / sqrt(list_dot_product(ea.v, ea.v))
-         |          / sqrt(list_dot_product(eb.v, eb.v)), 4) >= 0.45),
-         |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
-         |reach(id, lbl) AS (
-         |  SELECT x, x FROM edges
-         |  UNION
-         |  SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
-         |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
-         |SELECT e3.vec_id, e3.label FROM embeddings e3 LEFT JOIN comp ON e3.vec_id = comp.id
-         |WHERE comp.id IS NULL OR comp.cluster = comp.id
-         |ORDER BY vec_id""".stripMargin,
+    // within-cell exact cosine, components, min-id keep — is DuckDB's.
+    // Pinned-16 gate reads the shared ivf_cells table; the derived
+    // (nLists = 0 scale path) gate reads the derived-policy export.
+    "q_emb_semdedup" -> semDedupOracle(s"$oracleAuxDir/ivf_cells"),
+    "q_emb_semdedup_derived" ->
+      semDedupOracle(s"$oracleAuxDir/ivf_cells_derived"),
     "q_emb_top_pairs" ->
       s"""SELECT ea.vec_id AS a, eb.vec_id AS b, round($cosSql, 4) AS sim
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings WHERE vec_id < 100) ea

@@ -520,70 +520,75 @@ object Dedup {
     * almost never lands in a prefix. `t'` is slackened by 1e-4 so pairs
     * whose 4-dp-rounded Jaccard reaches t also survive. */
   private[graft] def jaccardCandidates(toks: DataFrame, threshold: Double): DataFrame = {
-    val (cands, prefix) = jaccardCandidatesLazy(toks, threshold)
     // standalone use (tests, ad-hoc candidate inspection): materialize so
     // the prefix persist can be released before returning
+    val prefix = prefixOf(rankedToks(toks), threshold).persist()
+    val cands = candidatesFromPrefix(prefix)
     try cands.localCheckpoint() finally { prefix.unpersist(); () }
   }
 
-  /** [[jaccardCandidates]] without the eager materialization job: returns
-    * the LAZY candidate frame plus the persisted prefix feeding both
-    * sides of its self-join. The caller owns releasing the prefix — after
-    * its own terminal materialization, so the whole Jaccard chain runs in
-    * one job instead of paying a separate candidate-checkpoint action. */
-  private def jaccardCandidatesLazy(
-      toks: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+  /** (id, tok, rank, sz): the shared substrate of the prefix filter AND
+    * the exact intersection — every token row carries its doc's size and
+    * its ascending-global-df rank. The df count stays a `groupBy(tok)`
+    * + join (NOT a count window over `partitionBy(tok)`: the groupBy
+    * partial-aggregates map-side, while a tok-partitioned window would
+    * funnel every occurrence of a hot stopword through one task at
+    * corpus scale). The two per-id windows (size + rank) share one
+    * exchange. */
+  private def rankedToks(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tp = threshold - 1e-4
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tokdf"))
-    val ranked = toks.join(dfCounts, "tok")
+    toks.join(dfCounts, "tok")
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("tokdf").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-    // the prefix feeds BOTH sides of the self-join: persist it so the
-    // window pass runs once, not once per join side
-    val prefix = ranked.filter(col("rank") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
-      .select("id", "tok").persist()
-    val cands = prefix.as("A").join(prefix.as("B"),
+      .select("id", "tok", "rank", "sz")
+  }
+
+  /** The lossless candidate-generating prefix: the `|A| − ⌈t'·|A|⌉ + 1`
+    * rarest tokens of each doc (see [[jaccardCandidates]]). */
+  private def prefixOf(ranked: DataFrame, threshold: Double): DataFrame = {
+    val tp = threshold - 1e-4
+    ranked.filter(col("rank") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
+      .select("id", "tok")
+  }
+
+  private def candidatesFromPrefix(prefix: DataFrame): DataFrame =
+    prefix.as("A").join(prefix.as("B"),
         col("A.tok") === col("B.tok") && col("A.id") < col("B.id"))
       .select(col("A.id").as("a"), col("B.id").as("b"))
       .distinct()
-    (cands, prefix)
-  }
 
   /** Shared Jaccard tail over any (id, tok) element stream: prefix-filter
     * candidates, exact intersection on candidates only, similarity ≥
     * threshold. */
   private def jaccardPairsFromToks(toksRaw: DataFrame, threshold: Double): DataFrame = {
-    // the token stream feeds FOUR consumers (df-counts + candidate window,
-    // sizes, and both sides of the intersection join) — persist it once
-    // instead of re-tokenizing/re-shingling the corpus four times, and
-    // materialize the (near-dup-bounded) result eagerly so the persist is
-    // released before returning.
-    val toks = toksRaw.persist()
-    // the candidate frame stays LAZY (single downstream consumer): the
-    // one terminal localCheckpoint below materializes the whole chain —
-    // prefix build, candidate self-join, exact intersection, similarity
-    // filter — as one action, and only then are both persists released.
-    // localCheckpoint output is bounded by true near-dups, so
+    // ONE persisted substrate — (id, tok, rank, sz) — feeds the prefix
+    // and BOTH intersection sides and already carries each doc's size,
+    // so the former separate `sizes` aggregate and its two per-side
+    // joins (two broadcast-build jobs at gate scale, two shuffles at
+    // corpus scale) fold into the substrate's window pass. Everything
+    // downstream stays LAZY: the one terminal localCheckpoint
+    // materializes the whole chain as one action, then releases the
+    // persist. localCheckpoint output is bounded by true near-dups, so
     // executor-local storage is safe even at scale.
-    val (cands, prefix) = jaccardCandidatesLazy(toks, threshold)
+    val ranked = rankedToks(toksRaw).persist()
     try {
-      val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-      val inter = cands
-        .join(toks.as("TA"), col("a") === col("TA.id"))
-        .join(toks.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
+      val cands = candidatesFromPrefix(prefixOf(ranked, threshold))
+      cands
+        .join(ranked.as("TA"), col("a") === col("TA.id"))
+        .join(ranked.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
         .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        // all rows of a group share one (sza, szb) — first() carries the
+        // sizes through the count without re-joining them
+        .agg(count(lit(1)).as("i"),
+          first(col("TA.sz")).as("sza"), first(col("TB.sz")).as("szb"))
         .withColumn("jaccard",
           round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
         .filter(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
         .localCheckpoint()
-    } finally { prefix.unpersist(); toks.unpersist(); () }
+    } finally { ranked.unpersist(); () }
   }
 
   /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥

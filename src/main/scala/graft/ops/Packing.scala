@@ -76,6 +76,22 @@ object Packing {
       .toDF()
   }
 
+  /** [[packChunks]] with the token counts computed from the TEXT itself
+    * by the codegen BPE-ish tokenizer ([[TextAnalysis.bpeishTokenCount]])
+    * instead of a caller-supplied count column — the layout then tracks
+    * a trainer-style subword count rather than whatever estimate the
+    * caller happened to precompute. Row-local (one expression inside the
+    * scan projection), so the cost profile is identical to
+    * [[packChunks]]: the shard window is still the only shuffle. */
+  def packChunksByText(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, shards: Int = 0): DataFrame = {
+    require(!df.columns.contains("__btoks"),
+      "input already has a '__btoks' column — rename it before packChunksByText")
+    packChunks(
+      df.withColumn("__btoks", TextAnalysis.bpeishTokenCount(col(textCol))),
+      idCol, "__btoks", budget, shards)
+  }
+
   /** (shard, bin, id, tok_in_bin, tok_offset): which documents feed
     * which training sequence, how many of their tokens land there, and
     * where the slice starts inside the document. Zero-token documents

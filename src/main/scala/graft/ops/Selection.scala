@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,30 +74,111 @@ object Selection {
     * arithmetic on both sides, so whatever the IEEE product rounds to,
     * both engines pick the same rank by construction.
     *
-    * Cost: ONE map-side-combined `groupBy(score)` histogram collected
-    * to the driver — bounded by the DISTINCT score count, not the
-    * corpus (quality-style scores are rounded to a fixed grid, ≤ ~10⁴
-    * values at 4 dp, at any corpus size), then a scalar filter. No
-    * window over the corpus, no global sort, no TakeOrdered of q·n
-    * rows through one partition. Null scores are never kept and don't
-    * count toward n. */
-  def keepAboveQuantile(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
+    * Cost on grid-valued scores (the quality-score case — rounded to a
+    * fixed grid, ≤ ~10⁴ distinct values at 4 dp at any corpus size):
+    * ONE map-side-combined `groupBy(score)` histogram, collected to the
+    * driver through a `limit(maxDistinct + 1)` PROBE — a result within
+    * the cap is provably the complete histogram and the threshold scan
+    * finishes on the driver. A CONTINUOUS score column (surprisal,
+    * model loss) blows past the cap; instead of an unbounded collect
+    * the threshold then comes from [[rankThreshold]] — an exact
+    * distributed range-refinement selection whose every driver round
+    * is capped. No window over the corpus, no global sort, no
+    * TakeOrdered of q·n rows through one partition on either path.
+    * Null and NaN scores are never kept and don't count toward n (NaN
+    * has no rank — Spark and DuckDB order it differently, so counting
+    * it would make the threshold engine-dependent). */
+  def keepAboveQuantile(df: DataFrame, scoreCol: String, q: Double,
+      maxDistinct: Int = 65536): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1), got $q")
-    val hist = df.filter(col(scoreCol).isNotNull)
-      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
-      .orderBy(col("__s"))
+    require(maxDistinct >= 2, s"maxDistinct must be >= 2, got $maxDistinct")
+    val s = col(scoreCol).cast("double")
+    val nn = df.filter(col(scoreCol).isNotNull && !isnan(s))
+    val hist = nn
+      .groupBy(s.as("__s")).agg(count(lit(1)).as("__c"))
+      .limit(maxDistinct + 1)
       .collect()
     if (hist.isEmpty) return df.filter(lit(false))
-    val n = hist.iterator.map(_.getLong(1)).sum
-    val k = math.ceil(q * n).toLong
-    var cum = 0L
-    var th = hist.last.getDouble(0)
+    val th =
+      if (hist.length <= maxDistinct) {
+        // the probe came back whole: complete histogram, driver scan
+        val sorted = hist.iterator
+          .map(r => (r.getDouble(0), r.getLong(1))).toArray.sortBy(_._1)
+        val n = sorted.iterator.map(_._2).sum
+        scanThreshold(sorted, startCum = 0L, k = math.ceil(q * n).toLong)
+      } else rankThreshold(nn, s, q, maxDistinct)
+    df.filter(s >= th)
+  }
+
+  /** Smallest v in the ascending (value, count) run with
+    * `startCum + Σcount(≤ v) >= k` — the rank-counting threshold rule,
+    * shared by the driver-histogram path and the refinement rounds. */
+  private def scanThreshold(sorted: Array[(Double, Long)], startCum: Long,
+      k: Long): Double = {
+    var cum = startCum
     var i = 0
-    while (i < hist.length && cum < k) {
-      th = hist(i).getDouble(0)
-      cum += hist(i).getLong(1)
+    while (i < sorted.length - 1 && cum + sorted(i)._2 < k) {
+      cum += sorted(i)._2
       i += 1
     }
-    df.filter(col(scoreCol) >= th)
+    sorted(i)._1
+  }
+
+  /** Exact distributed rank selection for a score column with more
+    * distinct values than the driver cap: iteratively narrow the value
+    * range holding rank k. Each round first PROBES the exact per-score
+    * histogram inside the current range (`limit(cap+1)` — if it fits,
+    * the scan finishes on the driver); past the cap it buckets the
+    * range uniformly, collects ≤ 4096 bucket counts, and descends into
+    * the bucket containing the rank, using the bucket's observed
+    * min/max as the next range so every round shrinks the value span
+    * ≥ ~4096×. Doubles exhaust in well under 64 rounds (the full
+    * double range is ~10⁶¹⁷ wide in ratio; 4096⁶⁴ ≈ 10²³¹ per the
+    * subnormal tail twice over), so the loop is bounded; each round is
+    * two corpus-filter jobs with bounded collects — the 100 TB story
+    * is O(rounds) scans, never a corpus-sized driver transfer. */
+  private def rankThreshold(nn: DataFrame, s: Column, q: Double,
+      cap: Int): Double = {
+    val first = nn.agg(min(s).as("mn"), max(s).as("mx"),
+      count(lit(1)).as("n")).head()
+    val k = math.ceil(q * first.getLong(2)).toLong
+    var lo = first.getDouble(0)
+    var hi = first.getDouble(1)
+    var below = 0L // #{x < lo}, carried across rounds
+    val B = 4096
+    var round = 0
+    while (lo < hi && round < 64) {
+      val inRange = nn.filter(s >= lo && s <= hi)
+      val hist = inRange.groupBy(s.as("__s")).agg(count(lit(1)).as("__c"))
+        .limit(cap + 1).collect()
+      if (hist.length <= cap) {
+        val sorted = hist.iterator
+          .map(r => (r.getDouble(0), r.getLong(1))).toArray.sortBy(_._1)
+        return scanThreshold(sorted, below, k)
+      }
+      // MIN_VALUE floor: a subnormal-thin range can underflow the bucket
+      // width to 0; the floor keeps the arithmetic finite and the probe
+      // above catches such ranges (they hold only a handful of doubles)
+      val w = math.max((hi - lo) / B, java.lang.Double.MIN_VALUE)
+      val bucket = least(lit(B - 1), floor((s - lit(lo)) / lit(w)))
+        .cast("int").as("__b")
+      val buckets = inRange.groupBy(bucket)
+        .agg(count(lit(1)).as("__c"), min(s).as("__mn"), max(s).as("__mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      var cum = below
+      var i = 0
+      while (i < buckets.length - 1 && cum + buckets(i)._2 < k) {
+        cum += buckets(i)._2
+        i += 1
+      }
+      below = cum
+      lo = buckets(i)._3
+      hi = buckets(i)._4
+      round += 1
+    }
+    require(round < 64, "rank refinement failed to converge") // unreachable
+    lo
   }
 }

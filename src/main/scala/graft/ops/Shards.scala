@@ -41,30 +41,55 @@ object Shards {
     * row-for-row. */
   def trainingShuffle(df: DataFrame, keyCol: String, nShards: Int,
       salt: String = "shuf", shardCol: String = "shard",
-      posCol: String = "pos"): DataFrame = {
+      posCol: String = "pos"): DataFrame =
+    withPos(withShard(df, keyCol, nShards, salt, shardCol, posCol),
+      keyCol, salt, shardCol, posCol)
+
+  /** The shard coordinate alone (null keys dropped). */
+  private def withShard(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String, shardCol: String, posCol: String): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.contains(shardCol) && !df.columns.contains(posCol),
       s"input already has a '$shardCol'/'$posCol' column — pass different names")
-    val w = Window.partitionBy(col(shardCol))
-      .orderBy(Sampling.hashBucket(col(keyCol), salt + ":pos").asc,
-        col(keyCol).asc)
     df.filter(col(keyCol).isNotNull)
       .withColumn(shardCol,
         pmod(Sampling.hashBucket(col(keyCol), salt + ":shard"),
           lit(nShards.toLong)))
-      .withColumn(posCol, row_number().over(w).cast("long"))
+  }
+
+  /** The position coordinate: rank within the shard. The window only
+    * needs the input CLUSTERED by `shardCol` — any hash partitioning on
+    * it satisfies the distribution, so a caller that pre-partitions
+    * (see [[writeShards]]) pays no second exchange. */
+  private def withPos(df: DataFrame, keyCol: String, salt: String,
+      shardCol: String, posCol: String): DataFrame = {
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(Sampling.hashBucket(col(keyCol), salt + ":pos").asc,
+        col(keyCol).asc)
+    df.withColumn(posCol, row_number().over(w).cast("long"))
   }
 
   /** Materializes the shuffled layout: one parquet directory per shard
     * (`shard=N/`), rows stored in position order so a loader reading a
-    * shard front-to-back replays the exact layout. The `repartition` on
-    * the shard column makes the window's exchange double as the write
-    * layout — shard rows are already co-located when the files are cut,
-    * so the writer adds no extra shuffle. */
+    * shard front-to-back replays the exact layout. The repartition runs
+    * BEFORE the window: `repartition(nShards, shard)` clusters rows by
+    * shard, the window's ClusteredDistribution is satisfied by it (no
+    * second exchange — the window would otherwise re-shuffle to
+    * `spark.sql.shuffle.partitions`, which generally differs from
+    * nShards), and the window's own (shard, posHash, key) sort leaves
+    * every partition already in position order when the files are cut.
+    * ONE exchange total, pinned in PlanContractSpec. */
   def writeShards(df: DataFrame, keyCol: String, nShards: Int,
       path: String, salt: String = "shuf"): Unit =
-    trainingShuffle(df, keyCol, nShards, salt)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "pos")
+    shardedForWrite(df, keyCol, nShards, salt)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** The frame [[writeShards]] materializes — exposed so the one-exchange
+    * contract is pinnable without a filesystem write. */
+  private[graft] def shardedForWrite(df: DataFrame, keyCol: String,
+      nShards: Int, salt: String = "shuf"): DataFrame =
+    withPos(
+      withShard(df, keyCol, nShards, salt, "shard", "pos")
+        .repartition(nShards, col("shard")),
+      keyCol, salt, "shard", "pos")
 }

@@ -197,30 +197,52 @@ object Similarity {
     * within-cell join shuffles on `cell` only.
     *
     * `nLists = 0` (the default) derives the cell count from the corpus
-    * size at a fixed ~2048-row target cell, making total pair work
-    * n·cell/2 — LINEAR in the corpus (a pinned cell count leaves the
-    * pass quadratic across data growth, the q_emb_semdedup gate's
-    * sf0.1→sf1 step measures exactly that). Pass `nLists` explicitly
-    * when the cell policy must be byte-reproducible across corpus
-    * sizes (the gate pins 16 so DuckDB rechecks a stable cell table);
-    * the derivation costs one count job unless `knownCount` is given.
+    * size at a fixed `targetCell`-row target (default ~2048), making
+    * total pair work n·targetCell/2 — LINEAR in the corpus (a pinned
+    * cell count leaves the pass quadratic across data growth). Pass
+    * `nLists` explicitly when the cell policy must be byte-reproducible
+    * across corpus sizes; the derivation costs one count job unless
+    * `knownCount` is given. BOTH policies are oracle-gated: the pinned
+    * path by q_emb_semdedup (nLists = 16, byte-stable cell table) and
+    * the derived scale path by q_emb_semdedup_derived (nLists = 0, the
+    * derived cell table exported at the same policy seam, DuckDB
+    * recomputing everything downstream).
     *
     * Keeps every column of `emb`; rows never paired survive untouched
     * (same keep contract as [[Dedup.keepFromPairs]], which this
     * reuses). */
   def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nLists: Int = 0,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      targetCell: Long = 2048L): DataFrame = {
     require(nLists >= 0, s"nLists must be >= 0 (0 = derive), got $nLists")
     val cells =
       if (nLists > 0) nLists
-      else {
-        val n = knownCount.getOrElse(emb.count())
-        math.max(1L, n / 2048L).toInt
-      }
+      else derivedCells(emb, knownCount, targetCell)
     Dedup.keepFromPairs(emb, idCol,
       semDedupPairs(emb, idCol, vecCol, threshold, cells))
   }
+
+  /** The `nLists = 0` cell-count derivation — one place, shared by
+    * [[semDedupKeep]] and the oracle-aux export so the gate and its
+    * DuckDB replay build the SAME index. */
+  private[graft] def derivedCells(emb: DataFrame, knownCount: Option[Long],
+      targetCell: Long): Int = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    val n = knownCount.getOrElse(emb.count())
+    math.max(1L, n / targetCell).toInt
+  }
+
+  /** The (id, cell) table of the DERIVED-cells policy — exactly the
+    * index [[semDedupKeep]] builds internally for `nLists = 0` (same
+    * [[derivedCells]] count, same seeded k-means), exposed for the
+    * oracle-aux export so DuckDB can recompute the within-cell dedup
+    * from the same policy table the gate ran on. */
+  private[graft] def semDedupExportCells(emb: DataFrame, idCol: String,
+      vecCol: String, knownCount: Option[Long],
+      targetCell: Long): DataFrame =
+    Ivf.build(emb, idCol, vecCol, derivedCells(emb, knownCount, targetCell))
+      .cells.select(col(idCol), col("cell"))
 
   /** The cell-scoped candidate-edge frame behind [[semDedupKeep]] —
     * exposed so the plan contract (cell-conjunct equi-join, never a

@@ -101,12 +101,20 @@ object Sources {
         header("Content-Length").cast("long").as("length"),
         body.as("__b"))
       // the record splitter leaves the inter-record blank lines on the
-      // body tail — cut at the declared Content-Length (WET is UTF-8
-      // text; for multi-byte payloads the byte length over-covers and
-      // the trailing CRLFs are trimmed either way)
+      // body tail — cut at the declared Content-Length in BYTES, the
+      // WARC contract: encode → binary substring → decode is byte-exact
+      // for multi-byte UTF-8 payloads (a char-based substring would
+      // over-cover by bytes−chars and need an rtrim that also destroys
+      // legitimate trailing payload whitespace). A record missing the
+      // header falls back to trimming the separator CRLFs, the only
+      // tail the splitter can leave. A valid Content-Length never cuts
+      // mid-codepoint (it spans the whole payload); a record truncated
+      // by an in-payload early split (see above) just yields the bytes
+      // present.
       .withColumn("text",
-        rtrim(when(col("length").isNotNull, expr("substring(__b, 1, length)"))
-          .otherwise(col("__b")), " \r\n"))
+        when(col("length").isNotNull,
+          expr("decode(substring(encode(__b, 'UTF-8'), 1, length), 'UTF-8')"))
+          .otherwise(rtrim(col("__b"), " \r\n")))
       .select("url", "date", "length", "text")
   }
 }

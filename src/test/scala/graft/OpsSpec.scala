@@ -311,6 +311,31 @@ class OpsSpec extends SparkSpec {
     assert(kept2.count() === 9 && kept2.filter(col("id") === 99L).isEmpty)
   }
 
+  test("quantile cut: continuous scores past the driver cap take the exact distributed path") {
+    import graft.ops.Selection
+    // 3000 distinct continuous scores blow a cap of 16 — the range-
+    // refinement selection must reproduce the driver-histogram
+    // threshold bit-for-bit; heavy-tie case exercises rank counting
+    // across bucket boundaries
+    val continuous = (1 to 3000).map(i =>
+      (i.toLong, math.sin(i.toDouble) * 1000.0 + i / 7.0))
+    val ties = (1 to 2000).map(i => (i.toLong, (i % 37).toDouble / 7.0))
+    for (scores <- Seq(continuous, ties); q <- Seq(0.1, 0.5, 0.9)) {
+      val df = scores.toDF("id", "score")
+      val wide = Selection.keepAboveQuantile(df, "score", q)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val tight = Selection.keepAboveQuantile(df, "score", q, maxDistinct = 16)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(tight === wide, s"distributed path diverged from driver path at q=$q")
+      // naive reference: threshold is the k-th smallest of the sorted
+      // multiset (the smallest data value v with #{x <= v} >= k)
+      val vals = scores.map(_._2).sorted
+      val th = vals(math.ceil(q * vals.length).toInt - 1)
+      val expect = scores.filter(_._2 >= th).map(_._1).sorted
+      assert(wide === expect, s"driver path diverged from naive rank rule at q=$q")
+    }
+  }
+
   test("leakage-safe split: near-dup clusters never straddle the boundary") {
     val universe = (1L to 200L).map(Tuple1(_)).toDF("id")
     // chain 1-2-3 plus pair 10-11: whole components must share a side
@@ -1148,6 +1173,102 @@ class OpsSpec extends SparkSpec {
     assert(got(2)._4 === "gamma gz body")
     assert(got.forall(_._2 == "2024-01-01T00:00:00Z"))
     assert(got(1)._3 === "beta body".length.toLong)
+  }
+
+  test("WET reader: byte-exact multi-byte cut, trailing whitespace kept, early-split drop") {
+    def conv(uri: String, text: String): String =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${text.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$text\r\n\r\n"
+    // CJK + emoji + combining accents: byte length far exceeds char
+    // length, so a char-based cut would over-cover by >> the separator
+    val cjk = "中文文本 🍕 emoji héllo ἑλλάς"
+    // legitimate trailing payload whitespace an rtrim would destroy
+    val trail = "doc keeps its trailing whitespace  \t "
+    // adversarial payload containing the record separator: the record
+    // truncates at the split and the tail fragment (no headers) drops
+    val splitty = "prefix kept\r\nWARC/1.0\r\ntail dropped"
+    val wet = conv("http://cjk.example/", cjk) +
+      conv("http://split.example/", splitty) +
+      conv("http://trail.example/", trail)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-bytes")
+    java.nio.file.Files.write(dir.resolve("part.wet"), wet.getBytes("UTF-8"))
+    val got = graft.ops.Sources.readWetDocs(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq ===
+      Seq("http://cjk.example/", "http://split.example/", "http://trail.example/"))
+    // byte-exact round-trip: declared length is the BYTE count and the
+    // multi-byte payload comes back identical
+    assert(got(0)._2 === cjk.getBytes("UTF-8").length.toLong)
+    assert(got(0)._3 === cjk)
+    assert(got(2)._3 === trail)
+    // the split record yields exactly the bytes before the separator
+    // (Content-Length over-declares; the cut takes what is present) and
+    // nothing anywhere carries the dropped tail
+    assert(got(1)._3 === "prefix kept\r\n")
+    assert(!got.exists(_._3.contains("tail dropped")))
+  }
+
+  test("url normalization: case/port/www/slash/fragment rules and the domain heuristic") {
+    import graft.ops.Urls
+    val rows = Seq(
+      (1L, "HTTP://WWW.News.Example.COM:80/A/B/#frag"),
+      (2L, "https://api.example.com:443/v1/"),
+      (3L, "HTTPS://Example.Com/x?Q=Mixed#s"),
+      (4L, "http://localhost:8080/x"),
+      (5L, "urn:doc:42"),
+      (6L, "HTTP://WWW.News.Example.COM/A/B"), // same page as id 1
+      (7L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "url")
+      .select(col("id"), Urls.normalizeUrl(col("url")).as("n"),
+        Urls.domainOf(Urls.normalizeUrl(col("url"))).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 === "http://news.example.com/A/B") // all five rules at once
+    assert(got(6L)._1 === got(1L)._1, "rule-differing fetches of one page must collide")
+    assert(got(2L)._1 === "https://api.example.com/v1")  // :443 + trailing slash
+    assert(got(3L)._1 === "https://example.com/x?Q=Mixed") // query keeps case
+    assert(got(4L)._1 === "http://localhost:8080/x")     // non-default port kept
+    assert(got(5L)._1 === "urn:doc:42")                  // no authority: fallback
+    assert(got(1L)._2 === "example.com" && got(4L)._2 === "localhost"
+      && got(5L)._2 === "")
+    assert(got(7L)._1 == null)
+    // dedup: min id wins per canonical url, multiplicity kept
+    val dd = Urls.dedupByUrl(rows.toDF("id", "url"), "id", "url")
+      .collect().map(r => (r.getString(1), (r.getLong(0), r.getLong(2)))).toMap
+    assert(dd("http://news.example.com/A/B") === (1L, 2L))
+    assert(dd("urn:doc:42") === (5L, 1L))
+  }
+
+  test("capPerDomain: exact cap, deterministic pick, rerun-stable") {
+    import graft.ops.Urls
+    val df = (1L to 99L).map(i => (i, s"http://host$i.dom${i % 3}.com/p"))
+      .toDF("id", "url")
+    val kept = Urls.capPerDomain(df, "id", "url", maxPerDomain = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.length === 15)
+    assert(kept.groupBy(_._2).forall(_._2.length == 5))
+    // deterministic: same rows on a different partitioning
+    val again = Urls.capPerDomain(df.repartition(13), "id", "url", maxPerDomain = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+    // cap above the domain size keeps everything
+    assert(Urls.capPerDomain(df, "id", "url", maxPerDomain = 50).count() === 99L)
+  }
+
+  test("packChunksByText equals packChunks over precomputed bpeish counts") {
+    val docsDf = (1L to 60L).map(i => (i, ("word " * (i % 9).toInt) + s"tail-$i!"))
+      .toDF("id", "text")
+    val viaText = graft.ops.Packing.packChunksByText(docsDf, "id", "text",
+        budget = 16L, shards = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val precomputed = docsDf.withColumn("t",
+      graft.ops.TextAnalysis.bpeishTokenCount(col("text")))
+    val viaCol = graft.ops.Packing.packChunks(precomputed, "id", "t",
+        budget = 16L, shards = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaText === viaCol)
+    assert(viaText.nonEmpty)
   }
 
   test("planMixture: proportional/uniform/capped water-filling laws") {

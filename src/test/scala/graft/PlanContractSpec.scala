@@ -357,6 +357,14 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(ps).size === 1,
       s"trainingShuffle should shuffle once, on the shard column:\n$ps")
     assert(ps.contains("Window"), s"trainingShuffle lost its rank window:\n$ps")
+    // the write layout repartitions to nShards BEFORE the window, whose
+    // ClusteredDistribution the explicit repartition already satisfies —
+    // a second exchange would mean the window re-shuffled to
+    // spark.sql.shuffle.partitions on top of the write partitioning
+    val pw = plan(graft.ops.Shards.shardedForWrite(docsDf, "id", nShards = 4))
+    assert("Exchange".r.findAllIn(pw).size === 1,
+      s"writeShards layout should pay exactly one exchange:\n$pw")
+    assert(pw.contains("Window"), s"writeShards layout lost its rank window:\n$pw")
   }
 
   test("semDedup pairs join carries the cell conjunct — never a pure product") {
