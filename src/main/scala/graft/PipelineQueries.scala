@@ -264,18 +264,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // exact token-set Jaccard via inverted-index self-join
+    // exact token-set Jaccard via inverted-index self-join. The pair
+    // result is checkpointed and near-dup-bounded — repartition(1) +
+    // local sort, NOT orderBy, so the presentation sort skips the range
+    // sampler's extra job (same pattern as q_emb_near_dup)
     "q_doc_jaccard" -> ((s, dir) => {
       Dedup.tokenJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
           "doc_id", "text", 0.9)
-        .orderBy("a", "b")
+        .repartition(1).sortWithinPartitions("a", "b")
     }),
 
     // word-3-gram Jaccard: order-sensitive phrasing similarity
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 40),
           "doc_id", "text", 3, 0.01)
-        .orderBy("a", "b")
+        .repartition(1).sortWithinPartitions("a", "b")
     }),
 
     // whole-document fingerprint (md5 over normalized text)
@@ -910,6 +913,17 @@ object PipelineQueries {
         .orderBy("vec_id", "comp")
     }),
 
+    // seeded JL random projection: the zero-fit row-local reduction —
+    // the matrix is a pure function of the seed (exported as the policy
+    // seam); DuckDB recomputes every coordinate by dot product
+    "q_emb_rp" -> ((s, dir) => {
+      graft.ops.Rp.project(emb(s, dir), "embedding", k = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("rp")))
+        .select(col("vec_id"), col("pos").as("comp"),
+          round(col("col"), 4).as("coord"))
+        .orderBy("vec_id", "comp")
+    }),
+
     // per-label centroids in exact e4 fixed point (the k-means/IVF
     // summary primitive); oracle compares the integer sums
     "q_emb_centroids" -> ((s, dir) => {
@@ -922,6 +936,14 @@ object PipelineQueries {
     // oracle-checked exactly
     "q_doc_unigram_nll" -> ((s, dir) => {
       TextAnalysis.unigramNllFromTf(termFreq(s, dir)._1, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // bigram-LM surprisal (add-one smoothed): the next-order CCNet
+    // signal — e4 fixed-point per-bigram surprisal, integer-exact sums;
+    // DuckDB replays counts, smoothing and fixed-point end-to-end
+    "q_doc_bigram_nll" -> ((s, dir) => {
+      TextAnalysis.bigramNll(docsPar(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1117,6 +1139,11 @@ object PipelineQueries {
     import s.implicits._
     graft.ops.Ivf.probeCells(idx, q).toDF("cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_probe")
+    // JL random-projection policy seam: the seeded matrix (a pure
+    // function of (seed, dim, k) — same derivation as the gate)
+    graft.ops.Rp.basis(64, 16).zipWithIndex.toSeq
+      .map { case (ax, i) => (i, ax.toSeq) }.toDF("comp", "axis").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/rp_basis")
   }
 
   /** The SemDedup replay, parameterized by which exported cell table
@@ -1845,6 +1872,32 @@ object PipelineQueries {
     // against the ENGINE-EXPORTED model (mean + whitening-folded axes):
     // centered vector per row, then the same ascending-order double dot
     // the codegen ProjectExpr runs
+    // mean-less twin of the q_emb_pca replay over the exported seeded
+    // JL matrix
+    "q_emb_rp" ->
+      s"""WITH b AS (SELECT comp, axis FROM read_parquet('$oracleAuxDir/rp_basis/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, CAST(comp AS INT) AS comp,
+         |  round(list_dot_product(v, axis), 4) AS coord
+         |FROM e, b ORDER BY vec_id, comp""".stripMargin,
+    "q_doc_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+        |          for i in range(1, len(ws))]) AS bg
+        |      FROM w WHERE len(ws) >= 2),
+        |cbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg FROM b GROUP BY bg),
+        |cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cbg) AS BIGINT) AS cu
+        |       FROM cbg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(ws) AS tok FROM w)),
+        |j AS (SELECT b.doc_id, cbg.cbg, cu.cu FROM b
+        |      JOIN cbg USING (bg)
+        |      JOIN cu ON cu.w1 = string_split(b.bg, ' ')[1])
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(round(-ln((cbg + 1.0) / (cu + v.v)) * 10000) AS BIGINT)) AS BIGINT) AS nll_e4,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM j, v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_emb_pca" ->
       s"""WITH m AS (SELECT mean FROM read_parquet('$oracleAuxDir/pca_mean/*.parquet')),
          |b AS (SELECT comp, axis FROM read_parquet('$oracleAuxDir/pca_basis/*.parquet')),

@@ -573,23 +573,34 @@ object Dedup {
     // persist. localCheckpoint output is bounded by true near-dups, so
     // executor-local storage is safe even at scale.
     val ranked = rankedToks(toksRaw).persist()
-    try {
-      val cands = candidatesFromPrefix(prefixOf(ranked, threshold))
-      cands
-        .join(ranked.as("TA"), col("a") === col("TA.id"))
-        .join(ranked.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
-        .groupBy(col("a"), col("b"))
-        // all rows of a group share one (sza, szb) — first() carries the
-        // sizes through the count without re-joining them
-        .agg(count(lit(1)).as("i"),
-          first(col("TA.sz")).as("sza"), first(col("TB.sz")).as("szb"))
-        .withColumn("jaccard",
-          round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
-        .filter(col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-        .localCheckpoint()
-    } finally { ranked.unpersist(); () }
+    try jaccardTail(ranked, threshold).localCheckpoint()
+    finally { ranked.unpersist(); () }
   }
+
+  /** Candidate generation + exact intersection + threshold over a
+    * ranked substrate — the lazy plan behind [[jaccardPairsFromToks]],
+    * factored out so the plan contract can pin the join shape the
+    * checkpointed execution path hides. */
+  private def jaccardTail(ranked: DataFrame, threshold: Double): DataFrame =
+    candidatesFromPrefix(prefixOf(ranked, threshold))
+      .join(ranked.as("TA"), col("a") === col("TA.id"))
+      .join(ranked.as("TB"), col("b") === col("TB.id") && col("TA.tok") === col("TB.tok"))
+      .groupBy(col("a"), col("b"))
+      // all rows of a group share one (sza, szb) — first() carries the
+      // sizes through the count without re-joining them
+      .agg(count(lit(1)).as("i"),
+        first(col("TA.sz")).as("sza"), first(col("TB.sz")).as("szb"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("sza") + col("szb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** The UNMATERIALIZED token-Jaccard pair plan (no persist, no
+    * checkpoint) — plan-contract inspection only; execution goes
+    * through [[tokenJaccardPairs]]. */
+  private[graft] def tokenJaccardPlanOnly(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame =
+    jaccardTail(rankedToks(jaccardToks(df, idCol, textCol)), threshold)
 
   /** Exact token-set Jaccard pairs — (a, b, jaccard) for pairs ≥
     * threshold. Candidates come from the prefix filter (lossless, see

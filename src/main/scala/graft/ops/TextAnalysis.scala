@@ -316,6 +316,43 @@ object TextAnalysis {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Bigram-LM surprisal per document (add-one smoothed) — the
+    * next-order CCNet-style LM-quality signal above [[unigramNll]]: a
+    * document whose CONSECUTIVE word pairs are improbable under the
+    * corpus bigram model scores high even when its unigrams are common
+    * (word salad, shuffled text, template churn). Model:
+    * P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V), with c(w₁·) the corpus
+    * count of w₁ as a bigram context and V the corpus distinct-token
+    * count; per-bigram surprisal −ln P is e4-fixed-pointed BEFORE the
+    * per-doc sum, so the aggregate is exact integer math — order- and
+    * partitioning-invariant, engine-replayable (same discipline as
+    * [[unigramNll]]). Documents under two tokens have no bigrams and
+    * emit no row.
+    *
+    * Cost: the (doc, bigram) aggregate + two bounded roll-ups (bigram
+    * and context counts) + one scalar vocab aggregate, joined back on
+    * the bigram — the same shuffle class as tf-idf; nothing pairwise,
+    * nothing corpus² at any scale. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per-(doc, bigram) counts: every occurrence, not distinct
+    val bg = df.select(col(idCol),
+        explode(wordGrams(col(textCol), 2, distinct = false)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val cbg = bg.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+    val cu = cbg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("cu"))
+    val v = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(cbg, "bg")
+      .join(cu, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf") * round(-log((col("cbg") + lit(1.0)) / (col("cu") + col("v")))
+          * 10000).cast("long")).as("nll_e4"),
+        sum(col("tf")).as("n_bigrams"))
+  }
+
   /** One-row corpus vocabulary summary: documents, token mass, distinct
     * types, hapax legomena — the Zipf-shape health check. Two bounded
     * aggregates (term counts, then the scalar roll-up). */

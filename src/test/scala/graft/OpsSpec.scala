@@ -1210,6 +1210,61 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(_._3.contains("tail dropped")))
   }
 
+  test("bigramNll: add-one smoothed surprisal matches a naive reference") {
+    val rows = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x"), // no bigrams -> no row
+      (4L, "c c c"))
+    val got = graft.ops.TextAnalysis.bigramNll(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val toks = rows.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val bgs = toks.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.size == 2).map(p => (id, p.mkString(" "))) }
+    val cbg = bgs.groupBy(_._2).map { case (g, l) => g -> l.size.toLong }
+    val cu = cbg.groupBy(_._1.split(" ")(0))
+      .map { case (w, m) => w -> m.values.sum }
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    val want = bgs.groupBy(_._1).map { case (id, l) =>
+      val nll = l.map { case (_, g) =>
+        math.round(-math.log((cbg(g) + 1.0) / (cu(g.split(" ")(0)) + v)) * 10000)
+      }.sum
+      id -> (nll, l.size.toLong)
+    }
+    assert(got === want)
+    assert(!got.contains(3L), "a one-token doc has no bigrams and no row")
+  }
+
+  test("random projection: deterministic, shuffle-free, scale-linear, norm-sane") {
+    import graft.ops.Rp
+    def fvec(seed: Long) = Array.tabulate(64)(d =>
+      ((graft.functions.Hash64.hashString(s"rpv:$seed:$d") % 1000L).toFloat / 500f))
+    val vecs = (1L to 40L).map(i => (i, fvec(i)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Rp.project(d, "embedding", k = 32, dim = 64)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val p1 = run(df)
+    assert(p1 === run(df.repartition(7)), "projection moved with partitioning")
+    // row-local: the projection adds no exchange
+    val plan = Rp.project(df, "embedding", k = 32, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rp projection shuffles:\n$plan")
+    // doubling the input doubles the output exactly (dot is linear and
+    // 2x is exact in fp)
+    val doubled = run(vecs.map { case (i, v) => (i, v.map(_ * 2f)) }
+      .toDF("vec_id", "embedding"))
+    assert(vecs.forall { case (i, _) =>
+      doubled(i).zip(p1(i)).forall { case (d2, d1) => d2 == d1 * 2 } })
+    // JL sanity at k=32: projected norm within a broad band of the input
+    assert(vecs.forall { case (i, v) =>
+      val n0 = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val n1 = math.sqrt(p1(i).map(x => x * x).sum)
+      n0 == 0 || (n1 / n0 > 0.25 && n1 / n0 < 4.0)
+    }, "projected norms left the JL band")
+  }
+
   test("url normalization: case/port/www/slash/fragment rules and the domain heuristic") {
     import graft.ops.Urls
     val rows = Seq(

@@ -379,6 +379,24 @@ class PlanContractSpec extends SparkSpec {
       s"semDedup lost its cell-scoped candidate join:\n$p")
   }
 
+  test("jaccard pair chain: 4 equi-joins, sizes ride the substrate, no product") {
+    import spark.implicits._
+    val docsDf = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} shared common words here $i"))
+      .toDF("id", "text")
+    val p = plan(graft.ops.Dedup.tokenJaccardPlanOnly(docsDf, "id", "text", 0.8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"jaccard chain degenerated to a product:\n$p")
+    // 7 joins in the UNPERSISTED lazy plan: prefix self-join + two
+    // intersection sides + the df-count attach replicated into each of
+    // the substrate's four consumers (execution persists the substrate,
+    // so the attach runs ONCE — see jaccardPairsFromToks). The former
+    // per-side `sizes` joins would push this to 9: the margin is the
+    // regression being pinned.
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 7, s"jaccard chain grew to $joins joins (sizes re-join leak?):\n$p")
+    assert(p.contains("Window"), s"jaccard chain lost its rank/size window:\n$p")
+  }
+
   test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
