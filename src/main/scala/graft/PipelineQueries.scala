@@ -718,6 +718,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // per-(doc, benchmark item) contamination audit — the leakage
+    // investigation view over the same 8-gram machinery; oracle replays
+    // the gram join grouped by BOTH ids
+    "q_doc_decontam_report" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.ops.Decontam.contaminationReport(d, bench, "doc_id", "bench_id",
+          "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // corpus-version diff: v2 derived deterministically from v1 (drop
+    // %10, mutate %7, add high-id clones for %13) so every status class
+    // is populated; oracle replays construction + md5 compare
+    "q_doc_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .union(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.CorpusDiff.diff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // budget-constrained selection: greedy top-quality docs within a
     // 16k-token budget (the sf0.01 corpus is ~27k tokens, so the cut is
     // real), sharded so the running sum never globally sorts the
@@ -1374,6 +1402,33 @@ object PipelineQueries {
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM g JOIN b ON g.gram = b.gram
         |GROUP BY g.doc_id HAVING count(*) >= 1 ORDER BY g.doc_id""".stripMargin,
+    "q_doc_decontam_report" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+        |          for i in range(1, len(ws) - 6)])) AS gram
+        |      FROM w WHERE len(ws) >= 8),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM g JOIN b ON g.gram = b.gram
+        |GROUP BY g.doc_id, b.bench_id HAVING count(*) >= 1
+        |ORDER BY g.doc_id, b.bench_id""".stripMargin,
+    "q_doc_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |        v1.doc_id IS NOT NULL AS po, v2.doc_id IS NOT NULL AS pn,
+        |        md5(coalesce(v1.text, '')) AS ho, md5(coalesce(v2.text, '')) AS hn
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT po THEN 'added' WHEN NOT pn THEN 'removed'
+        |       WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q_doc_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

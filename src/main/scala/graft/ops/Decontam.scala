@@ -37,6 +37,27 @@ object Decontam {
       .filter(col("hits") >= minHits)
   }
 
+  /** Per-(document, benchmark item) contamination audit: which corpus
+    * documents share ≥ `minHits` distinct n-grams with WHICH benchmark
+    * rows — the view a leakage investigation reads ("items of eval X
+    * appear verbatim in these documents"), where [[contaminated]] only
+    * answers the shipping question ("drop these docs"). Same cost
+    * shape: the bench side stays the broadcast side (bounded by the
+    * benchmark), the corpus side pays one gram explode + one grouped
+    * count — the pair cardinality is true contamination, never
+    * corpus × bench. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, benchIdCol: String, textCol: String,
+      n: Int = 8, minHits: Long = 1L): DataFrame = {
+    val benchGrams = grams(bench, benchIdCol, textCol, n)
+      .select(col("id").as("bench_id"), col("gram")).distinct()
+    grams(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits")) // distinct per (doc, bench) pair
+      .filter(col("hits") >= minHits)
+  }
+
   /** The corpus minus its contaminated documents — the step a curation
     * run actually ships. One anti-join against the (small) flagged set. */
   def clean(corpus: DataFrame, bench: DataFrame, idCol: String,

@@ -1210,6 +1210,37 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(_._3.contains("tail dropped")))
   }
 
+  test("corpus diff: added/removed/changed/unchanged by content, null-text safe") {
+    import graft.ops.CorpusDiff
+    val v1 = Seq((1L, "same"), (2L, "gone"), (3L, "was"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val v2 = Seq((1L, "same"), (3L, "now"), (4L, ""), (5L, "new"))
+      .toDF("id", "text")
+    val got = CorpusDiff.diff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null -> '' reads unchanged: presence defines added/removed, and
+    // null text hashes like empty (documented)
+    assert(got === Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    val s0 = CorpusDiff.diffSummary(v1, v2, "id", "text").collect()(0)
+    assert((s0.getLong(0), s0.getLong(1), s0.getLong(2), s0.getLong(3)) ===
+      ((1L, 1L, 1L, 2L)))
+  }
+
+  test("contaminationReport attributes hits to specific benchmark items") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq(
+      (1L, s"$eight tail tokens here"),
+      (2L, "totally different words making another doc entirely okay"),
+      (3L, s"prefix $eight")).toDF("id", "text")
+    val bench = Seq((100L, eight),
+      (200L, "unrelated bench item text pad pad pad pad")).toDF("bid", "text")
+    val got = graft.ops.Decontam.contaminationReport(
+        corpus, bench, "id", "bid", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 100L, 1L), (3L, 100L, 1L)))
+  }
+
   test("bigramNll: add-one smoothed surprisal matches a naive reference") {
     val rows = Seq(
       (1L, "a b a b c"),
