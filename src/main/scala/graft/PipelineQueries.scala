@@ -936,8 +936,10 @@ object PipelineQueries {
     "q_emb_pca" -> ((s, dir) => {
       graft.ops.Pca.transform(emb(s, dir), "embedding", pcaModel(s, dir), "proj")
         .select(col("vec_id"), posexplode(col("proj")))
+        // + 0.0 folds -0.0 to +0.0 (same latent hash-compare hazard the
+        // rp gate hit at sf0.1 — see q_emb_rp)
         .select(col("vec_id"), col("pos").as("comp"),
-          round(col("col"), 4).as("coord"))
+          (round(col("col"), 4) + lit(0.0)).as("coord"))
         .orderBy("vec_id", "comp")
     }),
 
@@ -947,8 +949,12 @@ object PipelineQueries {
     "q_emb_rp" -> ((s, dir) => {
       graft.ops.Rp.project(emb(s, dir), "embedding", k = 16, dim = 64)
         .select(col("vec_id"), posexplode(col("rp")))
+        // + 0.0 folds -0.0 to +0.0: DuckDB's round sends a tiny negative
+        // dot to -0.0 where Spark's sends it to +0.0, and the driver's
+        // hash compare is representational (same normalization both
+        // sides; surfaced by a real -0.0 at sf0.1)
         .select(col("vec_id"), col("pos").as("comp"),
-          round(col("col"), 4).as("coord"))
+          (round(col("col"), 4) + lit(0.0)).as("coord"))
         .orderBy("vec_id", "comp")
     }),
 
@@ -1933,7 +1939,7 @@ object PipelineQueries {
       s"""WITH b AS (SELECT comp, axis FROM read_parquet('$oracleAuxDir/rp_basis/*.parquet')),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT vec_id, CAST(comp AS INT) AS comp,
-         |  round(list_dot_product(v, axis), 4) AS coord
+         |  round(list_dot_product(v, axis), 4) + 0.0 AS coord
          |FROM e, b ORDER BY vec_id, comp""".stripMargin,
     "q_doc_bigram_nll" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -1960,7 +1966,7 @@ object PipelineQueries {
          |c AS (SELECT vec_id, [v[i] - mean[i] for i in range(1, len(v) + 1)] AS cv
          |      FROM e, m)
          |SELECT vec_id, CAST(comp AS INT) AS comp,
-         |  round(list_dot_product(cv, axis), 4) AS coord
+         |  round(list_dot_product(cv, axis), 4) + 0.0 AS coord
          |FROM c, b ORDER BY vec_id, comp""".stripMargin,
     "q_emb_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
