@@ -1035,6 +1035,66 @@ object PipelineQueries {
           forall(col("rms"), v => v >= 0f && v <= 1f).as("rms_ok"))
         .coalesce(1).orderBy("id")
     }),
+
+    // SSL-prototype pruning (Sorscher et al. 2022): drop the 25% most-
+    // prototypical members of every k-means cell. Cells and centroids
+    // come from the SAME deterministic IVF build the ANN gates pin
+    // (exported at the policy seam); DuckDB recomputes cosine-to-
+    // centroid, the within-cell rank and the ceil cut exactly
+    "q_emb_prototypes" -> ((s, dir) => {
+      Similarity.prunePrototypes(emb(s, dir), "vec_id", "embedding",
+          pruneFrac = 0.25, nLists = 16)
+        .orderBy("vec_id")
+    }),
+
+    // CCNet-style per-language perplexity bucketing (Wenzek et al.
+    // 2020): rank docs by mean unigram surprisal within each language,
+    // head/middle/tail at ceil(n/3)/ceil(2n/3) — DuckDB replays the LM,
+    // the mean, the rank and both cuts end-to-end
+    "q_doc_ppl_buckets" -> ((s, dir) => {
+      val nll = TextAnalysis.unigramNllFromTf(termFreq(s, dir)._1, "doc_id")
+      val scored = nll
+        .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+        // ONE integer/integer IEEE division — deterministic across
+        // engines, so ranking on the raw double is engine-exact
+        .withColumn("mean_nll", col("nll_e4") / col("n_tokens"))
+      graft.ops.Selection.scoreBuckets(scored, "lang", "mean_nll", "doc_id")
+        .select(col("doc_id"), col("lang"),
+          round(col("mean_nll")).cast("long").as("mean_nll_e4"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE trainer counting step: word-frequency-weighted adjacent
+    // character-pair counts over the VOCABULARY (the next-merge table);
+    // deterministic tie-break, oracle-checked exactly
+    "q_doc_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(docsPar(s, dir), "text", k = 30)
+    }),
+
+    // order-invariant per-shard manifest of the q_doc_shard layout:
+    // counts, bytes, dense-position invariant, exact decimal content
+    // checksum — DuckDB recomputes every column from the same salted
+    // hashes
+    "q_doc_shard_manifest" -> ((s, dir) => {
+      graft.ops.Shards.manifest(
+          graft.ops.Shards.trainingShuffle(
+            docs(s, dir).select("doc_id", "text"), "doc_id",
+            nShards = 8, salt = "shuf"),
+          "doc_id", "text")
+        .orderBy("shard")
+    }),
+
+    // domain-blocklist filter over the synthetic URL corpus: one entry
+    // blocks a whole registrable domain (every subdomain of site1.com),
+    // one an exact host — the oracle derives the kept set in CLOSED
+    // FORM from the url construction, independent of the regex rules
+    "q_doc_blocklist" -> ((s, dir) => {
+      Urls.filterBlockedDomains(urled(s, dir), "url",
+          Seq("site1.com", "src2.site2.com"))
+        .select(col("doc_id"),
+          Urls.hostOf(Urls.normalizeUrl(col("url"))).as("host"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val BpeishRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -1173,6 +1233,13 @@ object PipelineQueries {
     import s.implicits._
     graft.ops.Ivf.probeCells(idx, q).toDF("cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_probe")
+    // prototypicality policy seam: the SAME build's centroid vectors as
+    // DOUBLE[] (float→double is exact), so q_emb_prototypes' oracle
+    // recomputes every cosine-to-centroid bit-identically
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_centroids")
     // JL random-projection policy seam: the seeded matrix (a pure
     // function of (seed, dim, k) — same derivation as the gate)
     graft.ops.Rp.basis(64, 16).zipWithIndex.toSeq
@@ -1986,5 +2053,79 @@ object PipelineQueries {
         |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sum_e4,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // prototypicality replay: cells + centroids from the exported
+    // deterministic IVF build (the policy seam); cosine-to-centroid,
+    // within-cell rank and the ceil(0.25·n) cut are all DuckDB's
+    "q_emb_prototypes" ->
+      s"""WITH cells AS (SELECT vec_id, cell FROM read_parquet('$oracleAuxDir/ivf_cells/*.parquet')),
+         |cent AS (SELECT cell, centroid FROM read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
+         |p AS (SELECT e.vec_id, cells.cell,
+         |        round(list_dot_product(va, centroid)
+         |          / sqrt(list_dot_product(va, va))
+         |          / sqrt(list_dot_product(centroid, centroid)), 4) + 0.0 AS proto
+         |      FROM e JOIN cells USING (vec_id)
+         |      JOIN cent ON cells.cell = cent.cell),
+         |r AS (SELECT vec_id, cell, proto,
+         |        row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS rn,
+         |        count(*) OVER (PARTITION BY cell) AS n
+         |      FROM p)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell, proto, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn > CAST(ceil(0.25 * n) AS BIGINT)
+         |ORDER BY vec_id""".stripMargin,
+    "q_doc_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(sum(ctf) AS DOUBLE) AS nc FROM c),
+        |s AS (SELECT doc_id,
+        |        CAST(SUM(tf * CAST(round(-ln(ctf / nc) * 10000) AS BIGINT)) AS BIGINT) AS nll_e4,
+        |        CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |      FROM tf JOIN c USING (term), n GROUP BY doc_id),
+        |j AS (SELECT s.doc_id, d.lang, s.nll_e4 / s.n_tokens AS mean_nll
+        |      FROM s JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, lang, mean_nll,
+        |        row_number() OVER (PARTITION BY lang ORDER BY mean_nll ASC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM j)
+        |SELECT doc_id, lang, CAST(round(mean_nll) AS BIGINT) AS mean_nll_e4,
+        |  CASE WHEN rn <= CAST(ceil(n / 3.0) AS BIGINT) THEN 'head'
+        |       WHEN rn <= CAST(ceil(n * 2.0 / 3.0) AS BIGINT) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_doc_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |           FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t WHERE w <> '' GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+        |      FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        |            FROM wc WHERE length(w) >= 2))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    "q_doc_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:pos'), 1, 8))::UBIGINT AS ph
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS BIGINT) AS pos
+        |      FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // closed-form keep set: site1.com blocks every k=1 host by suffix,
+    // src2.site2.com blocks exactly that host — derived from the url
+    // construction, independent of the engine's suffix arithmetic
+    "q_doc_blocklist" ->
+      """SELECT doc_id,
+        |  source || '.site' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host
+        |FROM documents
+        |WHERE NOT (doc_id % 4 = 1 OR (source = 'src2' AND doc_id % 4 = 2))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -61,6 +61,39 @@ object Selection {
       .filter(col("cum_tokens") <= shardBudget)
   }
 
+  /** CCNet-style per-group score bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): within each group (per language, in the CCNet
+    * recipe) rank rows by `scoreCol` ascending — lower LM surprisal =
+    * cleaner text — and label the first `ceil(n/3)` rows `head`, rows
+    * through `ceil(2n/3)` `middle`, the rest `tail`. Downstream recipes
+    * train on head+middle or re-weight by bucket.
+    *
+    * Engine-exact by construction: the rank orders by the raw score
+    * with an id tie-break, and both cut ranks are `ceil` of the SAME
+    * IEEE double products (`n/3.0`, `n·2.0/3.0`) any engine computes
+    * identically. ONE shuffle on `groupCol` for the two windows (rank +
+    * group count share the partitioning); group sizes are per-language
+    * corpus slices, so a task sorts one language's rows — for a
+    * mega-language at 100 TB, pre-split the group key (lang, shard) and
+    * accept per-shard tertiles, the same trade CCNet's per-shard
+    * processing makes. */
+  def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, bucketCol: String = "bucket"): DataFrame = {
+    require(!df.columns.contains(bucketCol),
+      s"input already has a '$bucketCol' column — pass a different bucketCol")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(cw))
+      .withColumn(bucketCol,
+        when(col("__rn") <= ceil(col("__gn") / lit(3.0)).cast("long"), lit("head"))
+          .when(col("__rn") <= ceil(col("__gn") * lit(2.0) / lit(3.0)).cast("long"),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rn", "__gn")
+  }
+
   /** Percentile-threshold curation: keep rows whose `scoreCol` is at
     * or above the corpus's DISCRETE q-quantile — "drop the bottom
     * decile by quality". The threshold is the smallest score value v

@@ -84,6 +84,31 @@ object Shards {
     shardedForWrite(df, keyCol, nShards, salt)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Per-shard manifest of a laid-out corpus: row count, byte volume,
+    * max position (== `n_docs` iff the positions are dense — a free
+    * layout-integrity invariant), and an ORDER-INVARIANT content
+    * checksum: the exact decimal sum of a salted 32-bit hash of each
+    * row's (key, text-md5). Addition commutes, so two manifests agree
+    * iff the shards hold the same (key, content) multiset regardless of
+    * row order, partitioning, cluster, or engine — the cheap audit for
+    * a 100 TB layout job (re-manifesting is one map pass + ONE
+    * shard-keyed map-side-combined aggregate; comparing manifests is
+    * nShards rows). The sum is decimal(38,0): 32-bit summands overflow
+    * a BIGINT past ~2³¹ rows per shard, and wrap order is engine-
+    * defined — decimal keeps the value exact at any scale. Null text
+    * contributes no bytes and no checksum term on either engine (SQL
+    * sum-skips-null semantics, mirrored by the oracle). */
+  def manifest(sharded: DataFrame, keyCol: String, textCol: String,
+      shardCol: String = "shard", posCol: String = "pos",
+      salt: String = "manifest"): DataFrame =
+    sharded.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol)).cast("long")).as("bytes"),
+        max(col(posCol)).as("max_pos"),
+        sum(Sampling.hashBucket(
+            concat(col(keyCol).cast("string"), lit("|"), md5(col(textCol))),
+            salt).cast("decimal(38,0)")).as("checksum"))
+
   /** The frame [[writeShards]] materializes — exposed so the one-exchange
     * contract is pinnable without a filesystem write. */
   private[graft] def shardedForWrite(df: DataFrame, keyCol: String,

@@ -266,6 +266,57 @@ object Similarity {
       .select(col("a"), col("b"))
   }
 
+  /** Prototypicality of every vector: its cosine to the centroid of its
+    * own k-means cell — the data-pruning metric of Sorscher et al. 2022
+    * (arXiv:2206.14486, "Beyond neural scaling laws"): a vector close to
+    * its cluster prototype is an "easy"/redundant example, and when data
+    * is abundant the best pruning drops the MOST prototypical fraction.
+    *
+    * Plan shape at 100 TB: the cell assignment is the codegen'd
+    * [[graft.functions.NearestCellExpr]] (one scan pass, row-local), the
+    * centroid lookup a BROADCAST join on the ≤`nLists`-row centroid
+    * table, and the cosine the codegen'd pair kernel — no corpus
+    * shuffle at all in this step (the rank window in
+    * [[prunePrototypes]] adds the one cell-keyed exchange). The score is
+    * rounded to 4 dp (the repo-wide engine-parity grid) and `-0.0` is
+    * folded to `+0.0` (IEEE: −0.0 + 0.0 = +0.0) so the value is
+    * representation-identical across engines. Null vectors assign a
+    * null cell and drop at the join (no geometry, no prototype). */
+  def prototypicality(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16): DataFrame = {
+    val idx = Ivf.build(emb, idCol, vecCol, nLists)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "__centroid")
+    idx.cells.join(broadcast(cents), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        (round(cosine(col(vecCol), col("__centroid")), 4) + lit(0.0)).as("proto"))
+  }
+
+  /** Prototypicality pruning: drop the `pruneFrac` most-prototypical
+    * members of every cell (rank by `proto` desc, id tie-break; the cut
+    * rank is `ceil(pruneFrac · |cell|)` — the same double product both
+    * engines evaluate, so the kept set is engine-exact). Keeps
+    * (id, cell, proto, rn) for the survivors; `rn` is the within-cell
+    * prototypicality rank, so `rn > cut` reads directly as "the hard
+    * `1 − pruneFrac` tail of the cell". ONE cell-keyed exchange for the
+    * window; cells are size-bounded by the k-means build, so no task
+    * sorts more than a cell. */
+  def prunePrototypes(emb: DataFrame, idCol: String, vecCol: String,
+      pruneFrac: Double, nLists: Int = 16): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0,
+      s"pruneFrac must be in [0, 1), got $pruneFrac")
+    val p = prototypicality(emb, idCol, vecCol, nLists)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("proto").desc, col(idCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    p.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("rn") > ceil(lit(pruneFrac) * col("__n")).cast("long"))
+      .drop("__n")
+  }
+
   /** Top-n most similar pairs (see [[candidatePairs]] for the
     * brute-vs-LSH routing contract). */
   def topPairs(emb: DataFrame, idCol: String, vecCol: String, n: Int,

@@ -385,6 +385,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** One BPE-trainer counting step at corpus scale (Sennrich et al.
+    * 2016, arXiv:1508.07909): the frequency of every adjacent character
+    * pair, weighted by word frequency — the table whose argmax is the
+    * next merge a byte-pair-encoding tokenizer learns. Top-k by count
+    * with a deterministic tie-break (count desc, pair asc).
+    *
+    * The scale property real BPE trainers rely on: the corpus collapses
+    * to its VOCABULARY first (one map-side-combined `groupBy(word)` —
+    * the only corpus-sized stage), and the pair explode then runs over
+    * DISTINCT words only, carrying the word count as the weight. Pair
+    * work is bounded by Σ|word| over the vocabulary, not over the
+    * corpus — a 100 TB crawl with a 10M-word vocabulary explodes ~10M
+    * rows, not 10¹³. Iterating merges re-runs this count over a
+    * re-segmented vocabulary; this operator is the one distributed step
+    * each iteration repeats. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
+    val wc = df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("c"))
+    pairs.groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text —
     * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
   def fingerprintMd5(text: Column): Column =

@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{Selection, Shards, Similarity, TextAnalysis, Urls}
+import org.apache.spark.sql.functions._
+
+/** Round-9 curation operators: BPE pair counting, CCNet score buckets,
+  * shard manifests, domain blocklists, prototypicality pruning. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe pair counts: frequency-weighted over the vocabulary") {
+    val df = Seq((1L, "ab ab abc"), (2L, "ab b")).toDF("id", "text")
+    // vocab: ab→3, abc→1, b→1 (no pair); pairs: 'ab' from ab(3)+abc(1)=4,
+    // 'bc' from abc(1)
+    val rows = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("ab", 4L), ("bc", 1L)))
+  }
+
+  test("bpe pair counts: case folds, count-desc pair-asc order") {
+    val df = Seq((1L, "AB xy"), (2L, "xy")).toDF("id", "text")
+    val rows = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("xy", 2L), ("ab", 1L)))
+  }
+
+  test("score buckets: per-group tertile cuts, id tie-break") {
+    val df = Seq(
+      ("en", 1L, 1.0), ("en", 2L, 2.0), ("en", 3L, 3.0), ("en", 4L, 4.0),
+      ("de", 5L, 9.0),
+      ("fr", 6L, 1.0), ("fr", 7L, 1.0) // tied scores → id order decides
+    ).toDF("lang", "id", "s")
+    val out = Selection.scoreBuckets(df, "lang", "s", "id")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toMap
+    // n=4: head through ceil(4/3)=2, middle through ceil(8/3)=3
+    assert(out(1L) === "head" && out(2L) === "head")
+    assert(out(3L) === "middle" && out(4L) === "tail")
+    // singleton group is all head
+    assert(out(5L) === "head")
+    // n=2: ceil(2/3)=1 head, ceil(4/3)=2 middle, no tail
+    assert(out(6L) === "head" && out(7L) === "middle")
+  }
+
+  test("shard manifest: order-invariant, dense, content-sensitive") {
+    val docs = (0L until 40L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val m1 = Shards.manifest(Shards.trainingShuffle(docs, "doc_id", 4),
+      "doc_id", "text").orderBy("shard").collect()
+    assert(m1.map(_.getLong(1)).sum === 40L)
+    // dense positions: max_pos == n_docs in every shard
+    m1.foreach(r => assert(r.getLong(3) === r.getLong(1)))
+    // the same corpus in any order / partitioning manifests identically
+    val m2 = Shards.manifest(
+      Shards.trainingShuffle(docs.orderBy(rand(7)).repartition(7), "doc_id", 4),
+      "doc_id", "text").orderBy("shard").collect()
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    // one flipped document changes a checksum but no count
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 0L, lit("TEXT BODY 0")).otherwise(col("text")))
+    val m3 = Shards.manifest(Shards.trainingShuffle(tweaked, "doc_id", 4),
+      "doc_id", "text").orderBy("shard").collect()
+    assert(m1.map(_.getDecimal(4)).toSeq !== m3.map(_.getDecimal(4)).toSeq)
+    assert(m1.map(_.getLong(1)).toSeq === m3.map(_.getLong(1)).toSeq)
+  }
+
+  test("blocklist: suffix blocks subdomains, exact host, keeps siblings") {
+    val df = Seq(
+      (1L, "http://ads.example.com/x"), // subdomain of a blocked domain
+      (2L, "http://example.com/y"), // the blocked domain itself
+      (3L, "http://example.com.evil.org/z"), // suffix trap — NOT blocked
+      (4L, "https://WWW.Sub.Tracker.NET/a"), // blocked after normalization
+      (5L, "http://good.org/b"),
+      (6L, "urn:isbn:12345"), // no authority → kept
+      (7L, null.asInstanceOf[String]) // null url → kept
+    ).toDF("id", "url")
+    val kept = Urls.filterBlockedDomains(df, "url",
+        Seq("example.com", "Tracker.NET"))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(3L, 5L, 6L, 7L))
+  }
+
+  test("prototype pruning: ceil cut per cell, least-prototypical survive") {
+    // two tight clusters around orthogonal axes
+    val vecs =
+      (0 until 10).map(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f))) ++
+        (10 until 22).map(i => (i.toLong, Array(0f, 0.01f * (i - 10), 1f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val kept = Similarity.prunePrototypes(df, "vec_id", "embedding",
+      pruneFrac = 0.25, nLists = 2).collect()
+    val keptByCell = kept.groupBy(_.getAs[Int]("cell"))
+    val full = Similarity.prototypicality(df, "vec_id", "embedding", nLists = 2)
+      .collect().groupBy(_.getAs[Int]("cell"))
+    assert(keptByCell.keySet === full.keySet)
+    for ((cell, rows) <- full) {
+      val cut = math.ceil(0.25 * rows.length).toInt
+      // survivors are exactly the members below the proto-desc cut
+      val expected = rows
+        .sortBy(r => (-r.getAs[Double]("proto"), r.getAs[Long]("vec_id")))
+        .drop(cut).map(_.getAs[Long]("vec_id")).toSet
+      val got = keptByCell(cell).map(_.getAs[Long]("vec_id")).toSet
+      assert(got === expected, s"cell $cell")
+      // and their reported rank is the within-cell prototypicality rank
+      keptByCell(cell).foreach(r => assert(r.getAs[Long]("rn") > cut))
+    }
+  }
+}
