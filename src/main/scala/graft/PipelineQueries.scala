@@ -1084,6 +1084,31 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // engine-portable normalization pass: the corpus text decorated
+    // with exactly the unicode the rules target (curly quotes, em dash,
+    // NBSP, a control char, doubled spaces); the md5 pins the FULL
+    // normalized string, so every regex rule and their order is checked
+    "q_doc_normalize" -> ((s, dir) => {
+      val deco = concat(coalesce(col("text"), lit("")),
+        lit("  \u201Cq\u201D \u2014 x \u2018y\u2019\u00A0z\u0007 ."))
+      docsPar(s, dir).select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(deco)).as("norm_md5"),
+          (length(deco) - length(TextAnalysis.normalizeText(deco)))
+            .cast("long").as("delta_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // padding-waste report for length-bucketed batching: integer
+    // when-chain buckets (never float log2), exact pad sums, 4-dp
+    // fixed-point waste fraction — oracle-checked exactly
+    "q_doc_pad_report" -> ((s, dir) => {
+      graft.ops.Packing.paddingReport(
+          docs(s, dir).select(
+            TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+          "toks", boundaries = Seq(16, 32, 64, 128, 256, 512))
+        .orderBy("bucket")
+    }),
+
     // domain-blocklist filter over the synthetic URL corpus: one entry
     // blocks a whole registrable domain (every subdomain of site1.com),
     // one an exact host — the oracle derives the kept set in CLOSED
@@ -2118,6 +2143,44 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // the decoration is built from chr() codes (8220 " 8221 " 8212 —
+    // 8216 ' 8217 ' 160 NBSP 7 BEL) so no literal invisible bytes live
+    // in the SQL; the regex chain is textually the engine's own rules
+    // (\x{...} escapes parse identically in RE2 and java.util.regex)
+    "q_doc_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |  coalesce(text, '') || '  ' || chr(8220) || 'q' || chr(8221) || ' ' ||
+        |  chr(8212) || ' x ' || chr(8216) || 'y' || chr(8217) || chr(160) ||
+        |  'z' || chr(7) || ' .' AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |            '[\x{00A0}\x{2007}\x{202F}\x{3000}]', ' ', 'g'),
+        |          '[\x{2018}\x{2019}]', '''', 'g'),
+        |        '[\x{201C}\x{201D}]', '"', 'g'),
+        |      '[\x{2013}\x{2014}]', '-', 'g'),
+        |    '\s+', ' ', 'g')) AS nt
+        |  FROM p)
+        |SELECT doc_id, md5(nt) AS norm_md5,
+        |  CAST(length(t) - length(nt) AS BIGINT) AS delta_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q_doc_pad_report" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |           FROM documents),
+        |c AS (SELECT least(toks, 512) AS t2,
+        |        CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
+        |             WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+        |             WHEN toks <= 256 THEN 256 ELSE 512 END AS bucket
+        |      FROM t WHERE toks > 0)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t2) AS BIGINT) AS tok_sum,
+        |  CAST(sum(bucket - t2) AS BIGINT) AS pad_sum,
+        |  CAST(round(sum(bucket - t2) * 10000.0 / (bucket * count(*))) AS BIGINT) AS waste_e4
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
     // closed-form keep set: site1.com blocks every k=1 host by suffix,
     // src2.site2.com blocks exactly that host — derived from the url
     // construction, independent of the engine's suffix arithmetic

@@ -92,6 +92,41 @@ object Packing {
       idCol, "__btoks", budget, shards)
   }
 
+  /** Padding-waste report for length-bucketed batching (the measurement
+    * that justifies length-grouped batching in an SFT/encoder trainer):
+    * each document pads to the ceiling of its length bucket, and the
+    * report says how many pad tokens that costs per bucket. Buckets are
+    * an EXPLICIT ascending boundary list compiled to a `when`-chain —
+    * never `2^ceil(log2 n)`, whose float log at an exact power of two
+    * rounds differently across engines; the chain is pure integer
+    * comparison, bit-identical anywhere. Documents past the top
+    * boundary clamp to it (the trainer's max sequence length truncates
+    * them). Row-local bucket + ONE map-side-combined aggregate over
+    * |boundaries| groups; `waste_e4` is the bucket's pad fraction in
+    * 4-dp fixed point (one double division + round, identical on both
+    * engines for positive values). Zero/negative-length docs drop. */
+  def paddingReport(df: DataFrame, tokensCol: String,
+      boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)): DataFrame = {
+    require(boundaries.nonEmpty && boundaries.head > 0,
+      "boundaries must be positive")
+    require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+      s"boundaries must be strictly ascending, got $boundaries")
+    val cap = boundaries.last.toLong
+    val t = least(col(tokensCol).cast("long"), lit(cap))
+    val bucket = boundaries.init.reverse.foldLeft(lit(cap)) {
+      case (acc, b) => when(t <= b, lit(b.toLong)).otherwise(acc)
+    }
+    df.filter(col(tokensCol).cast("long") > 0)
+      .select(bucket.as("bucket"), t.as("__t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("tok_sum"),
+        sum(col("bucket") - col("__t")).as("pad_sum"))
+      .withColumn("waste_e4",
+        round(col("pad_sum") * 10000.0 / (col("bucket") * col("n_docs")))
+          .cast("long"))
+  }
+
   /** (shard, bin, id, tok_in_bin, tok_offset): which documents feed
     * which training sequence, how many of their tokens land there, and
     * where the slice starts inside the document. Zero-token documents

@@ -385,6 +385,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Engine-portable text normalization — the cleanup pass every crawl
+    * pipeline runs before tokenization/dedup (CCNet's and RefinedWeb's
+    * first step). Deliberately the regex-expressible subset, NOT full
+    * NFKC (neither engine's SQL surface carries ICU): each rule is ONE
+    * regex both Spark (java.util.regex) and DuckDB (RE2) interpret
+    * identically — `\x`/`\x{…}` escapes only, no engine-specific
+    * classes:
+    *
+    *   1. C0 control chars (except \t \n \r) and DEL removed;
+    *   2. common unicode spaces (NBSP, figure/narrow NBSP, ideographic)
+    *      → ASCII space;
+    *   3. curly quotes → straight quotes, en/em dash → hyphen;
+    *   4. whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Order matters and is part of the contract (a control char must
+    * not survive into the collapse). Row-local, codegen, no shuffle —
+    * a 100 TB corpus maps straight through. */
+  def normalizeText(text: Column): Column = {
+    val ctrl = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val sp = regexp_replace(ctrl, "[\\x{00A0}\\x{2007}\\x{202F}\\x{3000}]", " ")
+    val sq = regexp_replace(sp, "[\\x{2018}\\x{2019}]", "'")
+    val dq = regexp_replace(sq, "[\\x{201C}\\x{201D}]", "\"")
+    val da = regexp_replace(dq, "[\\x{2013}\\x{2014}]", "-")
+    trim(regexp_replace(da, "\\s+", " "))
+  }
+
   /** One BPE-trainer counting step at corpus scale (Sennrich et al.
     * 2016, arXiv:1508.07909): the frequency of every adjacent character
     * pair, weighted by word frequency — the table whose argmax is the

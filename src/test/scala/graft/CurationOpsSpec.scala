@@ -78,6 +78,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept === Set(3L, 5L, 6L, 7L))
   }
 
+  test("normalizeText: every rule fires, order holds, idempotent") {
+    val df = Seq(
+      (1L, "a\u0007b"), // control char removed, NOT collapsed to space
+      (2L, "\u201Cq\u201D \u2018y\u2019"), // curly -> straight quotes
+      (3L, "a \u2013 b \u2014 c"), // dashes -> hyphen
+      (4L, "a\u00A0b\u3000c"), // unicode spaces -> plain space
+      (5L, "  a\t\tb  \n c  "), // collapse + trim
+      (6L, "x\u0007 \u0007y") // removal happens BEFORE collapse
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.ops.TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "ab")
+    assert(out(2L) === "\"q\" 'y'")
+    assert(out(3L) === "a - b - c")
+    assert(out(4L) === "a b c")
+    assert(out(5L) === "a b c")
+    assert(out(6L) === "x y")
+    // idempotence: a normalized string is its own fixpoint
+    val twice = df.select(graft.ops.TextAnalysis.normalizeText(
+        graft.ops.TextAnalysis.normalizeText(col("text"))).as("n2"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === Seq("ab", "\"q\" 'y'", "a - b - c", "a b c", "a b c", "x y"))
+  }
+
+  test("padding report: when-chain buckets, clamping, exact pad sums") {
+    val df = Seq(1L, 16L, 17L, 100L, 600L, 0L, -3L).toDF("toks")
+    val out = graft.ops.Packing.paddingReport(df, "toks",
+        boundaries = Seq(16, 32, 64, 128, 256, 512))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 1,16 → bucket 16 (pad 15+0); 17 → 32 (pad 15); 100 → 128 (pad 28);
+    // 600 clamps to 512 (pad 0); 0 and −3 drop
+    assert(out.toSeq === Seq(
+      (16L, 2L, 17L, 15L, math.round(15 * 10000.0 / 32)),
+      (32L, 1L, 17L, 15L, math.round(15 * 10000.0 / 32)),
+      (128L, 1L, 100L, 28L, math.round(28 * 10000.0 / 128)),
+      (512L, 1L, 512L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Packing.paddingReport(df, "toks", boundaries = Seq(32, 16))
+    }
+  }
+
   test("prototype pruning: ceil cut per cell, least-prototypical survive") {
     // two tight clusters around orthogonal axes
     val vecs =
