@@ -397,6 +397,52 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Window"), s"jaccard chain lost its rank/size window:\n$p")
   }
 
+  test("curation ops: row-local filters, single-exchange windows, broadcast centroids") {
+    import spark.implicits._
+    val docsDf = (1L to 60L).map(i => (i, s"tok$i text here")).toDF("doc_id", "text")
+    // normalization projection and the blocklist filter never shuffle
+    val pn = plan(docsDf.select(
+      graft.ops.TextAnalysis.normalizeText(col("text")).as("t")))
+    assert(!pn.contains("Exchange"), s"normalizeText shuffles:\n$pn")
+    val urls = (1L to 40L).map(i => (i, s"http://h$i.ex${i % 3}.com/p")).toDF("id", "url")
+    val pb = plan(graft.ops.Urls.filterBlockedDomains(urls, "url", Seq("ex1.com")))
+    assert(!pb.contains("Exchange") && !pb.contains("Join"),
+      s"blocklist filter should be pure row-local arithmetic:\n$pb")
+    // padding report: ONE aggregate exchange, boundary-list-sized output
+    val pp = plan(graft.ops.Packing.paddingReport(
+      docsDf.select((col("doc_id") % 100).as("toks")), "toks"))
+    assert("Exchange".r.findAllIn(pp).size === 1,
+      s"padding report should pay one aggregate exchange:\n$pp")
+    // scoreBuckets: the rank and count windows share one group exchange
+    val sb = plan(graft.ops.Selection.scoreBuckets(
+      (1L to 50L).map(i => (s"g${i % 3}", i, i * 0.1)).toDF("g", "id", "s"),
+      "g", "s", "id"))
+    assert("Exchange".r.findAllIn(sb).size === 1,
+      s"scoreBuckets should shuffle once on the group:\n$sb")
+    // manifest over the layout: the shard aggregate reuses the window's
+    // shard partitioning — one exchange for layout AND audit together
+    val pm = plan(graft.ops.Shards.manifest(
+      graft.ops.Shards.trainingShuffle(docsDf, "doc_id", 4), "doc_id", "text"))
+    assert("Exchange".r.findAllIn(pm).size === 1,
+      s"manifest should reuse the layout window's exchange:\n$pm")
+    // bpe pair counts: two aggregate exchanges (word, pair), no join
+    val bp = plan(graft.ops.TextAnalysis.bpePairCounts(docsDf, "text"))
+    assert(!bp.contains("Join"), s"bpePairCounts joins:\n$bp")
+    assert("Exchange hashpartitioning".r.findAllIn(bp).size === 2,
+      s"bpePairCounts should pay exactly the word + pair aggregates:\n$bp")
+    // prototypicality: centroid lookup broadcasts; the corpus never
+    // hash-shuffles to score, and pruning adds exactly the cell window
+    val vecs = (1L to 30L).map(i => (i, Array(0.1f * i, 1f))).toDF("vec_id", "embedding")
+    val pr = plan(graft.ops.Similarity.prototypicality(vecs, "vec_id", "embedding", nLists = 4))
+    assert(pr.contains("BroadcastExchange") && !pr.contains("Exchange hashpartitioning"),
+      s"prototypicality should broadcast centroids, not shuffle the corpus:\n$pr")
+    assert(!pr.contains("SortMergeJoin"), s"centroid join degenerated:\n$pr")
+    val pk = plan(graft.ops.Similarity.prunePrototypes(
+      vecs, "vec_id", "embedding", pruneFrac = 0.25, nLists = 4))
+    assert("Exchange hashpartitioning".r.findAllIn(pk).size === 1,
+      s"prunePrototypes should add exactly the cell window exchange:\n$pk")
+  }
+
   test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
