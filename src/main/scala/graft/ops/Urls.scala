@@ -60,28 +60,37 @@ object Urls {
     * to a block on `example.com`) — the curation pass that applies a
     * spam/adult/malware domain list to a crawl.
     *
-    * Suffix matching is row-local set arithmetic, no shuffle and no
-    * join: the host explodes into its dot-suffix chain
-    * (`a.b.co` → [`a.b.co`, `b.co`, `co`]) as an in-row array, and
-    * `arrays_overlap` against the blocklist literal decides — all
-    * inside whole-stage codegen, so a 100 TB corpus maps straight
-    * through. The blocklist ships as a plan constant, the right shape
-    * for real lists (10⁴–10⁵ entries broadcast once per executor); a
-    * list too large for a task binary would switch to a broadcast
-    * semi-join on the exploded suffixes, same semantics. Rows with no
-    * authority (empty host) match no suffix and are KEPT — blocklists
-    * name domains, not schemeless ids. */
+    * Suffix matching is row-local, no shuffle and no join: the whole
+    * blocklist compiles to ONE anchored alternation `(^|\.)(d1|d2|…)$`
+    * matched against the host — a single automaton per row, and the
+    * host expression is evaluated ONCE per row (the null check rides
+    * the raw url column; normalization is null-preserving). The shape
+    * is deliberate, measured on the gate corpus: a dot-suffix explode
+    * (`transform`/`slice`/`arrays_overlap`) uses higher-order
+    * functions, which are CodegenFallback — the pushed-down predicate
+    * dropped the whole filter out of whole-stage codegen and re-ran
+    * the inlined normalization tree interpreted once per suffix; an
+    * `EndsWith` OR-chain stayed compiled but still re-evaluated the
+    * host 2·|blocklist| times. One regex, one evaluation. Fine through
+    * ~10³ entries as a plan constant; a PSL-scale list (10⁵) switches
+    * to a broadcast semi-join on exploded host suffixes, same
+    * semantics. Rows with no authority (empty host) match nothing and
+    * are KEPT — blocklists name domains, not schemeless ids.
+    *
+    * `assumeNormalized` skips the canonicalization when `urlCol`
+    * already holds [[normalizeUrl]] output — the real 100 TB shape:
+    * normalize ONCE upstream, let dedup/stats/cap/blocklist all
+    * consume the stored canonical form. */
   def filterBlockedDomains(df: DataFrame, urlCol: String,
-      blocked: Seq[String]): DataFrame = {
+      blocked: Seq[String], assumeNormalized: Boolean = false): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
     require(blocked.forall(d => d != null && d.nonEmpty),
       "blocklist entries must be non-empty domains")
-    val host = hostOf(normalizeUrl(col(urlCol)))
-    val labels = split(host, "\\.")
-    val suffixes = transform(sequence(lit(1), size(labels)),
-      i => array_join(slice(labels, i, size(labels)), "."))
-    df.filter(host.isNull ||
-      !arrays_overlap(suffixes, lit(blocked.map(_.toLowerCase).toArray)))
+    val norm = if (assumeNormalized) col(urlCol) else normalizeUrl(col(urlCol))
+    val pat = "(^|\\.)(" +
+      blocked.map(_.toLowerCase).distinct
+        .map(java.util.regex.Pattern.quote).mkString("|") + ")$"
+    df.filter(col(urlCol).isNull || !hostOf(norm).rlike(pat))
   }
 
   /** Registrable-domain heuristic of a NORMALIZED url: the last two
