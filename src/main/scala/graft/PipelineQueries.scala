@@ -1036,6 +1036,25 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // MinHash parameter audit: exact precision/recall of the banded
+    // candidate stage on a deterministic 5% sample; two clones of doc 0
+    // planted at ids that PASS the sample filter guarantee a non-vacuous
+    // truth set. DuckDB replays sample, brute truth pass and both
+    // ratios over the exported candidate table (the banding policy seam)
+    "q_doc_minhash_quality" -> ((s, dir) => {
+      Dedup.minhashQualityReport(mhqCorpus(s, dir), "doc_id", "text",
+        threshold = 0.8, sampleRate = 0.05, salt = "mhq", maxSample = 4096)
+    }),
+
+    // deterministic global exact-k sample (the without-replacement
+    // counterpart of q_doc_mix_sample's rate thinning); DuckDB replays
+    // hash order, tie-break and cut
+    "q_doc_sample_exact" -> ((s, dir) => {
+      graft.ops.Sampling.sampleExact(
+          docs(s, dir).select("doc_id", "source"), "doc_id", k = 100)
+        .orderBy("doc_id")
+    }),
+
     // SSL-prototype pruning (Sorscher et al. 2022): drop the 25% most-
     // prototypical members of every k-means cell. Cells and centroids
     // come from the SAME deterministic IVF build the ANN gates pin
@@ -1156,6 +1175,19 @@ object PipelineQueries {
        |  ORDER BY sim DESC, vec_id LIMIT 10)
        |WHERE sim >= 0.9 ORDER BY sim DESC, vec_id""".stripMargin
 
+  /** The MinHash-audit corpus: documents plus two clones of doc 0 at
+    * ids chosen to PASS the 5%/'mhq' audit-sample filter (buckets
+    * 1000025 → 60 M and 1000055 → 181 M, both < round(0.05·2³²) =
+    * 214 748 365), so the sampled truth set always contains the planted
+    * identical pair — the gate can never go vacuously green. Shared by
+    * q_doc_minhash_quality and [[exportOracleAux]]'s candidate dump. */
+  private def mhqCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docsPar(s, dir)
+    val p = d.filter(col("doc_id") === 0)
+    d.union(p.withColumn("doc_id", lit(1000025L)))
+      .union(p.withColumn("doc_id", lit(1000055L)))
+  }
+
   /** Where [[exportOracleAux]] drops tables the oracle reads directly
     * (pair lists the oracle cannot recompute in SQL — MinHash banding
     * has no DuckDB expression). Resolved to an ABSOLUTE path at oracle-
@@ -1218,6 +1250,15 @@ object PipelineQueries {
     // DuckDB recomputes the exact shingle Jaccard + cut over these.
     Dedup.minhashCandidates(minhashCorpus(s, dir), "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/minhash_cands")
+    // MinHash-audit policy seam: the banded candidates over the SAME
+    // sampled audit frame the gate scores (auditSample shared with
+    // minhashQualityReport — one derivation, both sides); DuckDB
+    // recomputes the truth set and both ratios against it
+    Dedup.minhashCandidates(
+        Dedup.auditSample(mhqCorpus(s, dir).select("doc_id", "text"),
+          "doc_id", 0.05, "mhq"),
+        "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/mhq_cands")
     // SimHash policy seam: the per-doc 64-bit sketches (null text
     // sketches to NULL and pairs nothing — dropped here to mirror it).
     simhashCorpus(s, dir).filter(col("text").isNotNull)
@@ -2143,6 +2184,48 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // audit replay: the sample filter, the plant union, the brute
+    // shingle-Jaccard truth pass and both fixed-point ratios are all
+    // DuckDB's; only the banded candidate set (the approximation policy
+    // under audit) comes from the export
+    "q_doc_minhash_quality" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |            UNION ALL SELECT 1000025, text FROM documents WHERE doc_id = 0
+         |            UNION ALL SELECT 1000055, text FROM documents WHERE doc_id = 0),
+         |s AS (SELECT doc_id, text FROM corpus
+         |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mhq'), 1, 8))::UBIGINT
+         |            < CAST(round(0.05 * 4294967296) AS BIGINT)),
+         |w AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         |      FROM s WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) < 3 THEN [coalesce(array_to_string(ws, ' '), '')]
+         |              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+         |                                  for i in range(1, len(ws) - 1)])
+         |         END AS sv
+         |       FROM w),
+         |ex AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |       FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |       WHERE CAST(len(list_intersect(x.sv, y.sv)) AS DOUBLE) /
+         |             (len(x.sv) + len(y.sv) - len(list_intersect(x.sv, y.sv))) >= 0.8),
+         |cand AS (SELECT a, b FROM read_parquet('$oracleAuxDir/mhq_cands/*.parquet')),
+         |tp AS (SELECT ex.a, ex.b FROM ex JOIN cand USING (a, b)),
+         |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sample,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM ex) AS true_pairs,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_pairs,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM tp) AS true_cand_pairs)
+         |SELECT n_sample, true_pairs, cand_pairs, true_cand_pairs,
+         |  CASE WHEN cand_pairs = 0 THEN NULL
+         |       ELSE CAST(round(true_cand_pairs * 10000.0 / cand_pairs) AS BIGINT) END AS precision_e4,
+         |  CASE WHEN true_pairs = 0 THEN NULL
+         |       ELSE CAST(round(true_cand_pairs * 10000.0 / true_pairs) AS BIGINT) END AS recall_e4
+         |FROM c""".stripMargin,
+    "q_doc_sample_exact" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sx'), 1, 8))::UBIGINT, doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     // the decoration is built from chr() codes (8220 " 8221 " 8212 —
     // 8216 ' 8217 ' 160 NBSP 7 BEL) so no literal invisible bytes live
     // in the SQL; the regex chain is textually the engine's own rules

@@ -89,6 +89,70 @@ object Dedup {
     } finally { docs.unpersist(); () }
   }
 
+  /** The deterministic audit sample behind [[minhashQualityReport]] —
+    * factored out so the gate's oracle-aux export builds the candidate
+    * table over the IDENTICAL frame (one derivation, both sides; same
+    * salted-bucket rule as [[Sampling.mixtureSample]]). */
+  private[graft] def auditSample(df: DataFrame, idCol: String,
+      sampleRate: Double, salt: String): DataFrame =
+    df.filter(Sampling.hashBucket(col(idCol), salt) <
+      round(lit(sampleRate) * lit(4294967296.0)).cast("long"))
+
+  /** MinHash parameter audit — EXACT precision/recall of the banded-LSH
+    * candidate stage, measured where ground truth is affordable: on a
+    * deterministic [[auditSample]], brute all-pairs shingle Jaccard is
+    * the truth set and the banded candidates are the system under test.
+    * This is the "measure your dedup before trusting it" step a real
+    * pipeline runs when tuning (k, bands, threshold): banding is a
+    * probabilistic filter whose recall/precision depend on the corpus's
+    * similarity distribution, so the numbers must come from data, not
+    * from the S-curve formula.
+    *
+    * ONE row: n_sample, true_pairs (exact ≥ threshold), cand_pairs,
+    * true_cand_pairs (candidates that verify), precision_e4 / recall_e4
+    * (4-dp fixed point, NULL when the denominator is 0). Cost contract:
+    * the quadratic truth pass is BOUNDED by `maxSample` — the sample is
+    * probed with `limit(maxSample + 1)` and the operator refuses loudly
+    * past the cap (worst case maxSample²/2 shingle intersections,
+    * distributed); everything else is the candidate machinery's own
+    * band-join cost on a sample-sized corpus. */
+  def minhashQualityReport(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, sampleRate: Double = 0.05, salt: String = "mhq",
+      maxSample: Int = 4096, k: Int = 64, shingleN: Int = 3,
+      bands: Int = 16): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    require(maxSample >= 2, s"maxSample must be >= 2, got $maxSample")
+    val sampled = auditSample(
+      df.select(col(idCol), col(textCol)), idCol, sampleRate, salt)
+    val probe = sampled.limit(maxSample + 1).count()
+    require(probe <= maxSample,
+      s"audit sample exceeds $maxSample docs — lower sampleRate (the " +
+        "exact truth pass is quadratic in the sample by design)")
+    val sh = sampled.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("sh"))
+    val ex = sh.select(col("id").as("a"), col("sh").as("sa"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sb")), col("a") < col("b"))
+      .filter(shingleJaccard(col("sa"), col("sb")) >= threshold)
+      .select("a", "b")
+    val cands = minhashCandidates(sampled, idCol, textCol, k, shingleN, bands)
+    val tp = ex.join(cands, Seq("a", "b"))
+    def one(d: DataFrame, n: String) = d.agg(count(lit(1)).as(n))
+    one(sampled, "n_sample")
+      .crossJoin(one(ex, "true_pairs"))
+      .crossJoin(one(cands, "cand_pairs"))
+      .crossJoin(one(tp, "true_cand_pairs"))
+      .withColumn("precision_e4", when(col("cand_pairs") === 0, lit(null))
+        .otherwise(round(col("true_cand_pairs") * 10000.0 / col("cand_pairs"))
+          .cast("long")))
+      .withColumn("recall_e4", when(col("true_pairs") === 0, lit(null))
+        .otherwise(round(col("true_cand_pairs") * 10000.0 / col("true_pairs"))
+          .cast("long")))
+  }
+
   /** Exact Jaccard of two (distinct) shingle-hash SET columns as pure
     * (codegen'd) column ops — no UDF boundary on the verify pass:
     * |A∩B| = size(array_intersect), |A∪B| = |A| + |B| − |A∩B|; two

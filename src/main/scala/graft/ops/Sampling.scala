@@ -127,6 +127,21 @@ object Sampling {
       .drop("__reps")
   }
 
+  /** Deterministic GLOBAL sample of exactly min(k, n) rows: the k
+    * smallest salted key-hashes (key tie-break) — a uniform without-
+    * replacement draw, reproducible on any cluster/partitioning/engine,
+    * that executes as a global top-k (TakeOrderedAndProject: per-
+    * partition heaps + one bounded merge, never a full-sort
+    * materialization — the exact-k counterpart of [[mixtureSample]]'s
+    * rate-based thinning). Null keys are never drawn. */
+  def sampleExact(df: DataFrame, keyCol: String, k: Int,
+      salt: String = "sx"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(col(keyCol).isNotNull)
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic stratified sample: exactly min(k, |group|) rows per
     * group, chosen by ranking the salted [[hashBucket]] (key tie-break)
     * — i.e. a uniform without-replacement draw that is reproducible on

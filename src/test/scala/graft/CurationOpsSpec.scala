@@ -121,6 +121,49 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash quality report: clone recall 10000, bounded brute, refusal") {
+    import graft.ops.Dedup
+    val base = (1L to 30L).map(i =>
+      (i, s"unique document number $i with its own words w${i}a w${i}b w${i}c"))
+    // two exact clone PAIRS → 2 true pairs, both guaranteed candidates
+    val corpus = (base ++ Seq(
+      (101L, base.head._2), (102L, base.head._2),
+      (201L, base(1)._2))).toDF("doc_id", "text")
+    // rate 1.0: the whole corpus is the sample (hashBucket < 2^32 always)
+    val r = Dedup.minhashQualityReport(corpus, "doc_id", "text",
+      threshold = 0.8, sampleRate = 1.0).collect()(0)
+    assert(r.getAs[Long]("n_sample") === 33L)
+    // truth: (1,101), (1,102), (101,102), (2,201) — all jaccard 1.0
+    assert(r.getAs[Long]("true_pairs") === 4L)
+    // identical texts have identical signatures → banding finds all
+    assert(r.getAs[Long]("true_cand_pairs") === 4L)
+    assert(r.getAs[Long]("recall_e4") === 10000L)
+    assert(r.getAs[Long]("cand_pairs") >= 4L)
+    // the quadratic truth pass refuses loudly past the cap
+    intercept[IllegalArgumentException] {
+      Dedup.minhashQualityReport(corpus, "doc_id", "text",
+        threshold = 0.8, sampleRate = 1.0, maxSample = 8).collect()
+    }
+  }
+
+  test("sampleExact: exact k, prefix-nested, partitioning-invariant") {
+    import graft.ops.Sampling
+    val df = (1L to 200L).map(i => (i, s"r$i")).toDF("id", "v")
+    val s10 = Sampling.sampleExact(df, "id", 10).select("id")
+      .as[Long].collect().toSet
+    val s25 = Sampling.sampleExact(df, "id", 25).select("id")
+      .as[Long].collect().toSet
+    assert(s10.size === 10 && s25.size === 25)
+    // prefix property: a smaller draw is contained in a larger one
+    assert(s10.subsetOf(s25))
+    // k past n returns everything
+    assert(Sampling.sampleExact(df, "id", 500).count() === 200L)
+    // the draw is a pure function of (key, salt) — any partitioning
+    val s10b = Sampling.sampleExact(df.repartition(13), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(s10b === s10)
+  }
+
   test("prototype pruning: ceil cut per cell, least-prototypical survive") {
     // two tight clusters around orthogonal axes
     val vecs =
