@@ -1036,6 +1036,19 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // hot-key-safe aggregation: per-source counts + token sums through
+    // the two-stage salted path — the operator's contract is that the
+    // values are IDENTICAL to the direct GROUP BY, which is exactly
+    // what the oracle runs
+    "q_doc_skew_stats" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+          keyCol = "source", idCol = "doc_id", sumCols = Seq("toks"),
+          buckets = 16)
+        .orderBy("source")
+    }),
+
     // MinHash parameter audit: exact precision/recall of the banded
     // candidate stage on a deterministic 5% sample; two clones of doc 0
     // planted at ids that PASS the sample filter guarantee a non-vacuous
@@ -2184,6 +2197,10 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_skew_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_toks
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // audit replay: the sample filter, the plant union, the brute
     // shingle-Jaccard truth pass and both fixed-point ratios are all
     // DuckDB's; only the banded candidate set (the approximation policy

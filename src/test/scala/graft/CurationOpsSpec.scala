@@ -164,6 +164,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(s10b === s10)
   }
 
+  test("salted agg equals the direct aggregate on a hot-key corpus") {
+    import graft.ops.Skew
+    // 90% of rows under ONE key — the shape the salt exists for
+    val rows = (1L to 200L).map(i =>
+      (i, if (i <= 180) "hot" else s"k${i % 5}", i % 13))
+    val df = rows.toDF("id", "key", "v")
+    val got = Skew.saltedAgg(df, "key", "id", Seq("v"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.groupBy(_._2).map { case (k, l) =>
+      k -> (l.size.toLong, l.map(_._3).sum) }
+    assert(got === want)
+    // buckets = 1 degenerates to the direct shape, same values
+    val one = Skew.saltedAgg(df, "key", "id", Seq("v"), buckets = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one === want)
+  }
+
   test("prototype pruning: ceil cut per cell, least-prototypical survive") {
     // two tight clusters around orthogonal axes
     val vecs =

@@ -100,6 +100,18 @@ object CurationProps extends Properties("curation") {
     texts <- Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz", ""))
   } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  property("saltedAgg == direct aggregate for any bucket count") =
+    Prop.forAll(genShardDocs, Gen.choose(1, 9)) { (docs, buckets) =>
+      import spark.implicits._
+      val df = docs.map { case (id, t) => (id, s"k${id % 3}", t.length.toLong) }
+        .toDF("id", "key", "v")
+      val got = graft.ops.Skew.saltedAgg(df, "key", "id", Seq("v"), buckets)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = docs.map { case (id, t) => (s"k${id % 3}", t.length.toLong) }
+        .groupBy(_._1).map { case (k, l) => k -> (l.size.toLong, l.map(_._2).sum) }
+      got == want
+    }
+
   property("manifest is invariant to input order and partitioning") =
     Prop.forAll(genShardDocs, Gen.choose(1, 5)) { (docs, nShards) =>
       import spark.implicits._

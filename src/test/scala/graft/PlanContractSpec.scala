@@ -441,6 +441,14 @@ class PlanContractSpec extends SparkSpec {
       vecs, "vec_id", "embedding", pruneFrac = 0.25, nLists = 4))
     assert("Exchange hashpartitioning".r.findAllIn(pk).size === 1,
       s"prunePrototypes should add exactly the cell window exchange:\n$pk")
+    // salted agg: the (key, salt) partial + the key final — two
+    // exchanges, the second over the bucket-partial table only
+    val sk = plan(graft.ops.Skew.saltedAgg(
+      (1L to 50L).map(i => (i, s"k${i % 3}", i % 7)).toDF("id", "key", "v"),
+      "key", "id", Seq("v"), buckets = 8))
+    assert("Exchange hashpartitioning".r.findAllIn(sk).size === 2,
+      s"saltedAgg should pay exactly the partial + final exchanges:\n$sk")
+    assert(!sk.contains("Join"), s"saltedAgg joins:\n$sk")
   }
 
   test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
