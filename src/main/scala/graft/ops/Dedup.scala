@@ -139,12 +139,19 @@ object Dedup {
       .filter(shingleJaccard(col("sa"), col("sb")) >= threshold)
       .select("a", "b")
     val cands = minhashCandidates(sampled, idCol, textCol, k, shingleN, bands)
-    val tp = ex.join(cands, Seq("a", "b"))
-    def one(d: DataFrame, n: String) = d.agg(count(lit(1)).as(n))
-    one(sampled, "n_sample")
-      .crossJoin(one(ex, "true_pairs"))
-      .crossJoin(one(cands, "cand_pairs"))
-      .crossJoin(one(tp, "true_cand_pairs"))
+    // ONE full-outer join + ONE aggregate for all three pair counts —
+    // a cross join of per-set single-row aggregates costs one broadcast
+    // build JOB per side (measured: it made this the suite's
+    // job-heaviest gate); n_sample rides the probe the cap check
+    // already paid
+    ex.withColumn("__t", lit(1))
+      .join(cands.withColumn("__c", lit(1)), Seq("a", "b"), "full_outer")
+      .agg(sum(col("__t")).as("tc"), sum(col("__c")).as("cc"),
+        count(when(col("__t").isNotNull && col("__c").isNotNull, 1)).as("bc"))
+      .select(lit(probe).as("n_sample"),
+        coalesce(col("tc"), lit(0L)).as("true_pairs"),
+        coalesce(col("cc"), lit(0L)).as("cand_pairs"),
+        col("bc").as("true_cand_pairs"))
       .withColumn("precision_e4", when(col("cand_pairs") === 0, lit(null))
         .otherwise(round(col("true_cand_pairs") * 10000.0 / col("cand_pairs"))
           .cast("long")))
