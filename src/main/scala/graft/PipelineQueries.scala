@@ -1036,6 +1036,20 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // deterministic weighted interleave over the shard layout: the
+    // examples-proportional training order (src0/src1 3x up, src2
+    // halved); DuckDB replays both windows and the rank/weight schedule
+    // key end-to-end
+    "q_doc_interleave" -> ((s, dir) => {
+      val laid = graft.ops.Shards.trainingShuffle(
+        docs(s, dir).select("doc_id", "source"), "doc_id",
+        nShards = 8, salt = "shuf")
+      graft.ops.Sampling.interleaveByWeight(laid, "doc_id", "source",
+          weights = Map("src0" -> 3.0, "src1" -> 3.0, "src2" -> 0.5))
+        .select("doc_id", "source", "shard", "ord")
+        .orderBy("doc_id")
+    }),
+
     // hot-key-safe aggregation: per-source counts + token sums through
     // the two-stage salted path — the operator's contract is that the
     // values are IDENTICAL to the direct GROUP BY, which is exactly
@@ -2197,6 +2211,23 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:pos'), 1, 8))::UBIGINT AS ph
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS BIGINT) AS pos
+        |      FROM h),
+        |r AS (SELECT doc_id, source, shard, pos,
+        |        row_number() OVER (PARTITION BY shard, source ORDER BY pos, doc_id) AS rn,
+        |        CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 3.0
+        |                    WHEN 'src2' THEN 0.5 ELSE 1.0 END AS w
+        |      FROM p)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rn / w, source, doc_id) AS BIGINT) AS ord
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_doc_skew_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_toks

@@ -142,6 +142,46 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic weighted interleave — the training ORDER for a
+    * multi-domain mixture ("examples-proportional mixing"): within each
+    * shard, domain g's i-th row is scheduled at key i / weight(g), so
+    * every prefix of the shard stream holds domains in proportion to
+    * their weights (a domain with weight 3 appears 3× as often as a
+    * weight-1 domain, evenly spread — not in runs). The input is a
+    * sharded layout ([[graft.ops.Shards.trainingShuffle]] coordinates);
+    * the output adds `ordCol`, the 1-based position in the shard's
+    * reading order.
+    *
+    * Engine-exact: the schedule key is ONE IEEE double division
+    * `rank / weight` (identical on any engine), ties across domains
+    * break by (group, id). Two window exchanges — (shard, group) for
+    * the domain rank, shard for the order — and nothing else; per-shard
+    * windows keep every sort task shard-sized, never a global sorter
+    * (the same contract as the layout itself). Weights must be
+    * positive; groups not listed fall to `defaultWeight`. */
+  def interleaveByWeight(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      shardCol: String = "shard", posCol: String = "pos",
+      ordCol: String = "ord"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0.0),
+      "interleave weights must be positive")
+    require(!df.columns.contains(ordCol),
+      s"input already has a '$ordCol' column — pass a different ordCol")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (g, x)) => when(col(groupCol) === g, lit(x)).otherwise(acc)
+    }
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol), col(groupCol))
+      .orderBy(col(posCol).asc, col(idCol).asc)
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col("__key").asc, col(groupCol).asc, col(idCol).asc)
+    df.withColumn("__key",
+        row_number().over(rankW).cast("double") / w)
+      .withColumn(ordCol, row_number().over(ordW).cast("long"))
+      .drop("__key")
+  }
+
   /** Deterministic stratified sample: exactly min(k, |group|) rows per
     * group, chosen by ranking the salted [[hashBucket]] (key tie-break)
     * — i.e. a uniform without-replacement draw that is reproducible on

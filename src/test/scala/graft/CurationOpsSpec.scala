@@ -164,6 +164,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(s10b === s10)
   }
 
+  test("weighted interleave: proportional schedule, deterministic ties") {
+    import graft.ops.Sampling
+    // one shard, domain A (w=2) rows at pos 1..4, B (w=1) at pos 5..6:
+    // keys A = .5, 1, 1.5, 2 and B = 1, 2; ties break by group then id
+    val df = Seq(
+      (1L, "A", 0L, 1L), (2L, "A", 0L, 2L), (3L, "A", 0L, 3L), (4L, "A", 0L, 4L),
+      (5L, "B", 0L, 5L), (6L, "B", 0L, 6L)
+    ).toDF("id", "grp", "shard", "pos")
+    val ord = Sampling.interleaveByWeight(df, "id", "grp", Map("A" -> 2.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(ord === Map(1L -> 1L, 2L -> 2L, 5L -> 3L, 3L -> 4L, 4L -> 5L, 6L -> 6L))
+    // law: ord is a 1..n permutation per shard, and each domain's rows
+    // keep their relative pos order
+    val big = (1L to 90L).map(i => (i, s"g${i % 3}", i % 2, i)).toDF("id", "grp", "shard", "pos")
+    val out = Sampling.interleaveByWeight(big, "id", "grp",
+        Map("g0" -> 3.0, "g1" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    for ((shard, rows) <- out.groupBy(_._3)) {
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq, s"shard $shard")
+      for ((_, grpRows) <- rows.groupBy(_._2)) {
+        val byPos = grpRows.sortBy(_._1).map(_._4).toSeq
+        assert(byPos === byPos.sorted, "within-domain order broken")
+      }
+    }
+  }
+
   test("salted agg equals the direct aggregate on a hot-key corpus") {
     import graft.ops.Skew
     // 90% of rows under ONE key — the shape the salt exists for

@@ -449,6 +449,14 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(sk).size === 2,
       s"saltedAgg should pay exactly the partial + final exchanges:\n$sk")
     assert(!sk.contains("Join"), s"saltedAgg joins:\n$sk")
+    // interleave over a pre-sharded frame: the (shard, group) rank
+    // window and the shard order window — two exchanges, no join
+    val il = plan(graft.ops.Sampling.interleaveByWeight(
+      (1L to 60L).map(i => (i, s"g${i % 3}", i % 4, i)).toDF("id", "grp", "shard", "pos"),
+      "id", "grp", Map("g0" -> 2.0)))
+    assert("Exchange hashpartitioning".r.findAllIn(il).size === 2,
+      s"interleave should pay exactly its two window exchanges:\n$il")
+    assert(!il.contains("Join"), s"interleave joins:\n$il")
   }
 
   test("band join: hash equi-join on (key, bucket), never a cartesian/range loop") {
