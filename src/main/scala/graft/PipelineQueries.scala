@@ -1036,6 +1036,14 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // tokenizer-coverage report: per-doc OOV rate under a min-count-5
+    // corpus vocabulary, over the shared tf substrate; oracle replays
+    // vocab decision + fixed-point rate end-to-end
+    "q_doc_oov" -> ((s, dir) => {
+      TextAnalysis.oovStatsFromTf(termFreq(s, dir)._1, "doc_id", minCount = 5L)
+        .orderBy("doc_id")
+    }),
+
     // deterministic weighted interleave over the shard layout: the
     // examples-proportional training order (src0/src1 3x up, src2
     // halved); DuckDB replays both windows and the rank/weight schedule
@@ -2211,6 +2219,18 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |a AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN ctf < 5 THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+        |      FROM tf JOIN c USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(round(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_e4
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_doc_interleave" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -438,6 +438,26 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Tokenizer-coverage report: per-document out-of-vocabulary rate
+    * under a `minCount` corpus vocabulary — the check a tokenizer/vocab
+    * choice is validated with ("how much of the corpus falls to <unk>
+    * if the vocab keeps only terms seen ≥ m times"). Rides a prebuilt
+    * [[termFrequencies]] substrate: one corpus-term roll-up for the
+    * vocab decision, joined back on the term (tf-idf's shuffle class,
+    * never a re-explode). `oov_e4` is the 4-dp fixed-point OOV token
+    * fraction; docs with no tokens are absent (same rule as the
+    * surprisal ops). */
+  def oovStatsFromTf(tf: DataFrame, idCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("__ctf"))
+    tf.join(ctf, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__ctf") < minCount, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e4",
+        round(col("n_oov") * 10000.0 / col("n_tokens")).cast("long"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text —
     * md5 so the DuckDB oracle can reproduce it byte-for-byte. */
   def fingerprintMd5(text: Column): Column =

@@ -164,6 +164,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(s10b === s10)
   }
 
+  test("oov stats: min-count vocab, fixed-point rate, empty docs absent") {
+    val df = Seq((1L, "a a b rare1"), (2L, "a b b"), (3L, "rare2"), (4L, " "))
+      .toDF("doc_id", "text")
+    val tf = TextAnalysis.termFrequencies(df, "doc_id", "text")
+    val out = TextAnalysis.oovStatsFromTf(tf, "doc_id", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // ctf: a=3, b=3, rare1=1, rare2=1 → vocab {a, b}
+    assert(out(1L) === ((4L, 1L, 2500L)))
+    assert(out(2L) === ((3L, 0L, 0L)))
+    assert(out(3L) === ((1L, 1L, 10000L)))
+    assert(!out.contains(4L), "token-less doc must be absent")
+  }
+
   test("weighted interleave: proportional schedule, deterministic ties") {
     import graft.ops.Sampling
     // one shard, domain A (w=2) rows at pos 1..4, B (w=1) at pos 5..6:

@@ -112,6 +112,28 @@ object CurationProps extends Properties("curation") {
       got == want
     }
 
+  property("interleaveByWeight == naive two-window schedule") =
+    Prop.forAll(genScored) { rows =>
+      import spark.implicits._
+      // reuse the scored generator: (group, id, score) → shard = id % 2,
+      // pos = id (any strictly increasing per-shard pos works)
+      val df = rows.map { case (g, id, _) => (id, g, id % 2, id) }
+        .toDF("id", "grp", "shard", "pos")
+      val weights = Map("en" -> 2.5, "de" -> 0.5)
+      val got = graft.ops.Sampling.interleaveByWeight(df, "id", "grp", weights)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      val want = rows.map { case (g, id, _) => (id, g, id % 2) }
+        .groupBy(_._3).flatMap { case (_, sh) =>
+          val ranked = sh.groupBy(_._2).flatMap { case (g, l) =>
+            l.sortBy(_._1).zipWithIndex.map { case (r, i) =>
+              (r._1, g, (i + 1).toDouble / weights.getOrElse(g, 1.0)) }
+          }
+          ranked.toSeq.sortBy { case (id, g, k) => (k, g, id) }
+            .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1).toLong }
+        }
+      got == want
+    }
+
   property("manifest is invariant to input order and partitioning") =
     Prop.forAll(genShardDocs, Gen.choose(1, 5)) { (docs, nShards) =>
       import spark.implicits._
