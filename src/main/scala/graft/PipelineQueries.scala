@@ -1036,6 +1036,24 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // unicode script profile over a deterministically multilingual
+    // corpus (every 4th doc rewritten to cyrillic / cjk+kana / greek+
+    // digits); counts AND the fixed-priority dominant label replayed by
+    // DuckDB from chr()-built text
+    "q_doc_scripts" -> ((s, dir) => {
+      val cyr = "привет " // privet_
+      val cjk = "你好世界" // ni hao shi jie
+      val grk = "αβγ " // alpha beta gamma_
+      val t2 = when(col("doc_id") % 4 === 1,
+          concat(lit("x7 "), repeat(lit(cyr), 5)))
+        .when(col("doc_id") % 4 === 2, repeat(lit(cjk), 3))
+        .when(col("doc_id") % 4 === 3, concat(repeat(lit(grk), 2), lit("12345")))
+        .otherwise(col("text"))
+      TextAnalysis.scriptProfile(
+          docs(s, dir).select(col("doc_id"), t2.as("text")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // tokenizer-coverage report: per-doc OOV rate under a min-count-5
     // corpus vocabulary, over the shared tf substrate; oracle replays
     // vocab decision + fixed-point rate end-to-end
@@ -2219,6 +2237,32 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // the multilingual rewrite is chr()-built (privet / ni-hao-shi-jie /
+    // alpha-beta-gamma), so the SQL carries no non-ASCII literals; the
+    // \x{...} interval classes parse identically in RE2 and Java regex
+    "q_doc_scripts" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 1 THEN 'x7 ' || repeat(chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)||' ', 5)
+        |    WHEN 2 THEN repeat(chr(20320)||chr(22909)||chr(19990)||chr(30028), 3)
+        |    WHEN 3 THEN repeat(chr(945)||chr(946)||chr(947)||' ', 2) || '12345'
+        |    ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(regexp_replace(t, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS latin,
+        |  CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+        |  CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS greek,
+        |  CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS cjk,
+        |  CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS arabic,
+        |  CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS digits
+        |  FROM p)
+        |SELECT doc_id, latin, cyrillic, greek, cjk, arabic, digits,
+        |  CASE WHEN latin >= cyrillic AND latin >= greek AND latin >= cjk AND latin >= arabic THEN 'latin'
+        |       WHEN cyrillic >= greek AND cyrillic >= cjk AND cyrillic >= arabic THEN 'cyrillic'
+        |       WHEN greek >= cjk AND greek >= arabic THEN 'greek'
+        |       WHEN cjk >= arabic THEN 'cjk'
+        |       ELSE 'arabic' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_doc_oov" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |           FROM documents),

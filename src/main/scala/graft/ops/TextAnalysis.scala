@@ -438,6 +438,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unicode script profile per document: character counts in the five
+    * major script ranges plus digits, and the dominant script — the
+    * signal a multilingual curation pass routes on when the lang column
+    * is absent or untrusted (complements the n-gram [[languageId]],
+    * which only discriminates Latin-script languages). Ranges are
+    * explicit `\x{…}` codepoint intervals (BMP main blocks — the
+    * documented trade: no supplementary-plane CJK extensions), parsed
+    * identically by java.util.regex and RE2, NOT `\p{script=…}` classes
+    * whose names/semantics differ per engine. Counting is
+    * keep-only-the-class `regexp_replace` + `length`; the dominant pick
+    * is a fixed-priority ≥-chain (latin, cyrillic, greek, cjk, arabic —
+    * earlier wins ties), so the label is engine-exact. Row-local,
+    * codegen, no shuffle. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String): Column =
+      length(regexp_replace(coalesce(col(textCol), lit("")), s"[^$cls]", ""))
+        .cast("long")
+    val lat = cnt("A-Za-z\\x{00C0}-\\x{024F}")
+    val cyr = cnt("\\x{0400}-\\x{04FF}")
+    val grk = cnt("\\x{0370}-\\x{03FF}")
+    val cjk = cnt("\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}")
+    val ara = cnt("\\x{0600}-\\x{06FF}")
+    val dig = cnt("0-9")
+    df.select(col(idCol), lat.as("latin"), cyr.as("cyrillic"),
+        grk.as("greek"), cjk.as("cjk"), ara.as("arabic"), dig.as("digits"))
+      .withColumn("dominant",
+        when(col("latin") >= col("cyrillic") && col("latin") >= col("greek") &&
+          col("latin") >= col("cjk") && col("latin") >= col("arabic"), lit("latin"))
+          .when(col("cyrillic") >= col("greek") && col("cyrillic") >= col("cjk") &&
+            col("cyrillic") >= col("arabic"), lit("cyrillic"))
+          .when(col("greek") >= col("cjk") && col("greek") >= col("arabic"), lit("greek"))
+          .when(col("cjk") >= col("arabic"), lit("cjk"))
+          .otherwise(lit("arabic")))
+  }
+
   /** Tokenizer-coverage report: per-document out-of-vocabulary rate
     * under a `minCount` corpus vocabulary — the check a tokenizer/vocab
     * choice is validated with ("how much of the corpus falls to <unk>

@@ -178,6 +178,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less doc must be absent")
   }
 
+  test("script profile: range counts, fixed-priority dominant, null text") {
+    val df = Seq(
+      (1L, "hello world 42"), // latin + digits
+      (2L, "привет мир"), // cyrillic
+      (3L, "你好 カタカナ"), // cjk + kana (both count as cjk)
+      (4L, "αβγ abc"), // tie latin=greek=3 → latin wins by priority
+      (5L, null.asInstanceOf[String]),
+      (6L, "مرحبا") // arabic
+    ).toDF("id", "text")
+    val out = TextAnalysis.scriptProfile(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6)), r.getString(7))).toMap
+    assert(out(1L)._1 === ((10L, 0L, 0L, 2L)) && out(1L)._2 === "latin")
+    assert(out(2L)._2 === "cyrillic" && out(2L)._1._2 === 9L)
+    assert(out(3L)._2 === "cjk")
+    assert(out(4L)._2 === "latin") // priority breaks the 3-3 tie
+    assert(out(5L)._2 === "latin" && out(5L)._1 === ((0L, 0L, 0L, 0L)))
+    assert(out(6L)._2 === "arabic")
+  }
+
   test("weighted interleave: proportional schedule, deterministic ties") {
     import graft.ops.Sampling
     // one shard, domain A (w=2) rows at pos 1..4, B (w=1) at pos 5..6:
