@@ -1036,6 +1036,17 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // per-source quality-anomaly flags: exact integer group moments →
+    // one fixed IEEE chain for the z-score, 2-dp fixed point, |z| ≥ 2.5
+    // flagged; DuckDB replays moments, chain, round and cut
+    "q_doc_quality_outliers" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("q4"))
+      graft.ops.Selection.zScoreFlags(scored, "source", "q4", k = 2.5)
+        .orderBy("doc_id")
+    }),
+
     // unicode script profile over a deterministically multilingual
     // corpus (every 4th doc rewritten to cyrillic / cjk+kana / greek+
     // digits); counts AND the fixed-priority dominant label replayed by
@@ -2237,6 +2248,43 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_quality_outliers" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(round(round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) * 10000) AS BIGINT) AS q4
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, source, q4,
+         |    count(*) OVER (PARTITION BY source) AS n,
+         |    sum(q4) OVER (PARTITION BY source) AS s,
+         |    sum(q4 * q4) OVER (PARTITION BY source) AS ss
+         |  FROM q),
+         |v AS (
+         |  SELECT doc_id, source, q4, n,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      / (CAST(n AS DOUBLE) - 1.0) AS varr
+         |  FROM m),
+         |z AS (
+         |  SELECT doc_id, source, q4,
+         |    CASE WHEN n = 1 OR varr <= 0.0 THEN 0
+         |         ELSE CAST(round((CAST(q4 AS DOUBLE) - mean) / sqrt(varr) * 100) AS BIGINT)
+         |    END AS z_e2
+         |  FROM v)
+         |SELECT doc_id, source, q4, z_e2,
+         |  CAST(CASE WHEN abs(z_e2) >= 250 THEN 1 ELSE 0 END AS INTEGER) AS outlier
+         |FROM z ORDER BY doc_id""".stripMargin,
     // the multilingual rewrite is chr()-built (privet / ni-hao-shi-jie /
     // alpha-beta-gamma), so the SQL carries no non-ASCII literals; the
     // \x{...} interval classes parse identically in RE2 and Java regex

@@ -94,6 +94,44 @@ object Selection {
       .drop("__rn", "__gn")
   }
 
+  /** Per-group z-score outlier flags — the quality-anomaly pass that
+    * surfaces documents wildly off their domain's distribution (a spam
+    * burst inside a good domain, a template page inside a prose one).
+    * `scoreE4Col` must be a 4-dp FIXED-POINT integer score (the repo's
+    * standard grid, e.g. `round(quality·10⁴)`): the group moments
+    * (n, Σq, Σq²) are then EXACT integer aggregates — order-invariant
+    * at 1000 executors — and the z computation is one fixed chain of
+    * IEEE double ops (mean = Σq/n; var = (Σq² − Σq·mean)/(n−1);
+    * z = (q − mean)/√var) that any engine evaluates bit-identically,
+    * emitted as `z_e2` (2-dp fixed point) with `outlier` =
+    * |z_e2| ≥ 100·k. Groups of one row (or zero variance) have no
+    * distribution to deviate from — z is 0, never flagged. ONE group
+    * window exchange (the three moment windows share it); Σq² of a
+    * 4-dp grid fits a long through ~10¹⁰ rows per group — past that,
+    * swap the moment sums to decimal(38,0). */
+  def zScoreFlags(df: DataFrame, groupCol: String, scoreE4Col: String,
+      k: Double = 2.5, zCol: String = "z_e2",
+      flagCol: String = "outlier"): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    for (c <- Seq(zCol, flagCol))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — pass a different name")
+    val w = Window.partitionBy(col(groupCol))
+    val q = col(scoreE4Col).cast("long")
+    val n = count(lit(1)).over(w)
+    val s = sum(q).over(w)
+    val ss = sum(q * q).over(w)
+    val mean = s.cast("double") / n.cast("double")
+    val varr = (ss.cast("double") - s.cast("double") * mean) /
+      (n.cast("double") - lit(1.0))
+    val z = (q.cast("double") - mean) / sqrt(varr)
+    df.withColumn(zCol,
+        when(n === 1 || varr <= 0.0, lit(0L))
+          .otherwise(round(z * 100).cast("long")))
+      .withColumn(flagCol,
+        (abs(col(zCol)) >= math.round(100.0 * k)).cast("int"))
+  }
+
   /** Percentile-threshold curation: keep rows whose `scoreCol` is at
     * or above the corpus's DISCRETE q-quantile — "drop the bottom
     * decile by quality". The threshold is the smallest score value v

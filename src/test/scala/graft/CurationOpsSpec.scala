@@ -178,6 +178,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less doc must be absent")
   }
 
+  test("z-score flags: exact moments, singleton/constant guards, cut") {
+    val rows = (0 until 9).map(i => (i.toLong, "a", 100L)) ++ Seq(
+      (9L, "a", 10000L), // the planted anomaly
+      (100L, "b", 42L), // singleton group → z 0, never flagged
+      (101L, "c", 7L), (102L, "c", 7L)) // zero variance → z 0
+    val out = Selection.zScoreFlags(rows.toDF("id", "grp", "q4"), "grp", "q4")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    val mean = 10900.0 / 10.0
+    val varr = (100090000.0 - 10900.0 * mean) / 9.0
+    val zOut = math.round((10000.0 - mean) / math.sqrt(varr) * 100)
+    assert(out(9L) === ((zOut, 1)), s"expected z_e2 $zOut flagged")
+    assert(zOut >= 250)
+    assert(out(0L)._2 === 0 && out(0L)._1 < 0) // below the mean, unflagged
+    assert(out(100L) === ((0L, 0)))
+    assert(out(101L) === ((0L, 0)) && out(102L) === ((0L, 0)))
+  }
+
   test("script profile: range counts, fixed-priority dominant, null text") {
     val df = Seq(
       (1L, "hello world 42"), // latin + digits
