@@ -66,6 +66,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateless curation chain (normalize → blocklist → mixture) streams unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Sampling, TextAnalysis, Urls}
+    import org.apache.spark.sql.DataFrame
+    // the row-local ops are stateless, so the SAME DataFrame code runs
+    // under Structured Streaming append mode with no rewrite — pinned
+    // here so a future refactor cannot sneak in a batch-only construct
+    // (a window, a global sort) without this test going red
+    def chain(df: DataFrame): DataFrame =
+      Sampling.mixtureSample(
+        Urls.filterBlockedDomains(
+          df.withColumn("text", TextAnalysis.normalizeText(col("text"))),
+          "url", Seq("blocked.com")),
+        "id", "src", Map("a" -> 0.5), salt = "sc")
+    val rows = (1L to 60L).map(i => (i,
+      if (i % 5 == 0) s"http://x$i.blocked.com/p" else s"http://ok$i.org/p",
+      if (i % 2 == 0) "a" else "b", s"Text  “$i”"))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = chain(mem.toDF().toDF("id", "url", "src", "text"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(25)); q.processAllAvailable()
+    mem.addData(rows.drop(25)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cur_stream").collect().map(_.toSeq).toSet
+    val batch = chain(rows.toDF("id", "url", "src", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming sessionize emits each session exactly once (event-time timeout)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
