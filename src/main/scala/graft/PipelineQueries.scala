@@ -1036,6 +1036,18 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // quality decile table: rank-counted thresholds over the 4-dp score
+    // grid (actual data values, never interpolation); DuckDB replays
+    // histogram, cumulative walk and every ceil cut
+    "q_doc_deciles" -> ((s, dir) => {
+      graft.ops.Selection.scoreDeciles(
+          docs(s, dir).select(
+            round(TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long").as("q4")),
+          "q4")
+        .orderBy("decile")
+    }),
+
     // per-source quality-anomaly flags: exact integer group moments →
     // one fixed IEEE chain for the z-score, 2-dp fixed point, |z| ≥ 2.5
     // flagged; DuckDB replays moments, chain, round and cut
@@ -2248,6 +2260,32 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_deciles" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt,
+         |    text
+         |  FROM documents),
+         |q AS (
+         |  SELECT CAST(CAST(round(round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) * 10000) AS BIGINT) AS DOUBLE) AS score
+         |  FROM t),
+         |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY score),
+         |w AS (SELECT score, c,
+         |        CAST(sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |        CAST(sum(c) OVER () AS BIGINT) AS n
+         |      FROM h),
+         |d AS (SELECT unnest(range(1, 11)) AS decile)
+         |SELECT CAST(decile AS BIGINT) AS decile, score AS threshold,
+         |  cum AS n_at_or_below
+         |FROM w JOIN d ON cum - c < CAST(ceil(decile * n / 10.0) AS BIGINT)
+         |             AND cum >= CAST(ceil(decile * n / 10.0) AS BIGINT)
+         |ORDER BY decile""".stripMargin,
     "q_doc_quality_outliers" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

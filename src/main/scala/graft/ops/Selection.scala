@@ -94,6 +94,38 @@ object Selection {
       .drop("__rn", "__gn")
   }
 
+  /** Decile table of a GRID-VALUED score column — the distribution
+    * summary a curation run reports ("quality deciles before/after the
+    * cut"): for every d in 1..10, the rank-counted threshold (the
+    * smallest data value v with #{x ≤ v} ≥ ceil(d·n/10)) and the exact
+    * count at-or-below it. Same discrete rank rule as
+    * [[keepAboveQuantile]] — an actual data value, never an
+    * interpolated quantile whose lerp differs across engines.
+    *
+    * Cost: ONE map-side-combined `groupBy(score)` histogram; the
+    * cumulative walk is a window over the HISTOGRAM frame, whose size
+    * the grid contract bounds (4-dp scores → ≤ ~10⁴ rows in one sort
+    * task at any corpus size — for a CONTINUOUS score, bucket it to a
+    * grid first or use [[keepAboveQuantile]]'s refinement for a single
+    * cut); the decile pick is a 10-row broadcast join against that
+    * frame. Null/NaN scores are excluded (no engine-portable rank). */
+  def scoreDeciles(df: DataFrame, scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val hist = df.filter(col(scoreCol).isNotNull && !isnan(s))
+      .groupBy(s.as("score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val h = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val deciles = df.sparkSession.range(1, 11).toDF("decile")
+    val k = ceil((col("decile") * col("n")).cast("double") / lit(10.0))
+      .cast("long")
+    h.join(broadcast(deciles), col("cum") - col("c") < k && col("cum") >= k)
+      .select(col("decile"), col("score").as("threshold"),
+        col("cum").as("n_at_or_below"))
+  }
+
   /** Per-group z-score outlier flags — the quality-anomaly pass that
     * surfaces documents wildly off their domain's distribution (a spam
     * burst inside a good domain, a template page inside a prose one).

@@ -178,6 +178,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less doc must be absent")
   }
 
+  test("score deciles: rank-counted thresholds on a duplicate-heavy grid") {
+    val df = (Seq.fill(50)(1.0) ++ Seq.fill(30)(2.0) ++ Seq.fill(20)(5.0) ++
+      Seq(Double.NaN)).toDF("s")
+    val out = Selection.scoreDeciles(df, "s")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // n = 100 (NaN excluded); cum: 1.0→50, 2.0→80, 5.0→100
+    (1 to 5).foreach(d => assert(out(d.toLong) === ((1.0, 50L)), s"d$d"))
+    (6 to 8).foreach(d => assert(out(d.toLong) === ((2.0, 80L)), s"d$d"))
+    (9 to 10).foreach(d => assert(out(d.toLong) === ((5.0, 100L)), s"d$d"))
+  }
+
   test("z-score flags: exact moments, singleton/constant guards, cut") {
     val rows = (0 until 9).map(i => (i.toLong, "a", 100L)) ++ Seq(
       (9L, "a", 10000L), // the planted anomaly
