@@ -1036,6 +1036,19 @@ object PipelineQueries {
         .coalesce(1).orderBy("id")
     }),
 
+    // per-source data card over a corpus with PLANTED exact dups (two
+    // clones of doc 0), so n_docs − n_distinct is non-vacuous; every
+    // column replayed by DuckDB
+    "q_doc_card" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val p = d.filter(col("doc_id") === 0)
+      val corpus = d
+        .union(p.withColumn("doc_id", lit(1000100L)))
+        .union(p.withColumn("doc_id", lit(1000101L)))
+      TextAnalysis.corpusCard(corpus, "source", "text")
+        .orderBy("source")
+    }),
+
     // quality decile table: rank-counted thresholds over the 4-dp score
     // grid (actual data values, never interpolation); DuckDB replays
     // histogram, cumulative walk and every ceil cut
@@ -2260,6 +2273,32 @@ object PipelineQueries {
         |  CAST(max(pos) AS BIGINT) AS max_pos,
         |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_doc_card" ->
+      s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+         |            UNION ALL SELECT 1000100, source, text FROM documents WHERE doc_id = 0
+         |            UNION ALL SELECT 1000101, source, text FROM documents WHERE doc_id = 0),
+         |t AS (
+         |  SELECT source, text,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($stopList))) AS INTEGER) AS stop_cnt,
+         |    CAST(length(regexp_replace(text, '$PunctClass', '', 'g')) AS INTEGER) AS punct_cnt
+         |  FROM corpus),
+         |q AS (
+         |  SELECT source, text, toks, bytes,
+         |    CAST(round(round((least(n/100.0, 1.0)
+         |         + least(stop_cnt/greatest(n, 1.0)*5.0, 1.0)
+         |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
+         |        ) / 3.0, 4) * 10000) AS BIGINT) AS q4
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(sum(toks), 0) AS BIGINT) AS tok_sum,
+         |  CAST(coalesce(sum(bytes), 0) AS BIGINT) AS byte_sum,
+         |  CAST(coalesce(sum(q4), 0) AS BIGINT) AS q4_sum
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q_doc_deciles" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -438,6 +438,27 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-slice corpus data card — the summary table a dataset release
+    * documents ("data card"): documents, DISTINCT texts (the exact-dup
+    * mass is `n_docs − n_distinct`), token and byte volume, and the
+    * quality mass as a 4-dp-scaled integer sum (divide by `n_docs` at
+    * read time for the mean — integer sums commute, so the card is
+    * bit-identical on any cluster). ONE aggregate over the group key;
+    * the exact `count(DISTINCT md5)` is the only expensive leg (Spark
+    * plans it as an expand + two-phase agg — shuffle keyed on
+    * (group, md5), dup-mass-bounded on the reduce side). Null text
+    * counts as a document with no tokens/bytes/distinct-entry. */
+  def corpusCard(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_distinct"),
+        // coalesce: an all-null-text slice reports volume 0, not NULL
+        // (sum's skip-nulls would NULL the whole cell)
+        coalesce(sum(tokenCount(col(textCol)).cast("long")), lit(0L)).as("tok_sum"),
+        coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L)).as("byte_sum"),
+        coalesce(sum(round(qualityScore(col(textCol)) * 10000).cast("long")),
+          lit(0L)).as("q4_sum"))
+
   /** Unicode script profile per document: character counts in the five
     * major script ranges plus digits, and the dominant script — the
     * signal a multilingual curation pass routes on when the lang column

@@ -178,6 +178,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less doc must be absent")
   }
 
+  test("corpus card: dup mass, volumes, null-text accounting") {
+    val df = Seq(
+      (1L, "a", "one two three"), (2L, "a", "one two three"), // exact dups
+      (3L, "a", "different text"),
+      (4L, "b", null.asInstanceOf[String])).toDF("id", "src", "text")
+    val out = TextAnalysis.corpusCard(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((3L, 2L, 8L, 26L + 14L))) // 3 docs, 2 distinct
+    // null text: counted as a doc, contributes no tokens/bytes/distinct
+    assert(out("b") === ((1L, 0L, 0L, 0L)))
+  }
+
   test("score deciles: rank-counted thresholds on a duplicate-heavy grid") {
     val df = (Seq.fill(50)(1.0) ++ Seq.fill(30)(2.0) ++ Seq.fill(20)(5.0) ++
       Seq(Double.NaN)).toDF("s")
