@@ -178,6 +178,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less doc must be absent")
   }
 
+  test("astral-plane text passes through normalize/script ops uncorrupted") {
+    // U+1F600 is a surrogate PAIR in the JVM: none of the normalization
+    // or script classes may match half a pair or corrupt it — emoji
+    // text must round-trip byte-identically and count in no script
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, s"hi $emoji there$emoji")).toDF("id", "text")
+    val n = df.select(graft.ops.TextAnalysis.normalizeText(col("text")))
+      .collect()(0).getString(0)
+    assert(n === s"hi $emoji there$emoji")
+    val p = graft.ops.TextAnalysis.scriptProfile(df, "id", "text").collect()(0)
+    assert(p.getLong(1) === 7L) // hithere
+    assert((2 to 6).map(p.getLong).sum === 0L)
+    assert(p.getString(7) === "latin")
+  }
+
   test("corpus card: dup mass, volumes, null-text accounting") {
     val df = Seq(
       (1L, "a", "one two three"), (2L, "a", "one two three"), // exact dups
