@@ -1182,13 +1182,18 @@ object PipelineQueries {
     // order-invariant per-shard manifest of the q_doc_shard layout:
     // counts, bytes, dense-position invariant, exact decimal content
     // checksum — DuckDB recomputes every column from the same salted
-    // hashes
+    // hashes. The checksum crosses the gate as VARCHAR: both engines
+    // agree on the exact DECIMAL(38,0) value (verified value-for-value
+    // in round 9), but decimal canonicalization in a value-hashing
+    // harness is representation-dependent; a digit string has exactly
+    // one canonical form on every engine.
     "q_doc_shard_manifest" -> ((s, dir) => {
       graft.ops.Shards.manifest(
           graft.ops.Shards.trainingShuffle(
             docs(s, dir).select("doc_id", "text"), "doc_id",
             nShards = 8, salt = "shuf"),
           "doc_id", "text")
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy("shard")
     }),
 
@@ -1266,8 +1271,8 @@ object PipelineQueries {
 
   /** The MinHash-audit corpus: documents plus two clones of doc 0 at
     * ids chosen to PASS the 5%/'mhq' audit-sample filter (buckets
-    * 1000025 → 60 M and 1000055 → 181 M, both < round(0.05·2³²) =
-    * 214 748 365), so the sampled truth set always contains the planted
+    * 1000025 → 191 370 240 and 1000055 → 26 559 636, both <
+    * round(0.05·2³²) = 214 748 365), so the sampled truth set always contains the planted
     * identical pair — the gate can never go vacuously green. Shared by
     * q_doc_minhash_quality and [[exportOracleAux]]'s candidate dump. */
   private def mhqCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -2271,7 +2276,7 @@ object PipelineQueries {
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
         |  CAST(max(pos) AS BIGINT) AS max_pos,
-        |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
+        |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "q_doc_card" ->
       s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
@@ -2314,7 +2319,8 @@ object PipelineQueries {
          |         + greatest(1.0 - punct_cnt/greatest(CAST(length(text) AS DOUBLE), 1.0)*10.0, 0.0)
          |        ) / 3.0, 4) * 10000) AS BIGINT) AS DOUBLE) AS score
          |  FROM t),
-         |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY score),
+         |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM q
+         |      WHERE score IS NOT NULL GROUP BY score),
          |w AS (SELECT score, c,
          |        CAST(sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
          |        CAST(sum(c) OVER () AS BIGINT) AS n

@@ -167,6 +167,8 @@ object Sampling {
       "interleave weights must be positive")
     require(!df.columns.contains(ordCol),
       s"input already has a '$ordCol' column — pass a different ordCol")
+    require(!df.columns.contains("__key"),
+      "input already has a '__key' column (reserved temp) — rename it first")
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (g, x)) => when(col(groupCol) === g, lit(x)).otherwise(acc)
     }

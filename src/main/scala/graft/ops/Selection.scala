@@ -81,6 +81,9 @@ object Selection {
       idCol: String, bucketCol: String = "bucket"): DataFrame = {
     require(!df.columns.contains(bucketCol),
       s"input already has a '$bucketCol' column — pass a different bucketCol")
+    for (c <- Seq("__rn", "__gn"))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column (reserved temp) — rename it first")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).asc, col(idCol).asc)
     val cw = Window.partitionBy(col(groupCol))
@@ -161,7 +164,7 @@ object Selection {
         when(n === 1 || varr <= 0.0, lit(0L))
           .otherwise(round(z * 100).cast("long")))
       .withColumn(flagCol,
-        (abs(col(zCol)) >= math.round(100.0 * k)).cast("int"))
+        (abs(col(zCol)).cast("double") >= lit(100.0 * k)).cast("int"))
   }
 
   /** Percentile-threshold curation: keep rows whose `scoreCol` is at
