@@ -777,6 +777,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // exact-substring span REMOVAL (Lee et al. shipping step): two
+    // planted partial copies of doc 0 — its first 8 tokens and its
+    // tokens 6..17 (1-based) — make overlapping spans duplicated, so
+    // doc 0 loses the UNION of both windows and each plant keeps only
+    // its unique tail; every other doc passes through whole. The md5
+    // pins the full rebuilt text, so coverage union, order-preserving
+    // reassembly and the drop-if-empty rule are all oracle-checked
+    "q_doc_dup_strip" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val t0 = TextAnalysis.wsTokens(col("text"))
+      val plants = d.filter(col("doc_id") === 0).select(
+          explode(array(
+            struct(lit(1000000L).as("doc_id"),
+              concat(array_join(slice(t0, 1, 8), " "),
+                lit(" zqxa zqxb zqxc")).as("text")),
+            struct(lit(1000001L).as("doc_id"),
+              concat(array_join(slice(t0, 6, 12), " "),
+                lit(" zqxd zqxe")).as("text")))).as("p"))
+        .select(col("p.doc_id"), col("p.text"))
+      graft.ops.Decontam.stripDupSpans(d.union(plants), "doc_id", "text",
+          n = 8)
+        .select(col("doc_id"), md5(col("text")).as("strip_md5"),
+          col("tokens_kept"), col("tokens_dropped"))
+        // barrier exchange + one-task sort: a range sort's sampling pass
+        // would re-run the whole gram-df + coverage + rebuild chain
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     // corpus-level line dedup (CCNet-style boilerplate removal): a
     // footer line planted on every 10th document becomes
     // corpus-boilerplate under the df threshold and is stripped from
@@ -2049,6 +2077,39 @@ object PipelineQueries {
         |  round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_dup_strip" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT 1000000,
+        |             (SELECT array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ')
+        |              FROM documents WHERE doc_id = 0) || ' zqxa zqxb zqxc'
+        |           UNION ALL
+        |           SELECT 1000001,
+        |             (SELECT array_to_string(string_split_regex(trim(text), '\s+')[6:17], ' ')
+        |              FROM documents WHERE doc_id = 0) || ' zqxd zqxe'),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM d WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, i AS pos, ws[i] AS token
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+        |        WHERE ws[i] <> ''),
+        |g AS (SELECT doc_id, i AS gpos, array_to_string(ws[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |            FROM w WHERE len(ws) >= 8)),
+        |dup AS (SELECT gram FROM
+        |    (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id, gpos + o AS pos
+        |        FROM (SELECT g.doc_id, g.gpos, unnest(range(0, 8)) AS o
+        |              FROM g JOIN dup USING (gram))),
+        |k AS (SELECT t.doc_id, t.pos, t.token, (c.doc_id IS NOT NULL) AS covered
+        |      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+        |SELECT doc_id,
+        |  md5(string_agg(CASE WHEN NOT covered THEN token END, ' ' ORDER BY pos)) AS strip_md5,
+        |  CAST(count(CASE WHEN NOT covered THEN 1 END) AS BIGINT) AS tokens_kept,
+        |  CAST(count(*) - count(CASE WHEN NOT covered THEN 1 END) AS BIGINT) AS tokens_dropped
+        |FROM k GROUP BY doc_id
+        |HAVING count(CASE WHEN NOT covered THEN 1 END) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s

@@ -78,6 +78,71 @@ object Decontam {
     * inverted-index join back — the same shuffle class as the Jaccard
     * candidate step; nothing is pairwise, so a boilerplate gram shared
     * by k docs costs k join rows, not k². */
+  /** Exact-substring span REMOVAL (the shipping step of Lee et al. 2022
+    * ExactSubstr dedup, where [[dupSpanStats]] only reports): delete
+    * from every document each word position covered by a word n-gram
+    * that also occurs in at least `minDocs` distinct documents, and
+    * reassemble the survivors in original order (single-space joined —
+    * the token stream is the unit of this operator, not the original
+    * whitespace). Returns (id, text [stripped], tokens_kept,
+    * tokens_dropped); a document whose every token was covered leaves
+    * the corpus, like [[graft.ops.TextAnalysis.stripBoilerplateLines]]
+    * drops all-boilerplate documents. Duplication is CROSS-document
+    * (distinct-doc frequency), matching [[dupSpanStats]]'s signal — a
+    * span repeated only within one document is structure of that
+    * document, not corpus-level duplication.
+    *
+    * Shape: positional grams (the codegen WordGrams window, evaluated
+    * row-locally) → exact doc-frequency via TWO-STAGE distinct — the
+    * (gram, id) pre-dedup shuffle spreads a corpus-universal gram
+    * across reducers by id, then a map-side-combined count per gram —
+    * no single-reducer countDistinct state (deliberately NOT
+    * [[dupSpanStats]]'s one-pass window: a window partitioned by gram
+    * cannot be split by AQE when one gram holds a billion rows, a
+    * shuffle join can) → join-back on gram marks duplicated starts,
+    * each exploding into its n covered positions (cost = duplicated
+    * volume × n, never corpus²) → one left join + per-doc conditional
+    * aggregate rebuilds the text, exactly the flag-then-aggregate
+    * shape of stripBoilerplateLines. Nothing pairwise, nothing
+    * driver-side. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2L,
+      s"minDocs ($minDocs) below 2 would strip every span of every doc")
+    for (c <- Seq("pos", "token", "gpos", "gram", "__cov"))
+      require(idCol != c, s"idCol '$c' collides with an internal name")
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "") // all-empty text tokenizes to [""]
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.wordGrams(col(textCol), n, distinct = false))
+        .as(Seq("gpos", "gram")))
+    val dup = grams.select(col("gram"), col("id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + lit(n - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    toks.join(covered, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        // when() without otherwise is null on covered rows and
+        // collect_list skips nulls — only surviving tokens are rebuilt
+        array_join(transform(array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("pos"), col("token"))))),
+          x => x.getField("token")), " ").as(textCol),
+        count(when(col("__cov").isNull, lit(1))).as("tokens_kept"),
+        count(lit(1)).as("tokens_total"))
+      .filter(col("tokens_kept") > 0)
+      .withColumn("tokens_dropped", col("tokens_total") - col("tokens_kept"))
+      .drop("tokens_total")
+      .withColumnRenamed("id", idCol)
+  }
+
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = grams(df, idCol, textCol, n)

@@ -1065,6 +1065,31 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, 4L, 1L), (2L, 5L, 1L), (3L, 3L, 0L)))
   }
 
+  test("dup-span strip: planted chimera loses the union of overlapping " +
+      "spans, fully-covered docs leave the corpus") {
+    val eight = "one two three four five six seven eight"
+    val c = Seq(
+      // 12 words: the chimera below copies words 1-8 AND words 3-12, so
+      // coverage is the UNION 1-12 and only the tail survives
+      (1L, s"$eight nine ten eleven twelve ka kb"),
+      (2L, s"$eight za zb"),                      // copies words 1-8
+      (3L, "three four five six seven eight nine ten eleven twelve zc"),
+      (4L, eight),                                // fully covered -> dropped
+      (5L, "totally different text with no shared span at all anywhere"),
+      (6L, ""), (7L, null.asInstanceOf[String])   // tokenless -> absent
+    ).toDF("id", "text")
+    val got = graft.ops.Decontam.stripDupSpans(c, "id", "text", n = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "ka kb", 2L, 12L),
+      (2L, "za zb", 2L, 8L),
+      (3L, "zc", 1L, 10L),
+      (5L, "totally different text with no shared span at all anywhere",
+        10L, 0L)))
+  }
+
   test("unigram NLL: hand-computed corpus surprisal, rare docs score higher") {
     val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
     val got = graft.ops.TextAnalysis.unigramNll(c, "id", "text")
