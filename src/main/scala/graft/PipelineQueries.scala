@@ -805,6 +805,20 @@ object PipelineQueries {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): every-20th doc is
+    // the mock target; hashed unigram+bigram LMs, e4 log-ratio
+    // weights, ln(u) acceptance at tau=0.7 — the oracle replays
+    // feature hashing, both smoothed LMs, the integer weight sum and
+    // the acceptance comparison for every document
+    "q_doc_dsir" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      graft.ops.Dsir.resample(d, d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", tauE4 = 7000L, buckets = 4096)
+        .select(col("doc_id"), col("w_e4"), col("accept"))
+        // barrier exchange + one-task sort (see q_doc_dup_strip)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     // corpus-level line dedup (CCNet-style boilerplate removal): a
     // footer line planted on every 10th document becomes
     // corpus-boilerplate under the df threshold and is stripped from
@@ -2109,6 +2123,44 @@ object PipelineQueries {
         |  CAST(count(*) - count(CASE WHEN NOT covered THEN 1 END) AS BIGINT) AS tokens_dropped
         |FROM k GROUP BY doc_id
         |HAVING count(CASE WHEN NOT covered THEN 1 END) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_dsir" ->
+      """WITH ws AS (SELECT doc_id,
+        |        string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM documents WHERE text IS NOT NULL),
+        |units AS (
+        |  SELECT doc_id, unnest(w) AS u FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |                         for i in range(1, len(w))]) AS u FROM ws),
+        |feats AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(u || ':dsir'), 1, 8))::UBIGINT % 4096
+        |      AS BIGINT) AS feat,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM units WHERE u <> '' GROUP BY 1, 2),
+        |cagg AS (SELECT feat, sum(cnt) AS cc FROM feats GROUP BY 1),
+        |tagg AS (SELECT feat, sum(cnt) AS tc FROM feats
+        |         WHERE doc_id % 20 = 0 GROUP BY 1),
+        |j AS (SELECT coalesce(c.feat, t.feat) AS feat,
+        |        coalesce(c.cc, 0) AS cc, coalesce(t.tc, 0) AS tc
+        |      FROM cagg c FULL JOIN tagg t ON c.feat = t.feat),
+        |tot AS (SELECT sum(cc) AS nc, sum(tc) AS nt FROM j),
+        |lam AS (SELECT feat,
+        |    CAST(round(ln((tc + 1) / CAST(nt + 4096 AS DOUBLE)) * 10000) AS BIGINT)
+        |  - CAST(round(ln((cc + 1) / CAST(nc + 4096 AS DOUBLE)) * 10000) AS BIGINT)
+        |    AS l
+        |  FROM j, tot),
+        |wdoc AS (SELECT doc_id, CAST(sum(cnt * l) AS BIGINT) AS w_e4
+        |         FROM feats JOIN lam USING (feat) GROUP BY 1),
+        |dw AS (SELECT d.doc_id, CAST(coalesce(w.w_e4, 0) AS BIGINT) AS w_e4
+        |       FROM documents d LEFT JOIN wdoc w USING (doc_id)),
+        |norm AS (SELECT CAST(sum(w_e4) AS BIGINT) AS sw,
+        |                CAST(count(*) AS BIGINT) AS nw FROM dw)
+        |SELECT doc_id, w_e4,
+        |  CAST((CAST(round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':dsir-accept'), 1, 8))::UBIGINT + 1) / 4294967296.0)
+        |      * 10000) AS BIGINT) + 7000) * nw < w_e4 * nw - sw AS INT) AS accept
+        |FROM dw, norm
         |ORDER BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       """WITH n AS (SELECT doc_id,

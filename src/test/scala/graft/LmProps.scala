@@ -39,6 +39,52 @@ object LmProps extends Properties("lm") {
     got == want
   }
 
+  property("dsirResample == naive hashed-ngram importance model") =
+    Prop.forAll(genDocs) { docs =>
+      import spark.implicits._
+      val B = 64 // tiny bucket space so hash collisions actually happen
+      val tau = 2000L
+      val df = docs.toDF("id", "text")
+      val got = graft.ops.Dsir.resample(df,
+          df.filter(org.apache.spark.sql.functions.col("id") % 3 === 0),
+          "id", "text", tauE4 = tau, buckets = B)
+        .select("id", "w_e4", "accept")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      def h32(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      }
+      def units(t: String): Seq[String] = {
+        val ws = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }
+      val feats: Map[Long, Map[Long, Long]] = docs.map { case (id, t) =>
+        id -> units(t).groupBy(u => h32(u + ":dsir") % B)
+          .map { case (f, l) => f -> l.size.toLong }
+      }.toMap
+      def tally(sel: Long => Boolean): Map[Long, Long] =
+        feats.filter(kv => sel(kv._1)).values
+          .flatten.groupBy(_._1).map { case (f, l) => f -> l.map(_._2).sum }
+      val cagg = tally(_ => true)
+      val tagg = tally(_ % 3 == 0)
+      val (nc, nt) = (cagg.values.sum.toDouble, tagg.values.sum.toDouble)
+      def lam(f: Long): Long =
+        math.round(math.log((tagg.getOrElse(f, 0L) + 1) / (nt + B)) * 10000) -
+          math.round(math.log((cagg.getOrElse(f, 0L) + 1) / (nc + B)) * 10000)
+      val ws = docs.map { case (id, _) =>
+        id -> feats(id).map { case (f, c) => c * lam(f) }.sum }.toMap
+      val (sw, nw) = (ws.values.sum, ws.size.toLong)
+      val want = docs.map { case (id, _) =>
+        val u = (h32(id.toString + ":dsir-accept") + 1) / 4294967296.0
+        val acc = if ((math.round(math.log(u) * 10000) + tau) * nw <
+          ws(id) * nw - sw) 1 else 0
+        id -> ((ws(id), acc))
+      }.toMap
+      got == want
+    }
+
   property("unigramNll == naive corpus-frequency model") = Prop.forAll(genDocs) { docs =>
     import spark.implicits._
     val got = graft.ops.TextAnalysis.unigramNll(
