@@ -131,13 +131,16 @@ object TextAnalysis {
     * (id, text [cleaned, original line order], lines_kept,
     * lines_dropped).
     *
-    * Scale: one line-level doc-frequency aggregate (map-side-combined —
-    * the (line, id) pre-dedup bounds the count-distinct state), one
-    * equi-join of the line stream against the boilerplate set (plain
-    * shuffle join: the boilerplate relation is NOT bounded small at
-    * corpus scale, so no broadcast assumption), and one per-document
-    * reassembly aggregate. Nothing pairwise, nothing driver-side except
-    * the document count.
+    * Scale: the line doc-frequency is an exact TWO-STAGE distinct — the
+    * (line, id) pre-dedup shuffle spreads a corpus-universal line (the
+    * exact row-pile boilerplate removal exists for) across reducers by
+    * id, then a map-side-combined count per line; a one-stage
+    * `countDistinct(id)` would concentrate that line's whole distinct
+    * state on one reducer at 100 TB. Then one equi-join of the line
+    * stream against the boilerplate set (plain shuffle join: the
+    * boilerplate relation is NOT bounded small at corpus scale, so no
+    * broadcast assumption), and one per-document reassembly aggregate.
+    * Nothing pairwise, nothing driver-side except the document count.
     */
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 3, maxDocFrac: Double = 0.5,
@@ -149,7 +152,8 @@ object TextAnalysis {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
     val boiler = lines.filter(trim(col("line")) =!= "")
-      .groupBy("line").agg(countDistinct(col(idCol)).as("df"))
+      .select(col("line"), col(idCol)).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= threshold)
       .select(col("line").as("b"), lit(1).as("__bf"))
     // flag-then-aggregate, NOT anti-join + re-aggregate + re-join: a

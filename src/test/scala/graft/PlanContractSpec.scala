@@ -210,6 +210,22 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"dupSpanStats over-shuffles:\n$p")
   }
 
+  test("boilerplate line-df is a two-stage distinct, no single-reducer " +
+      "countDistinct on the line key") {
+    import spark.implicits._
+    val docsDf = (1L to 30L).map(i => (i, s"line a\nline b$i\nfoot"))
+      .toDF("id", "text")
+    val p = plan(graft.ops.TextAnalysis.stripBoilerplateLines(
+      docsDf, "id", "text", minDocs = 3, totalDocs = Some(30L)))
+    // a universal boilerplate line must spread by id before any count:
+    // the distinct's exchange is keyed (line, id), and no aggregate
+    // carries a distinct-state function on the line partition
+    assert("hashpartitioning\\(line#\\d+, id#\\d+".r.findFirstIn(p).isDefined,
+      s"line-df distinct must shuffle on (line, id):\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      s"line-df must not plan a countDistinct:\n$p")
+  }
+
   test("centroid aggregate is partial (map-side combine) over exact integer units") {
     import spark.implicits._
     val vecs = (1L to 20L).map(i => (i, Array(0.1f * i, -0.2f), (i % 3).toInt))
