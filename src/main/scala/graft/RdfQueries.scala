@@ -466,34 +466,42 @@ object RdfQueries {
 
     // hash-green contract twin for q_rdf_semantic (scores are
     // engine-specific — the embedder is a vendor seam): the laws the
-    // reference's semantic filter guarantees (query.py:166-170), each
-    // computed against the actual match chain. thresh_ok: score = 1/d
-    // with cosine distance < 0.5 ⇒ every score > 2. members_ok: every
-    // match is a store subject (anti-join, no distinct — bounded
-    // output). page_ok: the envelope's top-10 page agrees with the raw
-    // chain folded by max(score) GROUP BY s — the page/agg path and the
-    // chain path are different code, so a fold or paging bug goes RED.
+    // reference's semantic filter guarantees (query.py:166-170), ALL
+    // folded into ONE declarative frame — no envelope run, no driver
+    // collect, a single action (the facet gates' one-action treatment).
+    // thresh_ok: score = 1/d with cosine distance < 0.5 ⇒ every score
+    // > 2. members_ok: every match is in the semantic doc table the
+    // match is defined over (`hash` IS the subject hash and the index
+    // only holds store subjects, so sem-membership implies
+    // store-membership). page_ok: the ENVELOPE PAGING CODE
+    // (wantedPage → score order, offset, limit, pos window) replayed
+    // over the chain yields exactly min(10, n) rows, all of them chain
+    // members — the paging path and the fold path are different code,
+    // so an order/limit/window bug goes RED.
     "q_rdf_semantic_contract" -> ((s, dir) => {
       val ctx = Rdfize.semantic(s, dir)
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = "semantic", o = "NATION_3 NATION_3")), size = 10)
+      // persisted: the fold feeds the law aggregate AND the page —
+      // without it the ANN subtree would evaluate three times
       val folded = QueryEngine.scoreChain(ctx, opts).get
-        .groupBy("s").agg(max("score").as("score"))
-      // the envelope page first, then ONE law job for count + threshold +
-      // membership + page-containment: left-join against the semantic doc
-      // table the match is defined over (`hash` IS the subject hash and
-      // the index only holds store subjects, so sem-membership implies
-      // store-membership), with the page replayed as an s-IN literal —
-      // the folded chain has a single consumer, so no persist/cache churn
-      val page = QueryEngine.query(ctx, opts).results.keys.toSeq
-      val pageHashes = page.map(FilterCompiler.h)
+        .groupBy("s").agg(max("score").as("score")).persist()
+      val pageDf = QueryEngine.wantedPage(ctx, opts,
+        folded.select("s"), Some(folded))
       val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
-      val (n, minScore, nonMembers, pageInChain) =
-        chainLawStats(folded, sem, pageHashes)
-      import s.implicits._
-      Seq((n > 0L, minScore > 2.0, nonMembers == 0L,
-          page.size.toLong == math.min(10L, n) && pageInChain == page.size.toLong))
-        .toDF("nonempty", "thresh_ok", "members_ok", "page_ok")
+      val laws = folded.join(sem, Seq("s"), "left")
+        .agg(count(lit(1)).as("n"), min("score").as("m"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss"))
+      val pageAgg = pageDf
+        .join(folded.select(col("s"), lit(1).as("__c")), Seq("s"), "left")
+        .agg(count(lit(1)).as("psize"),
+          sum(when(col("__c").isNull, 0L).otherwise(1L)).as("pin"))
+      laws.crossJoin(pageAgg).select(
+        (col("n") > 0L).as("nonempty"),
+        coalesce(col("m") > 2.0, lit(false)).as("thresh_ok"),
+        (coalesce(col("miss"), lit(0L)) === 0L).as("members_ok"),
+        (col("psize") === least(lit(10L), col("n")) &&
+          coalesce(col("pin"), lit(0L)) === col("psize")).as("page_ok"))
     }),
 
     // the reference's flagship analytical query (wikidata.md:45-67):
