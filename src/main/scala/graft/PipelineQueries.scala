@@ -212,6 +212,24 @@ object PipelineQueries {
       graft.ops.Pca.fit(emb(s, dir), "embedding", k = 8, whiten = true)
     })
 
+  /** The synthetic media parameters as Spark derives them from the
+    * corpus text (Multimodal.syntheticPng: w = 8 + h mod 24,
+    * h = 8 + (h >>> 8) mod 24; syntheticWav: frames = 400 + h mod 800
+    * at 8 kHz mono — all pure functions of the seed-0 XXH64). ONE
+    * derivation shared by the multimodal contract oracles (exported to
+    * [[exportOracleAux]]'s `mm_params` seam) — the codec ROUND-TRIP is
+    * the thing under test: the gates report what ImageIO / the WAV
+    * header parse decoded back out of the encoded bytes, and DuckDB
+    * hash-checks those decoded values against this independent
+    * arithmetic derivation. */
+  private def mmExpectedParams(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.Hash64(col("text"))
+    docs(s, dir).select(col("doc_id").cast("long").as("id"),
+      (lit(8L) + pmod(h, lit(24L))).as("exp_w"),
+      (lit(8L) + pmod(shiftrightunsigned(h, 8), lit(24L))).as("exp_h"),
+      (lit(400L) + pmod(h, lit(800L))).as("exp_frames"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace + BPE-ish pre-tokenizer classes
@@ -661,41 +679,39 @@ object PipelineQueries {
     }),
 
     // multimodal plumbing: binary column -> batched REAL ImageIO decode
-    // (true width/height from the PNG header) + stub featurize
+    // (true width/height from the PNG header) + stub featurize. The
+    // histogram features ride along as e6 fixed point; the gate stays
+    // rows-only ONLY for these codec-derived values (PNG byte stream =
+    // encoder-dependent) — every header-derivable column is hash-green
+    // in the contract twin below
     "q_mm_features" -> ((s, dir) => {
       val media = syntheticMedia(s, dir)
       Multimodal.batchFeaturize(media)
         .select(col("id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"))
+          col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"),
+          transform(col("features"),
+            f => round(f.cast("double") * 1e6).cast("long")).as("features_e6"))
         .orderBy("id")
     }),
 
-    // hash-green contract twin for q_mm_features: the synthetic PNG's
-    // width/height are pure functions of the text's seed-0 XXH64
-    // (Multimodal.syntheticPng), so the gate recomputes the expected
-    // dims from `documents.text` with the codegen Hash64 expression and
-    // compares them per row against what ImageIO decoded back out of
-    // the PNG header — a REAL encode→decode codec round-trip checked
-    // doc-by-doc. The oracle emits one all-TRUE row per document, so a
-    // lost/duplicated row at a batch boundary or any dim mismatch goes
-    // hash-RED. q_mm_features stays rows-only for the full output.
+    // hash-green contract twin for q_mm_features, promoted from all-TRUE
+    // booleans to DECODED VALUES: the gate reports what ImageIO parsed
+    // back out of the encoded PNG header, and DuckDB hash-checks those
+    // values against the exported `mm_params` seam — the synth
+    // parameters derived INDEPENDENTLY from the text's seed-0 XXH64
+    // (Multimodal.syntheticPng; same policy-seam treatment as
+    // simhash_sigs/pca_basis). A lost/duplicated row at a batch
+    // boundary, a dim drift, or any header mismatch reds a concrete
+    // value, not a boolean. Only size_bytes stays a law (> 0): the
+    // encoded byte count is the PNG encoder's business.
     "q_mm_features_contract" -> ((s, dir) => {
-      val feats = Multimodal.batchFeaturize(syntheticMedia(s, dir))
+      Multimodal.batchFeaturize(syntheticMedia(s, dir))
         .select(col("id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"))
-      val h = graft.functions.Hash64(col("text"))
-      val expect = docs(s, dir).select(col("doc_id").cast("long").as("id"),
-        (lit(8L) + pmod(h, lit(24L))).as("exp_w"),
-        (lit(8L) + pmod(shiftrightunsigned(h, 8), lit(24L))).as("exp_h"))
-      feats.join(expect, "id")
-        .select(col("id"),
-          (col("width") === col("exp_w")).as("width_ok"),
-          (col("height") === col("exp_h")).as("height_ok"),
-          (col("format") === "png").as("format_ok"),
-          (col("dim") === 64).as("dim_ok"),
-          (col("size_bytes") > 0L).as("size_ok"))
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          size(col("features")).cast("long").as("dim"),
+          (col("meta.sizeBytes") > 0L).as("size_ok"))
         .coalesce(1).orderBy("id")
     }),
 
@@ -1039,41 +1055,37 @@ object PipelineQueries {
 
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
-    // RMS energy over the PCM stream (rows-only: DuckDB has no codec)
+    // RMS energy over the PCM stream, riding along as e6 fixed point.
+    // Rows-only ONLY for the codec-derived values (PCM energy); every
+    // header-derivable column is hash-green in the contract twin below
     "q_mm_audio" -> ((s, dir) => {
       val media = syntheticAudio(s, dir)
       Multimodal.batchAudioFeaturize(media)
         .select(col("id"), col("meta.format").as("format"),
           col("meta.sampleRate").as("sample_rate"),
           col("meta.channels").as("channels"), col("meta.frames").as("frames"),
-          col("meta.durationMs").as("duration_ms"), size(col("rms")).as("dim"))
+          col("meta.durationMs").as("duration_ms"), size(col("rms")).as("dim"),
+          transform(col("rms"),
+            v => round(v.cast("double") * 1e6).cast("long")).as("rms_e6"))
         .orderBy("id")
     }),
 
-    // hash-green contract twin for q_mm_audio: the synthetic WAV's frame
-    // count is a pure function of the text's seed-0 XXH64
-    // (Multimodal.syntheticWav: n = 400 + h mod 800 frames at 8 kHz
-    // mono), so the gate recomputes the expected header values from
-    // `documents.text` and compares them per row against what the WAV
-    // header parse decoded back — a REAL encode→decode round-trip,
-    // plus the RMS laws (16 windows, every value in [0,1]; sine amp
-    // ≤ 0.79 ⇒ RMS ≤ 0.56). One all-TRUE oracle row per document.
+    // hash-green contract twin for q_mm_audio, promoted from all-TRUE
+    // booleans to DECODED VALUES: the gate reports what the WAV header
+    // parse decoded back (sample rate, channels, frames, duration), and
+    // DuckDB hash-checks them against the exported `mm_params` seam
+    // (frames = 400 + XXH64(text) mod 800 at 8 kHz mono, derived
+    // independently of the codec; duration replayed as
+    // floor(frames·1000/8000)). The RMS laws stay booleans (16 windows,
+    // every value in [0,1]): PCM energy is the codec's business.
     "q_mm_audio_contract" -> ((s, dir) => {
-      val feats = Multimodal.batchAudioFeaturize(syntheticAudio(s, dir))
-        .select(col("id"), col("meta.sampleRate").as("sample_rate"),
-          col("meta.channels").as("channels"), col("meta.frames").as("frames"),
-          col("meta.durationMs").as("duration_ms"), col("rms"))
-      val expect = docs(s, dir).select(col("doc_id").cast("long").as("id"),
-        (lit(400L) + pmod(graft.functions.Hash64(col("text")), lit(800L)))
-          .as("exp_frames"))
-      feats.join(expect, "id")
+      Multimodal.batchAudioFeaturize(syntheticAudio(s, dir))
         .select(col("id"),
-          (col("frames") === col("exp_frames")).as("frames_ok"),
-          (col("sample_rate") === 8000).as("rate_ok"),
-          (col("channels") === 1).as("channels_ok"),
-          (col("duration_ms") ===
-            floor(col("exp_frames") * 1000.0 / 8000.0).cast("long")).as("duration_ok"),
-          (size(col("rms")) === 16).as("dim_ok"),
+          col("meta.sampleRate").cast("long").as("sample_rate"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.frames").as("frames"),
+          col("meta.durationMs").as("duration_ms"),
+          size(col("rms")).cast("long").as("dim"),
           forall(col("rms"), v => v >= 0f && v <= 1f).as("rms_ok"))
         .coalesce(1).orderBy("id")
     }),
@@ -1380,6 +1392,11 @@ object PipelineQueries {
   def exportOracleAux(s: SparkSession, dir: String): Unit = {
     minhashPairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
+    // Multimodal policy seam: the synth parameters (what the encoders
+    // were TOLD to encode, from the text's seed-0 XXH64) — DuckDB
+    // hash-checks the codec-decoded header values against them
+    mmExpectedParams(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/mm_params")
     // MinHash policy seam: the banded-LSH candidate set (same corpus,
     // same defaults as minhashPairs' internal candidates — both are
     // deterministic functions of the text, so the sets cannot drift).
@@ -1481,13 +1498,15 @@ object PipelineQueries {
     // parameters row by row; the oracle pins one all-TRUE row per doc,
     // so a dropped/duplicated row or any mismatch goes hash-RED
     "q_mm_features_contract" ->
-      ("SELECT doc_id AS id, TRUE AS width_ok, TRUE AS height_ok, " +
-        "TRUE AS format_ok, TRUE AS dim_ok, TRUE AS size_ok " +
-        "FROM documents ORDER BY id"),
+      (s"SELECT id, 'png' AS format, exp_w AS width, exp_h AS height, " +
+        s"CAST(64 AS BIGINT) AS dim, TRUE AS size_ok " +
+        s"FROM read_parquet('$oracleAuxDir/mm_params/*.parquet') ORDER BY id"),
     "q_mm_audio_contract" ->
-      ("SELECT doc_id AS id, TRUE AS frames_ok, TRUE AS rate_ok, " +
-        "TRUE AS channels_ok, TRUE AS duration_ok, TRUE AS dim_ok, " +
-        "TRUE AS rms_ok FROM documents ORDER BY id"),
+      (s"SELECT id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        s"CAST(1 AS BIGINT) AS channels, exp_frames AS frames, " +
+        s"CAST(floor(exp_frames * 1000.0 / 8000.0) AS BIGINT) AS duration_ms, " +
+        s"CAST(16 AS BIGINT) AS dim, TRUE AS rms_ok " +
+        s"FROM read_parquet('$oracleAuxDir/mm_params/*.parquet') ORDER BY id"),
     "q_doc_minhash_contract" ->
       s"""WITH pairs AS (
          |  SELECT a, b, jaccard FROM read_parquet('$oracleAuxDir/doc_pairs/*.parquet')),
