@@ -30,6 +30,35 @@ object DedupProps extends Properties("dedup") {
 
   private val genThreshold: Gen[Double] = Gen.oneOf(0.3, 0.5, 0.8)
 
+  property("stripDupSpans == naive coverage-union strip over random corpora") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val n = 3
+      val got = graft.ops.Decontam.stripDupSpans(
+          corpus.toDF("id", "text"), "id", "text", n = n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val toks = corpus.map { case (i, t) =>
+        i -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+      val gramsOf = toks.map { case (i, ws) =>
+        i -> ws.sliding(n).filter(_.size == n).map(_.mkString(" ")).toVector }
+      val df = gramsOf.toSeq.flatMap { case (i, gs) => gs.distinct.map(_ -> i) }
+        .groupBy(_._1).map { case (g, l) => g -> l.size }
+      val want = corpus.flatMap { case (i, _) =>
+        val ws = toks(i)
+        val covered = gramsOf(i).zipWithIndex.collect {
+          case (g, p) if df(g) >= 2 => p until (p + n)
+        }.flatten.toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, p) if !covered(p) => w }
+        if (kept.isEmpty) None
+        else Some(i -> ((kept.mkString(" "), kept.size.toLong,
+          (ws.size - kept.size).toLong)))
+      }.toMap
+      got == want
+    }
+
   property("tokenJaccardPairs == naive set-Jaccard over random corpora") =
     Prop.forAll(genCorpus, genThreshold) { (corpus, th) =>
       import spark.implicits._
