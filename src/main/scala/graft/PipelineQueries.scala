@@ -198,6 +198,7 @@ object PipelineQueries {
     pairsCache.clear(); mediaCache.clear(); audioCache.clear()
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
     docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
+    qlrCache.clear()
   }
 
   // One fitted PCA model per sfDir, shared by the q_emb_pca gate and
@@ -210,6 +211,32 @@ object PipelineQueries {
   private def pcaModel(s: SparkSession, dir: String): graft.ops.PcaModel =
     pcaCache.computeIfAbsent(dir, { _ =>
       graft.ops.Pca.fit(emb(s, dir), "embedding", k = 8, whiten = true)
+    })
+
+  // One LR fit per sfDir, shared by the q_doc_quality_lr gate and
+  // [[exportOracleAux]]'s qlr_model dump — both sides read the SAME e8
+  // integers by construction (the pcaModel treatment). Training labels
+  // distill the stopword-ratio signal on a 20% slice (ratio ≥ 0.07,
+  // ~42% positive on this corpus) — the FEATURE-VISIBLE part of the
+  // quality heuristic: its length term is invisible to L1-normalized
+  // mean-pooled features by design, so distilling the full q4 score
+  // would train on noise (measured: acc ≈ prior), where this target
+  // reaches 0.88 held-out agreement with 141/500 kept at τ = 0 — a
+  // non-vacuous learned cut. The heavy schedule (5000 full-batch
+  // iters) runs on the DRIVER over the ≤100-doc training slice; the
+  // corpus never sees an iteration.
+  private val qlrCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.QualityClassifier.LrModel]()
+  private def qlrModel(s: SparkSession, dir: String): graft.ops.QualityClassifier.LrModel =
+    qlrCache.computeIfAbsent(dir, { _ =>
+      val ratioE4 = round(TextAnalysis.stopwordCount(col("text")).cast("double")
+        * 10000 /
+        greatest(TextAnalysis.tokenCount(col("text")).cast("double"), lit(1.0)))
+        .cast("long")
+      val labeled = docsPar(s, dir).filter(col("doc_id") % 5 === 0)
+        .withColumn("label", (ratioE4 >= 700L).cast("int"))
+      graft.ops.QualityClassifier.train(labeled, "doc_id", "text", "label",
+        iters = 5000, lr = 8.0)
     })
 
   /** The synthetic media parameters as Spark derives them from the
@@ -835,6 +862,21 @@ object PipelineQueries {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    // fastText-style learned quality filter: LR over hashed
+    // unigram+bigram features, fit once on the 20% slice (labels
+    // distill the 4-dp heuristic), scored over the whole corpus. The
+    // oracle replays feature hashing, the exact integer weighted sum
+    // and the logit chain against the exported e8 model — the learned
+    // scorer's entire serving path is hash-checked
+    "q_doc_quality_lr" -> ((s, dir) => {
+      graft.ops.QualityClassifier.score(
+          docsPar(s, dir), qlrModel(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("score_e4"),
+          (col("score_e4") > 0L).cast("int").as("keep"))
+        // barrier exchange + one-task sort (see q_doc_dup_strip)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
     // corpus-level line dedup (CCNet-style boilerplate removal): a
     // footer line planted on every 10th document becomes
     // corpus-boilerplate under the df threshold and is stripped from
@@ -1397,6 +1439,12 @@ object PipelineQueries {
     // hash-checks the codec-decoded header values against them
     mmExpectedParams(s, dir).coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/mm_params")
+    // Quality-classifier policy seam: the fitted e8 weights (+ bias as
+    // feat = -1); DuckDB replays the whole scoring path — feature
+    // hashing, the exact integer weighted sum, the logit chain —
+    // against these integers
+    qlrModel(s, dir).exportDf(s).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/qlr_model")
     // MinHash policy seam: the banded-LSH candidate set (same corpus,
     // same defaults as minhashPairs' internal candidates — both are
     // deterministic functions of the text, so the sets cannot drift).
@@ -2180,6 +2228,33 @@ object PipelineQueries {
         |        || ':dsir-accept'), 1, 8))::UBIGINT + 1) / 4294967296.0)
         |      * 10000) AS BIGINT) + 7000) * nw < w_e4 * nw - sw AS INT) AS accept
         |FROM dw, norm
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_quality_lr" ->
+      s"""WITH ws AS (SELECT doc_id,
+        |        string_split_regex(trim(lower(text)), '\\s+') AS w
+        |      FROM documents WHERE text IS NOT NULL),
+        |units AS (
+        |  SELECT doc_id, unnest(w) AS u FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |                         for i in range(1, len(w))]) AS u FROM ws),
+        |feats AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(u || ':qlr'), 1, 8))::UBIGINT % 4096
+        |      AS BIGINT) AS feat,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM units WHERE u <> '' GROUP BY 1, 2),
+        |m AS (SELECT feat, w_e8
+        |      FROM read_parquet('$oracleAuxDir/qlr_model/*.parquet')),
+        |bias AS (SELECT w_e8 AS b FROM m WHERE feat = -1),
+        |sums AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(m.w_e8, 0)) AS BIGINT) AS s,
+        |           CAST(sum(f.cnt) AS BIGINT) AS n
+        |         FROM feats f LEFT JOIN m ON f.feat = m.feat GROUP BY 1)
+        |SELECT doc_id, score_e4, CAST(score_e4 > 0 AS INT) AS keep FROM (
+        |  SELECT d.doc_id,
+        |    CAST(round((CAST(b AS DOUBLE)
+        |        + coalesce(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0.0))
+        |      / 10000.0) AS BIGINT) AS score_e4
+        |  FROM documents d LEFT JOIN sums USING (doc_id), bias)
         |ORDER BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       """WITH n AS (SELECT doc_id,

@@ -1090,6 +1090,43 @@ class OpsSpec extends SparkSpec {
         10L, 0L)))
   }
 
+  test("quality LR: learns a planted token signal, deterministic fit, " +
+      "keepAbove filters by logit") {
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, s"good clean prose text number$i", 1)
+      else (i, s"bad spam junk noise number$i", 0)
+    }
+    val df = docs.toDF("id", "text", "label")
+    val m = graft.ops.QualityClassifier.train(df, "id", "text", "label",
+      buckets = 256)
+    val scored = graft.ops.QualityClassifier.score(df, m, "id", "text")
+      .select("id", "score_e4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted signal separates: every positive doc above every negative
+    for (i <- 1L to 40L)
+      if (i % 2 == 0) assert(scored(i) > 0L, s"pos doc $i: ${scored(i)}")
+      else assert(scored(i) < 0L, s"neg doc $i: ${scored(i)}")
+    // keepAbove at tau=0 keeps exactly the positives
+    val kept = graft.ops.QualityClassifier.keepAbove(df, m, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === (2L to 40L by 2).toSet)
+    // the fit is bit-deterministic: same frame, same model
+    val m2 = graft.ops.QualityClassifier.train(df, "id", "text", "label",
+      buckets = 256)
+    assert(m2.biasE8 === m.biasE8 && m2.weightsE8.toSeq === m.weightsE8.toSeq)
+    // non-0/1 labels refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.QualityClassifier.train(
+        Seq((1L, "x", 2)).toDF("id", "text", "label"), "id", "text", "label",
+        buckets = 256)
+    }
+    // an existing score_e4 column refuses instead of silently overwriting
+    intercept[IllegalArgumentException] {
+      graft.ops.QualityClassifier.score(
+        df.withColumn("score_e4", lit(1L)), m, "id", "text")
+    }
+  }
+
   test("unigram NLL: hand-computed corpus surprisal, rare docs score higher") {
     val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
     val got = graft.ops.TextAnalysis.unigramNll(c, "id", "text")
