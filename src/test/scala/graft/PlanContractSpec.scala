@@ -210,6 +210,57 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"dupSpanStats over-shuffles:\n$p")
   }
 
+  test("span removal: gram df is a two-stage distinct, dup join-back " +
+      "stays an equi-join, no cartesian anywhere") {
+    import spark.implicits._
+    val docsDf = (1L to 30L).map(i =>
+      (i, (1 to 12).map(j => s"w${(i + j) % 9}").mkString(" "))).toDF("id", "text")
+    val p = plan(graft.ops.Decontam.stripDupSpans(docsDf, "id", "text", n = 8))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"stripDupSpans must never go pairwise:\n$p")
+    // the universal-gram de-skew shape: the distinct's exchange is
+    // keyed (gram, id), never a countDistinct on the gram partition
+    assert("hashpartitioning\\(gram#\\d+, id#\\d+".r.findFirstIn(p).isDefined,
+      s"gram df distinct must shuffle on (gram, id):\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      s"gram df must not plan a countDistinct:\n$p")
+  }
+
+  test("DSIR: feature extraction row-local, lambda table broadcasts, " +
+      "acceptance never shuffles the corpus a second time") {
+    import spark.implicits._
+    val docsDf = (1L to 40L).map(i =>
+      (i, (1 to 6).map(j => s"t${(i * j) % 7}").mkString(" "))).toDF("id", "text")
+    val p = plan(graft.ops.Dsir.resample(docsDf,
+      docsDf.filter(col("id") % 3 === 0), "id", "text", tauE4 = 0L,
+      buckets = 64))
+    // the per-doc weight join consumes the bounded lambda table as a
+    // broadcast — a shuffled join here would exchange the corpus side
+    assert(p.contains("BroadcastHashJoin"),
+      s"DSIR lambda join must broadcast:\n$p")
+    // the (Σw, n) normalizer attaches as a broadcast 1-row loop join —
+    // the only acceptable nested loop; an unbroadcast cartesian is not
+    assert(!p.contains("CartesianProduct"),
+      s"DSIR must not plan a cartesian:\n$p")
+  }
+
+  test("quality LR scoring: weight table broadcasts, one per-doc " +
+      "aggregate, no iteration over the corpus") {
+    import spark.implicits._
+    val docsDf = (1L to 40L).map(i =>
+      (i, (1 to 6).map(j => s"t${(i * j) % 7}").mkString(" "),
+        (i % 2).toInt)).toDF("id", "text", "label")
+    val m = graft.ops.QualityClassifier.train(docsDf, "id", "text", "label",
+      buckets = 64, iters = 5)
+    val p = plan(graft.ops.QualityClassifier.score(docsDf, m, "id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"LR weight join must broadcast:\n$p")
+    // per-doc weighted sum is map-side combined before its exchange
+    assert(p.contains("partial_sum"),
+      s"LR per-doc sum must be partial-aggregated:\n$p")
+    assert(!p.contains("Cartesian"), s"LR score must not plan a cartesian:\n$p")
+  }
+
   test("boilerplate line-df is a two-stage distinct, no single-reducer " +
       "countDistinct on the line key") {
     import spark.implicits._
