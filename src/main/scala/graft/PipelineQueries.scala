@@ -705,6 +705,18 @@ object PipelineQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // cluster-balanced cap (topic balancing): ≤10 vectors per IVF cell
+    // by salted-hash rank — the embedding-space domain-cap. Same seeded
+    // k-means build as q_emb_ivf, so the exported ivf_cells seam is the
+    // oracle's cell table; DuckDB replays hash, rank and cut per cell
+    "q_emb_cluster_cap" -> ((s, dir) => {
+      graft.ops.Similarity.capPerCluster(
+          emb(s, dir).select("vec_id", "embedding"),
+          "vec_id", "embedding", nLists = 16, cap = 10)
+        .select(col("vec_id"), col("cell"), col("rank"))
+        .orderBy("cell", "rank")
+    }),
+
     // multimodal plumbing: binary column -> batched REAL ImageIO decode
     // (true width/height from the PNG header) + stub featurize. The
     // histogram features ride along as e6 fixed point; the gate stays
@@ -1917,6 +1929,18 @@ object PipelineQueries {
          |  SELECT vec_id, round($cosSql, 4) AS sim FROM e, q
          |  ORDER BY sim DESC, vec_id LIMIT 10)
          |ORDER BY sim DESC, vec_id""".stripMargin,
+    // cluster cap over the same exported cell table: the oracle replays
+    // the salted rank and the cut inside every cell
+    "q_emb_cluster_cap" ->
+      s"""WITH c AS (SELECT vec_id, cell
+         |           FROM read_parquet('$oracleAuxDir/ivf_cells/*.parquet')),
+         |r AS (SELECT vec_id, cell,
+         |        CAST(row_number() OVER (PARTITION BY cell
+         |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+         |            || ':ccap'), 1, 8))::UBIGINT, vec_id) AS INT) AS rank
+         |      FROM c)
+         |SELECT vec_id, cell, rank FROM r WHERE rank <= 10
+         |ORDER BY cell, rank""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the independent replay of the
     // union-tag-window carry (same >= tie rule, same left-null rule)
     "q_events_asof" ->

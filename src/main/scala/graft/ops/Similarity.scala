@@ -28,6 +28,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
+  /** Cluster-balanced cap (topic balancing): keep at most `cap` vectors
+    * per IVF cell, chosen by salted-hash rank with a key tie-break —
+    * the embedding-space counterpart of `Urls.capPerDomain`, the pass
+    * that stops one dense topic cluster from dominating a training mix.
+    * Returns (input columns ..., cell, rank), rank ≤ cap. Deterministic
+    * on any cluster and any partitioning: the k-means fit is the seeded
+    * bounded-sample [[Ivf.trainCentroids]] (pure function of the
+    * corpus), assignment is the row-local codegen nearest-cell
+    * expression, and the keep set is a pure function of (id, salt).
+    * Cost: one row-local assignment pass + ONE rank window shuffled on
+    * the cell id (cells hold ~corpus/nLists rows; for very skewed
+    * clusterings raise nLists — cell granularity is the parallelism). */
+  def capPerCluster(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, cap: Int, salt: String = "ccap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(!emb.columns.contains("cell"),
+      "input already has a 'cell' column — rename it first")
+    Sampling.stratifiedSample(
+      Ivf.build(emb, idCol, vecCol, nLists).cells, idCol, "cell", cap, salt)
+  }
+
   /** Exact top-k by cosine against one query vector. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int): DataFrame = {

@@ -1090,6 +1090,26 @@ class OpsSpec extends SparkSpec {
         10L, 0L)))
   }
 
+  test("cluster cap: dense cell capped exactly, sparse cell passes whole, " +
+      "keep set deterministic") {
+    // two tight clusters: 12 vectors near (1,0) and 3 near (0,1) — with
+    // nLists = 2 the seeded k-means separates them, so cap = 5 must keep
+    // exactly 5 of the dense cell and all 3 of the sparse one
+    val vecs = ((1L to 12L).map(i => (i, Array(1f, 0.01f * i))) ++
+      (21L to 23L).map(i => (i, Array(0.01f * i, 1f)))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.capPerCluster(
+      vecs, "vec_id", "embedding", nLists = 2, cap = 5)
+    val byCell = got.groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(byCell.values.toSeq.sorted === Seq(3L, 5L), s"got $byCell")
+    // pure function of (corpus, salt): a rerun keeps the same ids
+    val ids1 = got.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.ops.Similarity.capPerCluster(
+        vecs, "vec_id", "embedding", nLists = 2, cap = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("quality LR: learns a planted token signal, deterministic fit, " +
       "keepAbove filters by logit") {
     val docs = (1L to 40L).map { i =>
