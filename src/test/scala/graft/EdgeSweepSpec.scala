@@ -66,6 +66,20 @@ class EdgeSweepSpec extends SparkSpec {
       sweep(s"mixture/$tag") {
         Sampling.mixtureSample(docs.withColumn("grp", lit("g")), "doc_id", "grp",
           Map("g" -> 0.5)).collect(); () }
+      sweep(s"dupStrip/$tag") {
+        Decontam.stripDupSpans(docs, "doc_id", "text").collect(); () }
+      sweep(s"dsir/$tag") {
+        Dsir.resample(docs, docs, "doc_id", "text", tauE4 = 0L).collect(); () }
+      sweep(s"qualityLr/$tag") {
+        // an empty/all-null labeled set must REFUSE (documented), not fit
+        val m = QualityClassifier.train(
+          docs.withColumn("label", lit(1)), "doc_id", "text", "label",
+          buckets = 64, iters = 2)
+        QualityClassifier.score(docs, m, "doc_id", "text").collect(); () }
+      sweep(s"clusterCap/$tag") {
+        Similarity.capPerCluster(
+          if (tag == "empty") emptyVecs else nullVecs,
+          "vec_id", "embedding", nLists = 2, cap = 3).collect(); () }
     }
   }
 
