@@ -719,18 +719,20 @@ object PipelineQueries {
 
     // multimodal plumbing: binary column -> batched REAL ImageIO decode
     // (true width/height from the PNG header) + stub featurize. The
-    // histogram features ride along as e6 fixed point; the gate stays
-    // rows-only ONLY for these codec-derived values (PNG byte stream =
-    // encoder-dependent) — every header-derivable column is hash-green
-    // in the contract twin below
+    // histogram features ride along as e6 fixed point, crossed as ONE
+    // "|"-delimited string so every gate column is a hashable scalar for
+    // the driver's pandas compare; the gate stays rows-only ONLY for
+    // these codec-derived values (PNG byte stream = encoder-dependent) —
+    // every header-derivable column is hash-green in the contract twin
     "q_mm_features" -> ((s, dir) => {
       val media = syntheticMedia(s, dir)
       Multimodal.batchFeaturize(media)
         .select(col("id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.sizeBytes").as("size_bytes"), size(col("features")).as("dim"),
-          transform(col("features"),
-            f => round(f.cast("double") * 1e6).cast("long")).as("features_e6"))
+          concat_ws("|", transform(col("features"),
+            f => round(f.cast("double") * 1e6).cast("long").cast("string")))
+            .as("features_e6"))
         .orderBy("id")
     }),
 
@@ -1109,9 +1111,11 @@ object PipelineQueries {
 
     // audio plumbing: binary column -> batched REAL WAV decode (true
     // sample rate / frames / duration from the header) + REAL per-window
-    // RMS energy over the PCM stream, riding along as e6 fixed point.
-    // Rows-only ONLY for the codec-derived values (PCM energy); every
-    // header-derivable column is hash-green in the contract twin below
+    // RMS energy over the PCM stream, riding along as e6 fixed point
+    // crossed as ONE "|"-delimited string (hashable scalar for the
+    // driver's pandas compare). Rows-only ONLY for the codec-derived
+    // values (PCM energy); every header-derivable column is hash-green
+    // in the contract twin below
     "q_mm_audio" -> ((s, dir) => {
       val media = syntheticAudio(s, dir)
       Multimodal.batchAudioFeaturize(media)
@@ -1119,8 +1123,9 @@ object PipelineQueries {
           col("meta.sampleRate").as("sample_rate"),
           col("meta.channels").as("channels"), col("meta.frames").as("frames"),
           col("meta.durationMs").as("duration_ms"), size(col("rms")).as("dim"),
-          transform(col("rms"),
-            v => round(v.cast("double") * 1e6).cast("long")).as("rms_e6"))
+          concat_ws("|", transform(col("rms"),
+            v => round(v.cast("double") * 1e6).cast("long").cast("string")))
+            .as("rms_e6"))
         .orderBy("id")
     }),
 

@@ -483,25 +483,37 @@ object RdfQueries {
       val opts = QueryOpts(
         filters = Seq(FilterQ(p = "semantic", o = "NATION_3 NATION_3")), size = 10)
       // persisted: the fold feeds the law aggregate AND the page —
-      // without it the ANN subtree would evaluate three times
+      // without it the ANN subtree would evaluate three times. The
+      // 1-row verdict is materialized eagerly inside try/finally so the
+      // persist is PAIRED (each invocation unpersists its own cache —
+      // a lazily returned frame would leak one cached plan per call).
       val folded = QueryEngine.scoreChain(ctx, opts).get
         .groupBy("s").agg(max("score").as("score")).persist()
-      val pageDf = QueryEngine.wantedPage(ctx, opts,
-        folded.select("s"), Some(folded))
-      val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
-      val laws = folded.join(sem, Seq("s"), "left")
-        .agg(count(lit(1)).as("n"), min("score").as("m"),
-          sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss"))
-      val pageAgg = pageDf
-        .join(folded.select(col("s"), lit(1).as("__c")), Seq("s"), "left")
-        .agg(count(lit(1)).as("psize"),
-          sum(when(col("__c").isNull, 0L).otherwise(1L)).as("pin"))
-      laws.crossJoin(pageAgg).select(
-        (col("n") > 0L).as("nonempty"),
-        coalesce(col("m") > 2.0, lit(false)).as("thresh_ok"),
-        (coalesce(col("miss"), lit(0L)) === 0L).as("members_ok"),
-        (col("psize") === least(lit(10L), col("n")) &&
-          coalesce(col("pin"), lit(0L)) === col("psize")).as("page_ok"))
+      val verdict = try {
+        val pageDf = QueryEngine.wantedPage(ctx, opts,
+          folded.select("s"), Some(folded))
+        val sem = ctx.semantic.get.select(col("hash").as("s"), lit(1).as("__m"))
+        val laws = folded.join(sem, Seq("s"), "left")
+          .agg(count(lit(1)).as("n"), min("score").as("m"),
+            sum(when(col("__m").isNull, 1L).otherwise(0L)).as("miss"))
+        val pageAgg = pageDf
+          .join(folded.select(col("s"), lit(1).as("__c")), Seq("s"), "left")
+          .agg(count(lit(1)).as("psize"),
+            sum(when(col("__c").isNull, 0L).otherwise(1L)).as("pin"))
+        laws.crossJoin(pageAgg).select(
+          (col("n") > 0L).as("nonempty"),
+          coalesce(col("m") > 2.0, lit(false)).as("thresh_ok"),
+          (coalesce(col("miss"), lit(0L)) === 0L).as("members_ok"),
+          (col("psize") === least(lit(10L), col("n")) &&
+            coalesce(col("pin"), lit(0L)) === col("psize")).as("page_ok"))
+          .collect()
+      } finally folded.unpersist()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(verdict.toSeq.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nonempty", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("thresh_ok", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("members_ok", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("page_ok", org.apache.spark.sql.types.BooleanType))))
     }),
 
     // the reference's flagship analytical query (wikidata.md:45-67):

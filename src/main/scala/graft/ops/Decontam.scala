@@ -106,14 +106,29 @@ object Decontam {
     * shape of stripBoilerplateLines. Nothing pairwise, nothing
     * driver-side. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Long = 2L): DataFrame = {
+      n: Int = 8, minDocs: Long = 2L, maxTokens: Int = 4000000): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2L,
       s"minDocs ($minDocs) below 2 would strip every span of every doc")
+    require(maxTokens >= n, s"maxTokens ($maxTokens) must be >= n ($n)")
     for (c <- Seq("pos", "token", "gpos", "gram", "__cov"))
       require(idCol != c, s"idCol '$c' collides with an internal name")
+    // the rebuild holds every surviving (pos, token) of a document in
+    // ONE collect_list buffer — bounded for web documents, pathological
+    // for a single hundreds-of-MB document. Refuse loudly (the repo's
+    // limit(cap+1) policy, expressed row-locally so the guard costs no
+    // extra job and fires BEFORE any buffer builds) instead of OOMing
+    // an executor; callers with megadocs chunk first or raise the cap.
+    val rawToks = TextAnalysis.wsTokens(col(textCol))
+    val guardedToks = when(size(rawToks) > maxTokens,
+        raise_error(format_string(
+          "stripDupSpans: document exceeds maxTokens=%d (%d tokens); the " +
+            "per-document rebuild buffers every surviving token — chunk " +
+            "the document or raise maxTokens",
+          lit(maxTokens.toLong), size(rawToks).cast("long"))))
+      .otherwise(rawToks)
     val toks = df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "token")))
+        posexplode(guardedToks).as(Seq("pos", "token")))
       .filter(col("token") =!= "") // all-empty text tokenizes to [""]
     val grams = df.select(col(idCol).as("id"),
       posexplode(TextAnalysis.wordGrams(col(textCol), n, distinct = false))
@@ -145,17 +160,24 @@ object Decontam {
 
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    require(idCol != "__dup", "idCol '__dup' collides with an internal name")
     val g = grams(df, idCol, textCol, n)
-    // grams are distinct per id, so a count over the gram partition =
-    // document frequency. The window formulation evaluates the gram
-    // explode ONCE (a separate freq aggregate + join-back would run the
-    // heaviest row-local stage twice — the two Exchange subtrees differ,
-    // so ReuseExchange cannot merge them).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-    g.withColumn("docfreq", count(lit(1)).over(w))
+    // Grams are distinct per id (wordGrams dedups row-locally), so the
+    // per-gram count = document frequency — and because it is a groupBy,
+    // not a gram-partitioned window, it gets map-side partial
+    // aggregation and AQE can split a corpus-universal gram's reducer
+    // (the same de-skew argument as [[stripDupSpans]]'s two-stage
+    // distinct; the old single-window formulation funneled a
+    // billion-row boilerplate gram through ONE window partition). The
+    // join-back re-evaluates the row-local gram explode once more —
+    // the deliberate trade documented in stripDupSpans.
+    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"), lit(1L).as("__dup"))
+    g.join(dup, Seq("gram"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        count(col("__dup")).as("n_dup_grams"))
       .withColumn("dup_frac",
         round(col("n_dup_grams") / col("n_grams"), 4))
   }

@@ -118,8 +118,11 @@ object Dsir {
     * with probability ~½, always favoring target-like documents. The
     * mean never materializes as a rounded value: the comparison is
     * multiplied through by n — `n·(ln(u)e4 + τ) < n·w − Σw`, exact
-    * integers on both sides (|n·w| ≤ 10¹¹·10⁷ fits a long with room),
-    * no floating boundary, no division. Cost: one corpus-scalar
+    * integers on both sides, carried as DECIMAL(38,0): |w_e4| can reach
+    * ~10¹²–10¹³ on megadocs (doc length × |λ_e4|) and n ~10¹² at
+    * 100 TB, so n·w and Σw overflow a Long (~9·10¹⁸) long before they
+    * threaten 38 decimal digits — decimal keeps the boundary exact with
+    * no floating point and no silent wrap. Cost: one corpus-scalar
     * aggregate (Σw, n) broadcast back — a second pass over the joined
     * frame, nothing driver-side. */
   def resample(corpus: DataFrame, target: DataFrame, idCol: String,
@@ -132,14 +135,19 @@ object Dsir {
       .withColumnRenamed("id", idCol)
     val joined = corpus.join(w, Seq(idCol), "left")
       .withColumn("w_e4", coalesce(col("w_e4"), lit(0L)))
-    val norm = joined.agg(sum(col("w_e4")).as("__sw"),
+    // Σw as decimal: a Long sum wraps once n·|w| passes ~9·10¹⁸
+    val norm = joined.agg(sum(col("w_e4").cast("decimal(38,0)")).as("__sw"),
       count(lit(1)).as("__nw"))
     val u = (Sampling.hashBucket(col(idCol), acceptSalt) + 1L).cast("double") /
       lit(4294967296.0)
+    // decimal(19,0) operands → decimal(38,0) products (Spark caps the
+    // result precision at 38; the true magnitudes stay ≤ ~10²⁵)
+    val nwDec = col("__nw").cast("decimal(19,0)")
     joined.crossJoin(broadcast(norm))
       .withColumn("accept",
-        ((round(log(u) * E4).cast("long") + lit(tauE4)) * col("__nw") <
-          col("w_e4") * col("__nw") - col("__sw")).cast("int"))
+        ((round(log(u) * E4).cast("long") + lit(tauE4)).cast("decimal(19,0)")
+            * nwDec <
+          col("w_e4").cast("decimal(19,0)") * nwDec - col("__sw")).cast("int"))
       .drop("__sw", "__nw")
   }
 }

@@ -69,7 +69,17 @@ object QualityClassifier {
       iters: Int = 50, lr: Double = 0.5,
       maxRows: Int = 2000000): LrModel = {
     require(iters >= 1 && lr > 0.0, s"bad schedule: iters=$iters lr=$lr")
+    // both collected sides key documents by LONG id — refuse non-integral
+    // id columns loudly (a string id would cast to null silently and a
+    // raw getLong would throw an undocumented ClassCastException)
+    val idType = labeled.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType).contains(idType),
+      s"idCol '$idCol' must be an integral type for the bounded driver " +
+        s"fit (got $idType) — hash or index your ids to long first")
     val featRows = Dsir.featureCounts(labeled, idCol, textCol, buckets, salt)
+      .select(col("id").cast("long").as("id"), col("feat"), col("cnt"))
       .limit(maxRows + 1).collect()
     require(featRows.length <= maxRows,
       s"labeled set exceeds $maxRows feature rows — subsample the " +

@@ -114,6 +114,24 @@ class EdgeSweepSpec extends SparkSpec {
     sweep("empty-store spo") { bk.spo(s = Some("<urn:s>")).collect(); () }
   }
 
+  test("stripDupSpans refuses a pathological megadoc loudly, under the cap passes") {
+    import spark.implicits._
+    val mega = (1 to 120).map(i => s"tok${i % 40}").mkString(" ")
+    val docs = Seq((1L, mega), (2L, mega)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Decontam.stripDupSpans(docs, "doc_id", "text", maxTokens = 50).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("maxTokens"),
+      s"megadoc refusal must name the bound, got:\n$chain")
+    // the same corpus under the cap flows through normally
+    val ok = Decontam.stripDupSpans(docs, "doc_id", "text", maxTokens = 200)
+      .collect()
+    assert(ok.isEmpty, "two identical docs strip to nothing (all spans dup)")
+  }
+
   test("adversarial unicode text flows through the text ops deterministically") {
     import spark.implicits._
     // emoji (surrogate pairs), RTL, combining marks, zero-width chars,

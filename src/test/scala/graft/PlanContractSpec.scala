@@ -200,14 +200,22 @@ class PlanContractSpec extends SparkSpec {
       s"selection should shuffle once (the shard window):\n$p")
   }
 
-  test("dup-span stats: window + aggregate, never a pairwise join") {
+  test("dup-span stats: doc-frequency is a map-combined groupBy joined " +
+      "back — never a gram-partitioned window, never pairwise") {
     import spark.implicits._
     val docsDf = (1L to 30L).map(i =>
       (i, (1 to 12).map(j => s"w${(i + j) % 9}").mkString(" "))).toDF("id", "text")
     val p = plan(graft.ops.Decontam.dupSpanStats(docsDf, "id", "text", n = 8))
-    assert(!p.contains("Join"), s"dupSpanStats must not join (gram explode would run twice):\n$p")
-    // gram-partition window + per-doc aggregate: exactly two exchanges
-    assert("Exchange".r.findAllIn(p).size <= 2, s"dupSpanStats over-shuffles:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"dupSpanStats must never go pairwise:\n$p")
+    // the de-skew shape: no window over the gram key (a billion-row
+    // boilerplate gram cannot be split by AQE inside one window
+    // partition) and no countDistinct — the df aggregate must be a
+    // partial-aggregating groupBy
+    assert(!p.contains("Window"),
+      s"gram doc-frequency must not be a gram-partitioned window:\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      s"gram df must not plan a countDistinct:\n$p")
   }
 
   test("span removal: gram df is a two-stage distinct, dup join-back " +
