@@ -87,6 +87,42 @@ object PipelineQueries {
     d.union(d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
   }
 
+  /** The q_doc_pipeline corpus: documents plus near-dup plants — a
+    * one-token-appended mutation of every doc ≡ 1 (mod 20), at
+    * id + 1000000 — that survive normalization and exact dedup
+    * (different content hash) but collide with their originals in the
+    * MinHash bands whenever both clear the learned quality cut, so the
+    * near-dup stage of the composed chain is never vacuous. Plant ids
+    * are never ≡ 0 (mod 50), so the decontam bench (original docs
+    * only) stays plant-free on both engines by construction. */
+  private def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docsPar(s, dir)
+    d.union(d.filter(col("doc_id") % 20 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" pipelineprobe")).as("text")))
+  }
+
+  // Stages 1–3 of the composed curation chain (normalize → LR cut →
+  // canonical exact dedup), one eager materialization per sfDir: the
+  // canonical corpus feeds the pair build, the gate AND the oracle-aux
+  // export — one derivation everywhere (the pairsCache treatment).
+  private val pipeCanonCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pipelineCanon(s: SparkSession, dir: String): DataFrame =
+    pipeCanonCache.computeIfAbsent(dir, { _ =>
+      graft.ops.Curation.normalizedSurvivors(
+          pipelineCorpus(s, dir), qlrModel(s, dir), "doc_id", "text")
+        .localCheckpoint(eager = true)
+    })
+
+  // MinHash pairs over the pipeline's canonical corpus — the
+  // `pipeline_pairs` oracle seam (minhashDedup localCheckpoints, so the
+  // cache holds no persist; [[clearCaches]] releases the references).
+  private val pipePairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pipelinePairs(s: SparkSession, dir: String): DataFrame =
+    pipePairsCache.computeIfAbsent(dir, { _ =>
+      Dedup.minhashDedup(pipelineCanon(s, dir), "doc_id", "text", threshold = 0.8)
+    })
+
   /** Documents plus TWO plants for the SimHash pair gate: an exact copy
     * of doc 0 (id 1000000 — hamming 0, guarantees the gate is never
     * vacuous) and a one-token-appended mutation of doc 0 (id 1000001 —
@@ -198,7 +234,7 @@ object PipelineQueries {
     pairsCache.clear(); mediaCache.clear(); audioCache.clear()
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
     docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
-    qlrCache.clear()
+    qlrCache.clear(); pipeCanonCache.clear(); pipePairsCache.clear()
   }
 
   // One fitted PCA model per sfDir, shared by the q_emb_pca gate and
@@ -307,6 +343,44 @@ object PipelineQueries {
         .agg(min_by(struct(col("doc_id"), col("quality")), col("doc_id")).as("__r"))
         .select(col("__r.doc_id").as("doc_id"), col("__r.quality").as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // the FULL composed curation chain, end to end: normalize → learned
+    // LR quality cut → canonical exact dedup → MinHash near-dup greedy
+    // keep → 8-gram decontamination → shuffle-shard manifest + packing
+    // stats of the final kept corpus. Every step is individually gated
+    // elsewhere; THIS gate hash-checks their COMPOSITION (the seams
+    // where column collisions, null policies, and cross-stage
+    // determinism bugs hide) — DuckDB replays the whole chain over the
+    // exported qlr_model and pipeline_pairs policy seams, and any
+    // upstream deviation changes the kept set and reds a checksum.
+    "q_doc_pipeline" -> ((s, dir) => {
+      val bench = docsPar(s, dir).filter(col("doc_id") % 50 === 0)
+      val fin = graft.ops.Curation.curateFrom(
+        pipelineCanon(s, dir), bench, "doc_id", "text", pipelinePairs(s, dir))
+      val man = graft.ops.Shards.manifest(
+          graft.ops.Shards.trainingShuffle(fin.select("doc_id", "text"),
+            "doc_id", nShards = 8, salt = "pipe"),
+          "doc_id", "text")
+        .withColumn("checksum", col("checksum").cast("string"))
+      // bins are dense per shard (cumulative packing leaves no gaps),
+      // so max(bin)+1 counts them without a distinct
+      val packAgg = graft.ops.Packing.packChunks(
+          fin.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+          "doc_id", "toks", budget = 512L, shards = 8)
+        .groupBy("shard")
+        .agg((max("bin") + 1L).as("pack_bins"),
+          sum("tok_in_bin").as("pack_toks"))
+      man.join(packAgg, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("bytes"), lit(0L)).as("bytes"),
+          coalesce(col("max_pos"), lit(0L)).as("max_pos"),
+          coalesce(col("checksum"), lit("0")).as("checksum"),
+          coalesce(col("pack_bins"), lit(0L)).as("pack_bins"),
+          coalesce(col("pack_toks"), lit(0L)).as("pack_toks"))
+        .orderBy("shard")
     }),
 
     // exact token-set Jaccard via inverted-index self-join. The pair
@@ -1451,6 +1525,11 @@ object PipelineQueries {
   def exportOracleAux(s: SparkSession, dir: String): Unit = {
     minhashPairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
+    // Pipeline policy seam: the MinHash pairs over the composed chain's
+    // canonical corpus (stages 1–3) — DuckDB replays the greedy walk,
+    // decontam, manifest and pack stages of q_doc_pipeline over these.
+    pipelinePairs(s, dir).select("a", "b", "jaccard").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_pairs")
     // Multimodal policy seam: the synth parameters (what the encoders
     // were TOLD to encode, from the text's seed-0 XXH64) — DuckDB
     // hash-checks the codec-decoded header values against them
@@ -1731,6 +1810,120 @@ object PipelineQueries {
          |thr AS (SELECT min(quality) AS th FROM cum, nn WHERE cum >= ceil(0.1 * n))
          |SELECT doc_id, quality FROM t, thr WHERE quality >= th
          |ORDER BY doc_id""".stripMargin,
+    // the composed chain replayed end-to-end: plant construction,
+    // normalization regex chain (q_doc_normalize's), LR scoring against
+    // the qlr_model seam, content-hash canonicalization, the greedy
+    // admission walk over the pipeline_pairs seam, 8-gram bench
+    // subtraction, and the manifest/pack arithmetic — all in one query,
+    // so a drift at ANY stage moves a checksum or count
+    "q_doc_pipeline" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' pipelineprobe' FROM documents
+         |  WHERE doc_id % 20 = 1),
+         |nz AS (SELECT doc_id, text FROM raw
+         |       WHERE text IS NOT NULL AND trim(text) <> ''),
+         |n AS (SELECT doc_id,
+         |  trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |            '[\\x{00A0}\\x{2007}\\x{202F}\\x{3000}]', ' ', 'g'),
+         |          '[\\x{2018}\\x{2019}]', '''', 'g'),
+         |        '[\\x{201C}\\x{201D}]', '"', 'g'),
+         |      '[\\x{2013}\\x{2014}]', '-', 'g'),
+         |    '\\s+', ' ', 'g')) AS nt
+         |  FROM nz),
+         |ws AS (SELECT doc_id, string_split_regex(trim(lower(nt)), '\\s+') AS w FROM n),
+         |units AS (
+         |  SELECT doc_id, unnest(w) AS u FROM ws
+         |  UNION ALL
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+         |                         for i in range(1, len(w))]) AS u FROM ws),
+         |feats AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(u || ':qlr'), 1, 8))::UBIGINT % 4096 AS BIGINT) AS feat,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM units WHERE u <> '' GROUP BY 1, 2),
+         |m AS (SELECT feat, w_e8 FROM read_parquet('$oracleAuxDir/qlr_model/*.parquet')),
+         |bias AS (SELECT w_e8 AS b FROM m WHERE feat = -1),
+         |lrs AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(m.w_e8, 0)) AS BIGINT) AS s1,
+         |          CAST(sum(f.cnt) AS BIGINT) AS n1
+         |        FROM feats f LEFT JOIN m ON f.feat = m.feat GROUP BY 1),
+         |qkept AS (SELECT n.doc_id, n.nt FROM n LEFT JOIN lrs USING (doc_id), bias
+         |  WHERE CAST(round((CAST(b AS DOUBLE)
+         |      + coalesce(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 0.0))
+         |    / 10000.0) AS BIGINT) > 0),
+         |canon AS (SELECT doc_id, nt FROM qkept
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(nt))),
+         |pairs AS (SELECT a, b FROM read_parquet('$oracleAuxDir/pipeline_pairs/*.parquet')),
+         |pid AS (SELECT DISTINCT id FROM (
+         |    SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)),
+         |ids AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM pid),
+         |walk(rn, admitted) AS (
+         |  SELECT CAST(0 AS BIGINT), []::BIGINT[]
+         |  UNION ALL
+         |  SELECT i.rn,
+         |    CASE WHEN EXISTS (SELECT 1 FROM pairs p
+         |                      WHERE p.b = i.id AND list_contains(w2.admitted, p.a))
+         |         THEN w2.admitted ELSE list_append(w2.admitted, i.id) END
+         |  FROM walk w2 JOIN ids i ON i.rn = w2.rn + 1),
+         |keptid AS (
+         |  SELECT doc_id FROM canon WHERE doc_id NOT IN (SELECT id FROM pid)
+         |  UNION ALL
+         |  SELECT unnest(admitted) AS doc_id FROM walk
+         |  WHERE rn = (SELECT coalesce(max(rn), 0) FROM ids)),
+         |near AS (SELECT c.doc_id, c.nt FROM canon c JOIN keptid k USING (doc_id)),
+         |bw AS (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws2
+         |       FROM n WHERE doc_id % 50 = 0),
+         |bg AS (SELECT DISTINCT unnest(list_distinct([array_to_string(ws2[i:i+7], ' ')
+         |          for i in range(1, len(ws2) - 6)])) AS gram
+         |       FROM bw WHERE len(ws2) >= 8),
+         |ng AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws3[i:i+7], ' ')
+         |          for i in range(1, len(ws3) - 6)])) AS gram
+         |       FROM (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws3 FROM near)
+         |       WHERE len(ws3) >= 8),
+         |contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bg USING (gram)),
+         |fin AS (SELECT doc_id, nt FROM near
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |h AS (SELECT doc_id, nt,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pipe:shard'), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pipe:pos'), 1, 8))::UBIGINT AS ph
+         |  FROM fin),
+         |r AS (SELECT doc_id, nt, shard,
+         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS BIGINT) AS pos
+         |      FROM h),
+         |man AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(octet_length(encode(nt))) AS BIGINT) AS bytes,
+         |    CAST(max(pos) AS BIGINT) AS max_pos,
+         |    CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(nt) || ':manifest'), 1, 8))::UBIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         |  FROM r GROUP BY shard),
+         |pt AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(nt), '\\s+')) AS BIGINT) AS toks,
+         |    doc_id % 8 AS shard
+         |  FROM fin),
+         |pc AS (SELECT doc_id, toks, shard,
+         |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM pt WHERE toks > 0),
+         |pe AS (SELECT shard, cum_end, cum_end - toks AS cum_start,
+         |    unnest(range((cum_end - toks) // 512, (cum_end - 1) // 512 + 1)) AS bin
+         |  FROM pc),
+         |pa AS (SELECT CAST(shard AS BIGINT) AS shard,
+         |    CAST(max(bin) + 1 AS BIGINT) AS pack_bins,
+         |    CAST(sum(least((bin + 1) * 512, cum_end)
+         |      - greatest(bin * 512, cum_start)) AS BIGINT) AS pack_toks
+         |  FROM pe GROUP BY shard)
+         |SELECT coalesce(man.shard, pa.shard) AS shard,
+         |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(bytes, 0) AS BIGINT) AS bytes,
+         |  CAST(coalesce(max_pos, 0) AS BIGINT) AS max_pos,
+         |  coalesce(checksum, '0') AS checksum,
+         |  CAST(coalesce(pack_bins, 0) AS BIGINT) AS pack_bins,
+         |  CAST(coalesce(pack_toks, 0) AS BIGINT) AS pack_toks
+         |FROM man FULL OUTER JOIN pa ON man.shard = pa.shard
+         |ORDER BY shard""".stripMargin,
     "q_doc_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt

@@ -1090,6 +1090,52 @@ class OpsSpec extends SparkSpec {
         10L, 0L)))
   }
 
+  test("curation chain: each stage drops exactly its planted victim, " +
+      "composition matches the hand-derived keep set") {
+    val A = "the quick brown fox jumps over the lazy dog while many " +
+      "other animals watch the quiet field today"
+    val D = "many animals watch the quick brown fox and the lazy dog " +
+      "in the quiet field every day"
+    val F = "the contamination sentinel phrase appears exactly here " +
+      "once more for the benchmark to catch today"
+    val Iplain = "the \"quick\" brown fox rests"
+    val H = "the “quick”  brown fox rests"
+    val corpusC = Seq(
+      (1L, A),                  // survives everything (canonical of {1,2})
+      (2L, A),                  // exact dup -> dropped at exact dedup
+      (3L, A + " extraterm"),   // near-dup of 1 -> dropped at greedy keep
+      (4L, D),                  // survives everything
+      (5L, "zzz zzz yyy zzz zzz"), // junk -> dropped at the LR cut
+      (6L, F),                  // shares 8-grams with bench -> decontam drop
+      (7L, H),                  // normalizes to Iplain -> canonical of {7,8}
+      (8L, Iplain),             // normalize-collapsed into 7
+      (9L, null.asInstanceOf[String]), // dropped at the door
+      (10L, "   ")).toDF("id", "text") // dropped at the door
+    val bench = Seq((100L,
+      "benchmark doc containing contamination sentinel phrase appears " +
+        "exactly here once more for the suite")).toDF("id", "text")
+    val labeled = Seq(
+      (11L, A, 1), (12L, D, 1), (13L, F, 1), (14L, Iplain, 1),
+      (15L, "zzz zzz zzz zzz zzz", 0), (16L, "zzz yyy zzz yyy", 0),
+      (17L, "yyy zzz yyy zzz zzz", 0)).toDF("id", "text", "label")
+    val model = graft.ops.QualityClassifier.train(
+      labeled, "id", "text", "label", iters = 500, lr = 2.0)
+    val fin = graft.ops.Curation.curate(corpusC, bench, model, "id", "text")
+    val ids = fin.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 7L), s"chain kept $ids")
+    // the survivor carries the NORMALIZED text (stage 1 rewrites in place)
+    val t7 = fin.filter(col("id") === 7).select("text").collect()(0).getString(0)
+    assert(t7 === Iplain)
+    // injecting a precomputed pair table (the gate's oracle seam) is the
+    // same chain as letting curate build its own
+    val canon = graft.ops.Curation.normalizedSurvivors(
+      corpusC, model, "id", "text")
+    val viaSeam = graft.ops.Curation.curateFrom(canon, bench, "id", "text",
+        Dedup.minhashDedup(canon, "id", "text", threshold = 0.8))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaSeam === ids)
+  }
+
   test("cluster cap: dense cell capped exactly, sparse cell passes whole, " +
       "keep set deterministic") {
     // two tight clusters: 12 vectors near (1,0) and 3 near (0,1) — with
