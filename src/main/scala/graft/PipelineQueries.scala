@@ -1362,6 +1362,19 @@ object PipelineQueries {
     // BPE trainer counting step: word-frequency-weighted adjacent
     // character-pair counts over the VOCABULARY (the next-merge table);
     // deterministic tie-break, oracle-checked exactly
+    // iterated BPE merge TRAINING — the k-round loop whose single step
+    // q_doc_bpe_pairs gates: per round, pair counts over the segmented
+    // vocabulary, deterministic argmax, leftmost-greedy re-segmentation.
+    // DuckDB replays all 8 rounds (unrolled) from the exported
+    // bpe_wordcounts seam with a run-parity re-segmentation — an
+    // INDEPENDENT statement of the greedy rule (window arithmetic vs
+    // the engine's fold), so the two sides cross-check the semantics,
+    // not just the arithmetic
+    "q_doc_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeTrainMerges(docsPar(s, dir), "text", merges = 8)
+        .orderBy("rank")
+    }),
+
     "q_doc_bpe_pairs" -> ((s, dir) => {
       TextAnalysis.bpePairCounts(docsPar(s, dir), "text", k = 30)
     }),
@@ -1530,6 +1543,12 @@ object PipelineQueries {
     // decontam, manifest and pack stages of q_doc_pipeline over these.
     pipelinePairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_pairs")
+    // BPE word-count seam: the vocabulary the merge trainer iterates
+    // over — DuckDB replays all k merge rounds from it (the corpus →
+    // vocabulary stage itself is gated by q_doc_bpe_pairs' from-scratch
+    // oracle)
+    TextAnalysis.wordCounts(docsPar(s, dir), "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/bpe_wordcounts")
     // Multimodal policy seam: the synth parameters (what the encoders
     // were TOLD to encode, from the text's seed-0 XXH64) — DuckDB
     // hash-checks the codec-decoded header values against them
@@ -1635,6 +1654,42 @@ object PipelineQueries {
        |SELECT e3.vec_id, e3.label FROM embeddings e3 LEFT JOIN comp ON e3.vec_id = comp.id
        |WHERE comp.id IS NULL OR comp.cluster = comp.id
        |ORDER BY vec_id""".stripMargin
+
+  /** The q_doc_bpe_merges oracle, generated with the k merge rounds
+    * UNROLLED as CTE stages (a recursive CTE cannot aggregate over its
+    * own recursive reference, which each round's pair count needs).
+    * Re-segmentation is stated INDEPENDENTLY of the engine's fold: a
+    * merge position survives iff its offset inside its run of
+    * consecutive hit positions is even (runs longer than one position
+    * only occur for x = y, where greedy left-to-right = even offsets;
+    * for x ≠ y hits are never adjacent) — window arithmetic, the
+    * gaps-and-islands statement of leftmost-greedy non-overlap. Every
+    * stage is MATERIALIZED: DuckDB inlines single-use CTEs, and each
+    * stage references its predecessor several times, so the un-hinted
+    * plan tree grows ~5^k copies of the scan and never finishes. */
+  private def bpeMergesOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH wc AS (SELECT w, c FROM read_parquet('$oracleAuxDir/bpe_wordcounts/*.parquet')),\n"
+    sb ++= "st0 AS MATERIALIZED (SELECT w, c, CAST(pos AS BIGINT) AS pos, substr(w, CAST(pos AS INTEGER), 1) AS tok FROM (\n"
+    sb ++= "  SELECT w, c, unnest(range(1, length(w) + 1)) AS pos FROM wc)),\n"
+    for (r <- 1 to k) {
+      sb ++= s"nx$r AS MATERIALIZED (SELECT w, c, pos, tok, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS ntok FROM st${r - 1}),\n"
+      sb ++= s"tp$r AS MATERIALIZED (SELECT tok AS x, ntok AS y, CAST(sum(c) AS BIGINT) AS cnt FROM nx$r WHERE ntok IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),\n"
+      sb ++= s"ht$r AS MATERIALIZED (SELECT n.w, n.c, n.pos, n.tok, n.ntok, t.x IS NOT NULL AS hit FROM nx$r n LEFT JOIN tp$r t ON n.tok = t.x AND n.ntok = t.y),\n"
+      sb ++= s"kp$r AS MATERIALIZED (SELECT w, pos FROM (SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (\n"
+      sb ++= s"  SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp FROM ht$r WHERE hit)) WHERE off % 2 = 0),\n"
+      sb ++= s"st$r AS MATERIALIZED (SELECT w, c, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, tok FROM (\n"
+      sb ++= s"  SELECT h.w, h.c, h.pos, CASE WHEN k1.pos IS NOT NULL THEN h.tok || h.ntok ELSE h.tok END AS tok\n"
+      sb ++= s"  FROM ht$r h LEFT JOIN kp$r k1 ON h.w = k1.w AND h.pos = k1.pos\n"
+      sb ++= s"  LEFT JOIN kp$r k2 ON h.w = k2.w AND h.pos = k2.pos + 1 WHERE k2.pos IS NULL)),\n"
+    }
+    sb.setLength(sb.length - 2) // drop the final CTE's trailing ",\n"
+    sb ++= "\n"
+    sb ++= (1 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, x, y, x || y AS merged, cnt FROM tp$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
 
   val oracle: Map[String, String] = Map(
     // per-document codec round-trip laws: the Spark side compares the
@@ -1924,6 +1979,7 @@ object PipelineQueries {
          |  CAST(coalesce(pack_toks, 0) AS BIGINT) AS pack_toks
          |FROM man FULL OUTER JOIN pa ON man.shard = pa.shard
          |ORDER BY shard""".stripMargin,
+    "q_doc_bpe_merges" -> bpeMergesOracleSql(8),
     "q_doc_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt

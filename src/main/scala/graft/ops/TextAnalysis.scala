@@ -430,16 +430,88 @@ object TextAnalysis {
     * rows, not 10¹³. Iterating merges re-runs this count over a
     * re-segmented vocabulary; this operator is the one distributed step
     * each iteration repeats. */
-  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
-    val wc = df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+  /** Corpus vocabulary with frequencies: (w, c) over lower-cased
+    * whitespace words — the ONE corpus-sized stage of BPE training,
+    * shared by [[bpePairCounts]] and [[bpeTrainMerges]] (and exported
+    * as the `bpe_wordcounts` oracle seam). */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
+    val wc = wordCounts(df, textCol)
     val pairs = wc.filter(length(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"), col("c"))
     pairs.groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
+  }
+
+  /** Iterated BPE merge TRAINING (the loop [[bpePairCounts]] is one
+    * step of — Sennrich et al. 2016, arXiv:1508.07909): repeat `merges`
+    * times { count adjacent token pairs over the segmented vocabulary
+    * weighted by word frequency; take the most frequent pair (count
+    * desc, then (x, y) asc — a total deterministic order); merge its
+    * occurrences leftmost-greedy non-overlapping in every word }.
+    * Returns the learned merge table (rank, x, y, merged, cnt) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale contract: the corpus collapses to its vocabulary ONCE (the
+    * [[wordCounts]] groupBy — the only corpus-sized stage, eagerly
+    * materialized so no round rescans the corpus); each round is then
+    * vocabulary-sized — one map-side-combined pair aggregate, ONE
+    * 1-row argmax collect (the bounded driver step BPE's sequential
+    * dependence forces), and a row-local leftmost-greedy re-segmentation
+    * fold. `merges` rounds of lineage over the checkpointed vocabulary
+    * stay row-local; a 10M-word vocabulary costs ~10M rows per round,
+    * never the corpus.
+    *
+    * Leftmost-greedy as a fold: append each token unless the
+    * accumulator's last element is `x` and the current is `y` — after
+    * a merge the last element becomes `xy` ≠ `x` (y is nonempty), so
+    * overlapping re-merge within the round is structurally impossible
+    * ("aaa" under (a,a) → [aa, a], the textbook rule). Characters are
+    * codepoint `substr` slices, matching the SQL oracle's semantics
+    * exactly (never JVM UTF-16 split). */
+  def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
+    require(merges >= 1 && merges <= 256,
+      s"merges must be in [1, 256], got $merges (each round is a " +
+        "sequential vocabulary pass — train large tables in stages)")
+    val spark = df.sparkSession
+    val wc = wordCounts(df, textCol).localCheckpoint(eager = true)
+    var seg = wc.select(col("w"), col("c"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("toks"))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val top = seg.filter(size(col("toks")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((r.toLong, x, y, x + y, cnt))
+        seg = seg.withColumn("toks",
+          aggregate(col("toks"), array().cast("array<string>"),
+            (acc, t) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(x) && t === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+              .otherwise(concat(acc, array(t)))))
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "x", "y", "merged", "cnt")
   }
 
   /** Per-slice corpus data card — the summary table a dataset release

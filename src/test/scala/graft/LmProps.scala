@@ -85,6 +85,62 @@ object LmProps extends Properties("lm") {
       got == want
     }
 
+  property("bpeTrainMerges == naive in-memory BPE trainer") = {
+    // tiny alphabet so heavy same-char runs occur — the regime where
+    // the leftmost-greedy non-overlap semantics (run parity) matter
+    val genBpeDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 12)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(len, for {
+          wl <- Gen.choose(1, 7)
+          cs <- Gen.listOfN(wl, Gen.oneOf('a', 'b', 'c'))
+        } yield cs.mkString)
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    Prop.forAll(genBpeDocs, Gen.choose(1, 6)) { (docs, k) =>
+      import spark.implicits._
+      val got = graft.ops.TextAnalysis.bpeTrainMerges(
+          docs.toDF("id", "text"), "text", merges = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+      // naive trainer: same tokenization, same argmax order, leftmost-
+      // greedy merge by explicit scan
+      def mergeWord(toks: Vector[String], x: String, y: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+      val words = docs.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty)
+      var segs: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+        .map { case (w, l) => (w.map(_.toString).toVector, l.size.toLong) }
+      val want = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var r = 1
+      var stop = false
+      while (r <= k && !stop) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((t, c) <- segs; i <- 0 until t.length - 1)
+          pc((t(i), t(i + 1))) = pc.getOrElse((t(i), t(i + 1)), 0L) + c
+        if (pc.isEmpty) stop = true
+        else {
+          val ((x, y), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          want += ((r.toLong, x, y, x + y, cnt))
+          segs = segs.map { case (t, c) => (mergeWord(t, x, y), c) }
+          r += 1
+        }
+      }
+      got == want.toSeq
+    }
+  }
+
   property("unigramNll == naive corpus-frequency model") = Prop.forAll(genDocs) { docs =>
     import spark.implicits._
     val got = graft.ops.TextAnalysis.unigramNll(
