@@ -235,6 +235,7 @@ object PipelineQueries {
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
     docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
     qlrCache.clear(); pipeCanonCache.clear(); pipePairsCache.clear()
+    RdfQueries.clearCaches()
   }
 
   // One fitted PCA model per sfDir, shared by the q_emb_pca gate and
