@@ -1376,6 +1376,17 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // the tokenizer APPLICATION step over the same trainer: the final
+    // segmented vocabulary after the 8 learned merges — one row per
+    // word with its "|"-joined subwords; per-doc token counts follow by
+    // a vocabulary-sized broadcast join. DuckDB reads the same unrolled
+    // stages out at st8 instead of the merge table, so training AND
+    // application are hash-checked end-to-end
+    "q_doc_bpe_encode" -> ((s, dir) => {
+      TextAnalysis.bpeSegmentedVocab(docsPar(s, dir), "text", merges = 8)
+        .orderBy("w")
+    }),
+
     "q_doc_bpe_pairs" -> ((s, dir) => {
       TextAnalysis.bpePairCounts(docsPar(s, dir), "text", k = 30)
     }),
@@ -1668,7 +1679,23 @@ object PipelineQueries {
     * stage is MATERIALIZED: DuckDB inlines single-use CTEs, and each
     * stage references its predecessor several times, so the un-hinted
     * plan tree grows ~5^k copies of the scan and never finishes. */
-  private def bpeMergesOracleSql(k: Int): String = {
+  private def bpeMergesOracleSql(k: Int): String =
+    bpeOracleStages(k) +
+      (1 to k).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, x, y, x || y AS merged, cnt FROM tp$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** The q_doc_bpe_encode oracle: the same unrolled stages, read out at
+    * the FINAL segmented vocabulary instead of the merge table — the
+    * application seam (string_agg over st_k's positions). */
+  private def bpeEncodeOracleSql(k: Int): String =
+    bpeOracleStages(k) +
+      s"""SELECT w, CAST(c AS BIGINT) AS c,
+         |  string_agg(tok, '|' ORDER BY pos) AS seg,
+         |  CAST(count(*) AS BIGINT) AS n_subtokens
+         |FROM st$k GROUP BY w, c ORDER BY w""".stripMargin
+
+  private def bpeOracleStages(k: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH wc AS (SELECT w, c FROM read_parquet('$oracleAuxDir/bpe_wordcounts/*.parquet')),\n"
     sb ++= "st0 AS MATERIALIZED (SELECT w, c, CAST(pos AS BIGINT) AS pos, substr(w, CAST(pos AS INTEGER), 1) AS tok FROM (\n"
@@ -1686,9 +1713,6 @@ object PipelineQueries {
     }
     sb.setLength(sb.length - 2) // drop the final CTE's trailing ",\n"
     sb ++= "\n"
-    sb ++= (1 to k).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS rank, x, y, x || y AS merged, cnt FROM tp$r")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
     sb.toString
   }
 
@@ -1981,6 +2005,7 @@ object PipelineQueries {
          |FROM man FULL OUTER JOIN pa ON man.shard = pa.shard
          |ORDER BY shard""".stripMargin,
     "q_doc_bpe_merges" -> bpeMergesOracleSql(8),
+    "q_doc_bpe_encode" -> bpeEncodeOracleSql(8),
     "q_doc_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt

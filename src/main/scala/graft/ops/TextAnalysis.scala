@@ -476,10 +476,32 @@ object TextAnalysis {
     * codepoint `substr` slices, matching the SQL oracle's semantics
     * exactly (never JVM UTF-16 split). */
   def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrain(df, textCol, merges)._1.toDF("rank", "x", "y", "merged", "cnt")
+  }
+
+  /** The segmented vocabulary AFTER [[bpeTrainMerges]]' k merges — the
+    * tokenizer APPLICATION step (what an encode pass ships): one row
+    * per distinct word with its corpus count, its "|"-joined subword
+    * segmentation, and the subword count. Per-document token counts
+    * follow by joining this table back on the word (vocabulary-sized
+    * broadcast at any corpus scale). Same cost contract as the
+    * trainer — the segmentation IS the trainer's final state. */
+  def bpeSegmentedVocab(df: DataFrame, textCol: String,
+      merges: Int = 8): DataFrame =
+    bpeTrain(df, textCol, merges)._2
+      .select(col("w"), col("c"),
+        array_join(col("toks"), "|").as("seg"),
+        size(col("toks")).cast("long").as("n_subtokens"))
+
+  /** The shared training loop: (learned merge list, final segmented
+    * vocabulary frame). */
+  private def bpeTrain(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= 256,
       s"merges must be in [1, 256], got $merges (each round is a " +
         "sequential vocabulary pass — train large tables in stages)")
-    val spark = df.sparkSession
     val wc = wordCounts(df, textCol).localCheckpoint(eager = true)
     var seg = wc.select(col("w"), col("c"),
       transform(sequence(lit(1), length(col("w"))),
@@ -510,8 +532,7 @@ object TextAnalysis {
               .otherwise(concat(acc, array(t)))))
       }
     }
-    import spark.implicits._
-    learned.toSeq.toDF("rank", "x", "y", "merged", "cnt")
+    (learned.toSeq, seg)
   }
 
   /** Per-slice corpus data card — the summary table a dataset release

@@ -137,7 +137,16 @@ object LmProps extends Properties("lm") {
           r += 1
         }
       }
-      got == want.toSeq
+      // the application seam: the segmented vocabulary after the same
+      // merges must equal the naive trainer's final state
+      val gotSeg = graft.ops.TextAnalysis.bpeSegmentedVocab(
+          docs.toDF("id", "text"), "text", merges = k)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+      val wantSeg = segs.map { case (t, c) =>
+        t.mkString -> (c, t.mkString("|"), t.length.toLong) }.toMap
+      got == want.toSeq && gotSeg == wantSeg
     }
   }
 

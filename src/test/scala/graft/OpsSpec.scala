@@ -1090,6 +1090,24 @@ class OpsSpec extends SparkSpec {
         10L, 0L)))
   }
 
+  test("BPE trainer: hand-derived merges in order, early exhaustion, " +
+      "segmented vocabulary is the trainer's final state") {
+    // words: aa x3, ab x2, b x1. Round 1: pair (a,a) cnt 3 wins; round 2:
+    // (a,b) cnt 2; round 3: no pairs left -> exhausted before k = 8
+    val docsB = Seq((1L, "aa ab aa"), (2L, "ab aa b")).toDF("id", "text")
+    val merges = graft.ops.TextAnalysis.bpeTrainMerges(docsB, "text", merges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges === Seq((1L, "a", "a", "aa", 3L), (2L, "a", "b", "ab", 2L)))
+    val seg = graft.ops.TextAnalysis.bpeSegmentedVocab(docsB, "text", merges = 8)
+      .orderBy("w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(seg === Seq(("aa", 3L, "aa", 1L), ("ab", 2L, "ab", 1L),
+      ("b", 1L, "b", 1L)))
+  }
+
   test("curation chain: each stage drops exactly its planted victim, " +
       "composition matches the hand-derived keep set") {
     val A = "the quick brown fox jumps over the lazy dog while many " +
