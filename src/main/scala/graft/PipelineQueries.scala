@@ -87,20 +87,62 @@ object PipelineQueries {
     d.union(d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
   }
 
-  /** The q_doc_pipeline corpus: documents plus near-dup plants — a
-    * one-token-appended mutation of every doc ≡ 1 (mod 20), at
-    * id + 1000000 — that survive normalization and exact dedup
-    * (different content hash) but collide with their originals in the
-    * MinHash bands whenever both clear the learned quality cut, so the
-    * near-dup stage of the composed chain is never vacuous. Plant ids
-    * are never ≡ 0 (mod 50), so the decontam bench (original docs
-    * only) stays plant-free on both engines by construction. */
+  /** The q_doc_pipeline corpus: documents plus two plant classes —
+    *
+    *  - near-dup plants: a one-token-appended mutation of every doc
+    *    ≡ 1 (mod 20), at id + 1000000 — survives normalization and
+    *    exact dedup (different content hash) but collides with its
+    *    original in the MinHash bands whenever both clear the learned
+    *    quality cut, so the near-dup stage is never vacuous;
+    *  - span plants: TWO partial copies (first 8 whitespace tokens +
+    *    distinct salt tails) of every ≥8-token doc ≡ 3 (mod 40), at
+    *    id + 2000000 / id + 3000000 — each twin shares the 8-gram with
+    *    its sibling (and the original), so whenever both twins clear
+    *    the LR cut the span-removal stage has a cross-document
+    *    duplicated span to strip; their mutual shingle Jaccard is far
+    *    below 0.8, so the MinHash stage never collapses them.
+    *
+    * Plant ids are never ≡ 0 (mod 50) (no x solves x ≡ 1 mod 20 ∧
+    * x ≡ 0 mod 50 with the +1e6 offset, nor x ≡ 3 mod 40 ∧ x ≡ 0
+    * mod 50 with the +2e6/+3e6 ones), and the bench reads ORIGINAL
+    * docs only — the decontam bench stays plant-free on both engines
+    * by construction. */
   private def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docsPar(s, dir)
+    val rawToks = TextAnalysis.wsTokens(col("text"))
+    val pre8 = array_join(slice(rawToks, 1, 8), " ")
+    val spans = d.filter(col("doc_id") % 40 === 3 && size(rawToks) >= 8)
+      .select(explode(array(
+        struct((col("doc_id") + 2000000L).as("doc_id"),
+          concat(pre8, lit(" pipespanmark pspx"),
+            col("doc_id").cast("string")).as("text")),
+        struct((col("doc_id") + 3000000L).as("doc_id"),
+          concat(pre8, lit(" pipespanmark pspy"),
+            col("doc_id").cast("string")).as("text")))).as("p"))
+      .select(col("p.doc_id"), col("p.text"))
     d.union(d.filter(col("doc_id") % 20 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" pipelineprobe")).as("text")))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" pipelineprobe")).as("text")))
+      .union(spans)
   }
+
+  /** The decontam benchmark + DSIR target set of the pipeline gate:
+    * every 50th ORIGINAL document (one derivation for the gate and the
+    * λ-seam export). */
+  private def pipeBench(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir).filter(col("doc_id") % 50 === 0)
+
+  // Stages 4–6 (greedy keep → span removal → decontam) over the cached
+  // canonical corpus, one eager materialization per sfDir: this frame
+  // is BOTH the gate's DSIR input and the corpus the exported
+  // `pipeline_lambda` table is fit on — one derivation, both sides.
+  private val pipeCleanCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pipelineCleaned(s: SparkSession, dir: String): DataFrame =
+    pipeCleanCache.computeIfAbsent(dir, { _ =>
+      graft.ops.Curation.cleanedStage(pipelineCanon(s, dir), pipeBench(s, dir),
+          "doc_id", "text", pipelinePairs(s, dir))
+        .localCheckpoint(eager = true)
+    })
 
   // Stages 1–3 of the composed curation chain (normalize → LR cut →
   // canonical exact dedup), one eager materialization per sfDir: the
@@ -121,6 +163,22 @@ object PipelineQueries {
   private def pipelinePairs(s: SparkSession, dir: String): DataFrame =
     pipePairsCache.computeIfAbsent(dir, { _ =>
       Dedup.minhashDedup(pipelineCanon(s, dir), "doc_id", "text", threshold = 0.8)
+    })
+
+  // One BPE training run per sfDir — the cache OWNER for both trainer
+  // artifacts (merge table, segmented vocabulary) and every consumer of
+  // the learned tokenizer (q_doc_bpe_merges / _encode / _tokens /
+  // q_doc_pack_bpe). The merge table is a driver-local literal frame;
+  // the segmented vocabulary is eagerly localCheckpoint'd so no
+  // consumer re-runs the k sequential training rounds ([[clearCaches]]
+  // releases the references — the semanticFoldCache treatment).
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private def bpeArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.computeIfAbsent(dir, { _ =>
+      val (m, seg) = TextAnalysis.bpeTrainArtifacts(docsPar(s, dir), "text",
+        merges = 8)
+      (m, seg.localCheckpoint(eager = true))
     })
 
   /** Documents plus TWO plants for the SimHash pair gate: an exact copy
@@ -235,6 +293,7 @@ object PipelineQueries {
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
     docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
     qlrCache.clear(); pipeCanonCache.clear(); pipePairsCache.clear()
+    bpeCache.clear(); pipeCleanCache.clear()
     RdfQueries.clearCaches()
   }
 
@@ -348,17 +407,18 @@ object PipelineQueries {
 
     // the FULL composed curation chain, end to end: normalize → learned
     // LR quality cut → canonical exact dedup → MinHash near-dup greedy
-    // keep → 8-gram decontamination → shuffle-shard manifest + packing
-    // stats of the final kept corpus. Every step is individually gated
-    // elsewhere; THIS gate hash-checks their COMPOSITION (the seams
-    // where column collisions, null policies, and cross-stage
-    // determinism bugs hide) — DuckDB replays the whole chain over the
-    // exported qlr_model and pipeline_pairs policy seams, and any
-    // upstream deviation changes the kept set and reds a checksum.
+    // keep → exact-substring span removal → 8-gram decontamination →
+    // DSIR resampling toward the benchmark domain → shuffle-shard
+    // manifest + packing stats of the final kept corpus. Every step is
+    // individually gated elsewhere; THIS gate hash-checks their
+    // COMPOSITION (the seams where column collisions, null policies,
+    // and cross-stage determinism bugs hide) — DuckDB replays the whole
+    // chain over the exported qlr_model, pipeline_pairs and
+    // pipeline_lambda policy seams, and any upstream deviation changes
+    // the kept set and reds a checksum.
     "q_doc_pipeline" -> ((s, dir) => {
-      val bench = docsPar(s, dir).filter(col("doc_id") % 50 === 0)
-      val fin = graft.ops.Curation.curateFrom(
-        pipelineCanon(s, dir), bench, "doc_id", "text", pipelinePairs(s, dir))
+      val fin = graft.ops.Curation.resampleStage(
+        pipelineCleaned(s, dir), pipeBench(s, dir), "doc_id", "text")
       val man = graft.ops.Shards.manifest(
           graft.ops.Shards.trainingShuffle(fin.select("doc_id", "text"),
             "doc_id", nShards = 8, salt = "pipe"),
@@ -1360,9 +1420,6 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // BPE trainer counting step: word-frequency-weighted adjacent
-    // character-pair counts over the VOCABULARY (the next-merge table);
-    // deterministic tie-break, oracle-checked exactly
     // iterated BPE merge TRAINING — the k-round loop whose single step
     // q_doc_bpe_pairs gates: per round, pair counts over the segmented
     // vocabulary, deterministic argmax, leftmost-greedy re-segmentation.
@@ -1370,10 +1427,12 @@ object PipelineQueries {
     // bpe_wordcounts seam with a run-parity re-segmentation — an
     // INDEPENDENT statement of the greedy rule (window arithmetic vs
     // the engine's fold), so the two sides cross-check the semantics,
-    // not just the arithmetic
+    // not just the arithmetic. Both trainer artifacts come from ONE
+    // cached training run per sfDir (bpeArtifacts): a tokenizer release
+    // ships (merges, vocab) as a pair, and re-training per artifact
+    // doubled the suite's two most expensive gates for no coverage.
     "q_doc_bpe_merges" -> ((s, dir) => {
-      TextAnalysis.bpeTrainMerges(docsPar(s, dir), "text", merges = 8)
-        .orderBy("rank")
+      bpeArtifacts(s, dir)._1.orderBy("rank")
     }),
 
     // the tokenizer APPLICATION step over the same trainer: the final
@@ -1383,12 +1442,39 @@ object PipelineQueries {
     // stages out at st8 instead of the merge table, so training AND
     // application are hash-checked end-to-end
     "q_doc_bpe_encode" -> ((s, dir) => {
-      TextAnalysis.bpeSegmentedVocab(docsPar(s, dir), "text", merges = 8)
-        .orderBy("w")
+      bpeArtifacts(s, dir)._2.orderBy("w")
     }),
 
+    // per-document token counts under the LEARNED tokenizer: the
+    // vocabulary-sized broadcast join of the trained segmentation back
+    // to the corpus — the number a packing/budgeting pass consumes.
+    // DuckDB re-derives every word's subword count from the same
+    // unrolled merge stages and re-aggregates per document
+    "q_doc_bpe_tokens" -> ((s, dir) => {
+      TextAnalysis.bpeDocTokenCounts(docsPar(s, dir),
+          bpeArtifacts(s, dir)._2, "doc_id", "text")
+        // barrier exchange + one-task sort (see q_doc_dup_strip)
+        .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    // BPE trainer counting step: word-frequency-weighted adjacent
+    // character-pair counts over the VOCABULARY (the next-merge table);
+    // deterministic tie-break, oracle-checked exactly
     "q_doc_bpe_pairs" -> ((s, dir) => {
       TextAnalysis.bpePairCounts(docsPar(s, dir), "text", k = 30)
+    }),
+
+    // tokenizer-in-the-loop packing: the q_doc_pack layout arithmetic
+    // driven by the LEARNED per-doc token counts instead of the
+    // whitespace heuristic — the packing a run over a trained tokenizer
+    // actually ships. Shares the one cached training run and the
+    // q_doc_pack oracle's window arithmetic over re-derived counts
+    "q_doc_pack_bpe" -> ((s, dir) => {
+      graft.ops.Packing.packChunks(
+          TextAnalysis.bpeDocTokenCounts(docsPar(s, dir),
+            bpeArtifacts(s, dir)._2, "doc_id", "text"),
+          "doc_id", "bpe_tokens", budget = 512L, shards = 8)
+        .orderBy("shard", "bin", "doc_id")
     }),
 
     // order-invariant per-shard manifest of the q_doc_shard layout:
@@ -1552,9 +1638,21 @@ object PipelineQueries {
       .write.mode("overwrite").parquet(s"$oracleAuxDir/doc_pairs")
     // Pipeline policy seam: the MinHash pairs over the composed chain's
     // canonical corpus (stages 1–3) — DuckDB replays the greedy walk,
-    // decontam, manifest and pack stages of q_doc_pipeline over these.
+    // span-removal, decontam, DSIR, manifest and pack stages of
+    // q_doc_pipeline over these.
     pipelinePairs(s, dir).select("a", "b", "jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_pairs")
+    // Pipeline DSIR seam: the λ table fit on the cleaned stage (the
+    // SAME frame the gate resamples — pipelineCleaned is the one cached
+    // derivation) against the normalized bench target. λ is an exact
+    // integer function of integer feature counts, so this recompute and
+    // the gate's internal one cannot diverge; DuckDB re-derives every
+    // document's w_e4 and the acceptance comparison from these.
+    graft.ops.Dsir.logRatioWeights(pipelineCleaned(s, dir),
+        graft.ops.Curation.normalizedBench(pipeBench(s, dir), "text"),
+        "doc_id", "text")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_lambda")
     // BPE word-count seam: the vocabulary the merge trainer iterates
     // over — DuckDB replays all k merge rounds from it (the corpus →
     // vocabulary stage itself is gated by q_doc_bpe_pairs' from-scratch
@@ -1694,6 +1792,49 @@ object PipelineQueries {
          |  string_agg(tok, '|' ORDER BY pos) AS seg,
          |  CAST(count(*) AS BIGINT) AS n_subtokens
          |FROM st$k GROUP BY w, c ORDER BY w""".stripMargin
+
+  /** The q_doc_bpe_tokens oracle: re-derive every word's subword count
+    * from st_k (the same unrolled stages) and re-aggregate per document
+    * with the gate's tokenization — the application join restated as
+    * SQL. Docs with no words (null/blank text) pin 0. */
+  private def bpeTokensOracleSql(k: Int): String =
+    bpeOracleStages(k) + bpeDocCountStages(k) +
+      """SELECT d.doc_id, CAST(coalesce(c2.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        |FROM documents d LEFT JOIN cnts c2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  /** The q_doc_pack_bpe oracle: the q_doc_pack window arithmetic with
+    * the learned per-doc counts (re-derived from st_k) as the token
+    * column. */
+  private def bpePackOracleSql(k: Int): String =
+    bpeOracleStages(k) + bpeDocCountStages(k) +
+      """, pt2 AS (SELECT d.doc_id,
+        |    CAST(coalesce(c2.bpe_tokens, 0) AS BIGINT) AS toks,
+        |    d.doc_id % 8 AS shard
+        |  FROM documents d LEFT JOIN cnts c2 USING (doc_id)),
+        |pc2 AS (SELECT doc_id, toks, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM pt2 WHERE toks > 0),
+        |pe2 AS (SELECT doc_id, shard, toks, cum_end, cum_end - toks AS cum_start,
+        |    unnest(range((cum_end - toks) // 512, (cum_end - 1) // 512 + 1)) AS bin
+        |  FROM pc2)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin, doc_id,
+        |  CAST(least((bin + 1) * 512, cum_end) - greatest(bin * 512, cum_start) AS BIGINT) AS tok_in_bin,
+        |  CAST(greatest(bin * 512, cum_start) - cum_start AS BIGINT) AS tok_offset
+        |FROM pe2 ORDER BY shard, bin, doc_id""".stripMargin
+
+  /** Shared CTE tail: per-document learned token counts from st_k
+    * (vocab subword sizes joined back on the word). Continues the WITH
+    * list bpeOracleStages opened. */
+  private def bpeDocCountStages(k: Int): String =
+    s""", vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n_sub FROM st$k GROUP BY w),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |cnts AS (SELECT dw.doc_id, CAST(sum(v.n_sub) AS BIGINT) AS bpe_tokens
+       |         FROM dw JOIN vocab v USING (w) GROUP BY 1)
+       |""".stripMargin
 
   private def bpeOracleStages(k: Int): String = {
     val sb = new StringBuilder
@@ -1897,11 +2038,22 @@ object PipelineQueries {
     // subtraction, and the manifest/pack arithmetic — all in one query,
     // so a drift at ANY stage moves a checksum or count
     "q_doc_pipeline" ->
-      s"""WITH RECURSIVE raw AS (
+      s"""WITH RECURSIVE spanws AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wsp
+         |  FROM documents WHERE doc_id % 40 = 3 AND text IS NOT NULL),
+         |raw AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 1000000, text || ' pipelineprobe' FROM documents
-         |  WHERE doc_id % 20 = 1),
+         |  WHERE doc_id % 20 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, array_to_string(wsp[1:8], ' ')
+         |    || ' pipespanmark pspx' || CAST(doc_id AS VARCHAR)
+         |  FROM spanws WHERE len(wsp) >= 8
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, array_to_string(wsp[1:8], ' ')
+         |    || ' pipespanmark pspy' || CAST(doc_id AS VARCHAR)
+         |  FROM spanws WHERE len(wsp) >= 8),
          |nz AS (SELECT doc_id, text FROM raw
          |       WHERE text IS NOT NULL AND trim(text) <> ''),
          |n AS (SELECT doc_id,
@@ -1956,6 +2108,25 @@ object PipelineQueries {
          |  SELECT unnest(admitted) AS doc_id FROM walk
          |  WHERE rn = (SELECT coalesce(max(rn), 0) FROM ids)),
          |near AS (SELECT c.doc_id, c.nt FROM canon c JOIN keptid k USING (doc_id)),
+         |sw1 AS (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws FROM near),
+         |stok AS (SELECT doc_id, i AS pos, ws[i] AS token
+         |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM sw1)
+         |         WHERE ws[i] <> ''),
+         |sg AS (SELECT doc_id, i AS gpos, array_to_string(ws[i:i+7], ' ') AS gram
+         |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+         |             FROM sw1 WHERE len(ws) >= 8)),
+         |sdup AS (SELECT gram FROM
+         |    (SELECT gram, count(DISTINCT doc_id) AS df FROM sg GROUP BY 1)
+         |  WHERE df >= 2),
+         |scov AS (SELECT DISTINCT doc_id, gpos + o AS pos
+         |         FROM (SELECT sg.doc_id, sg.gpos, unnest(range(0, 8)) AS o
+         |               FROM sg JOIN sdup USING (gram))),
+         |strip AS (SELECT t.doc_id,
+         |    string_agg(CASE WHEN c2.doc_id IS NULL THEN t.token END,
+         |      ' ' ORDER BY t.pos) AS nt
+         |  FROM stok t LEFT JOIN scov c2 ON t.doc_id = c2.doc_id AND t.pos = c2.pos
+         |  GROUP BY t.doc_id
+         |  HAVING count(CASE WHEN c2.doc_id IS NULL THEN 1 END) > 0),
          |bw AS (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws2
          |       FROM n WHERE doc_id % 50 = 0),
          |bg AS (SELECT DISTINCT unnest(list_distinct([array_to_string(ws2[i:i+7], ' ')
@@ -1963,15 +2134,38 @@ object PipelineQueries {
          |       FROM bw WHERE len(ws2) >= 8),
          |ng AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws3[i:i+7], ' ')
          |          for i in range(1, len(ws3) - 6)])) AS gram
-         |       FROM (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws3 FROM near)
+         |       FROM (SELECT doc_id, string_split_regex(trim(nt), '\\s+') AS ws3 FROM strip)
          |       WHERE len(ws3) >= 8),
          |contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bg USING (gram)),
-         |fin AS (SELECT doc_id, nt FROM near
+         |fin AS (SELECT doc_id, nt FROM strip
          |        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |dws AS (SELECT doc_id, string_split_regex(trim(lower(nt)), '\\s+') AS w
+         |        FROM fin),
+         |dunits AS (
+         |  SELECT doc_id, unnest(w) AS u FROM dws
+         |  UNION ALL
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+         |                         for i in range(1, len(w))]) AS u FROM dws),
+         |dfeats AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(u || ':dsir'), 1, 8))::UBIGINT % 4096 AS BIGINT) AS feat,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dunits WHERE u <> '' GROUP BY 1, 2),
+         |lamx AS (SELECT feat, lambda_e4
+         |         FROM read_parquet('$oracleAuxDir/pipeline_lambda/*.parquet')),
+         |wdocx AS (SELECT doc_id, CAST(sum(cnt * lambda_e4) AS BIGINT) AS w_e4
+         |          FROM dfeats JOIN lamx USING (feat) GROUP BY 1),
+         |dwx AS (SELECT f.doc_id, f.nt, CAST(coalesce(w2.w_e4, 0) AS BIGINT) AS w_e4
+         |        FROM fin f LEFT JOIN wdocx w2 USING (doc_id)),
+         |dnorm AS (SELECT CAST(sum(w_e4) AS BIGINT) AS sw,
+         |                 CAST(count(*) AS BIGINT) AS nw FROM dwx),
+         |kept2 AS (SELECT doc_id, nt FROM dwx, dnorm
+         |  WHERE (CAST(round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |        || ':dsir-accept'), 1, 8))::UBIGINT + 1) / 4294967296.0)
+         |      * 10000) AS BIGINT) + 7000) * nw < w_e4 * nw - sw),
          |h AS (SELECT doc_id, nt,
          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pipe:shard'), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pipe:pos'), 1, 8))::UBIGINT AS ph
-         |  FROM fin),
+         |  FROM kept2),
          |r AS (SELECT doc_id, nt, shard,
          |        CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS BIGINT) AS pos
          |      FROM h),
@@ -1983,7 +2177,7 @@ object PipelineQueries {
          |pt AS (SELECT doc_id,
          |    CAST(len(string_split_regex(trim(nt), '\\s+')) AS BIGINT) AS toks,
          |    doc_id % 8 AS shard
-         |  FROM fin),
+         |  FROM kept2),
          |pc AS (SELECT doc_id, toks, shard,
          |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
          |  FROM pt WHERE toks > 0),
@@ -2006,6 +2200,8 @@ object PipelineQueries {
          |ORDER BY shard""".stripMargin,
     "q_doc_bpe_merges" -> bpeMergesOracleSql(8),
     "q_doc_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_doc_bpe_tokens" -> bpeTokensOracleSql(8),
+    "q_doc_pack_bpe" -> bpePackOracleSql(8),
     "q_doc_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical,
         |  CAST(count(*) AS BIGINT) AS cnt

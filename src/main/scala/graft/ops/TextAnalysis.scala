@@ -415,6 +415,15 @@ object TextAnalysis {
     trim(regexp_replace(da, "\\s+", " "))
   }
 
+  /** Corpus vocabulary with frequencies: (w, c) over lower-cased
+    * whitespace words — the ONE corpus-sized stage of BPE training,
+    * shared by [[bpePairCounts]] and [[bpeTrainMerges]] (and exported
+    * as the `bpe_wordcounts` oracle seam). */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
   /** One BPE-trainer counting step at corpus scale (Sennrich et al.
     * 2016, arXiv:1508.07909): the frequency of every adjacent character
     * pair, weighted by word frequency — the table whose argmax is the
@@ -430,15 +439,6 @@ object TextAnalysis {
     * rows, not 10¹³. Iterating merges re-runs this count over a
     * re-segmented vocabulary; this operator is the one distributed step
     * each iteration repeats. */
-  /** Corpus vocabulary with frequencies: (w, c) over lower-cased
-    * whitespace words — the ONE corpus-sized stage of BPE training,
-    * shared by [[bpePairCounts]] and [[bpeTrainMerges]] (and exported
-    * as the `bpe_wordcounts` oracle seam). */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-
   def bpePairCounts(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
     val wc = wordCounts(df, textCol)
     val pairs = wc.filter(length(col("w")) >= 2)
@@ -475,25 +475,62 @@ object TextAnalysis {
     * ("aaa" under (a,a) → [aa, a], the textbook rule). Characters are
     * codepoint `substr` slices, matching the SQL oracle's semantics
     * exactly (never JVM UTF-16 split). */
-  def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    bpeTrain(df, textCol, merges)._1.toDF("rank", "x", "y", "merged", "cnt")
-  }
+  def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int = 8): DataFrame =
+    bpeTrainArtifacts(df, textCol, merges)._1
 
   /** The segmented vocabulary AFTER [[bpeTrainMerges]]' k merges — the
     * tokenizer APPLICATION step (what an encode pass ships): one row
     * per distinct word with its corpus count, its "|"-joined subword
     * segmentation, and the subword count. Per-document token counts
     * follow by joining this table back on the word (vocabulary-sized
-    * broadcast at any corpus scale). Same cost contract as the
-    * trainer — the segmentation IS the trainer's final state. */
+    * broadcast at any corpus scale — [[bpeDocTokenCounts]]). Same cost
+    * contract as the trainer — the segmentation IS the trainer's final
+    * state. */
   def bpeSegmentedVocab(df: DataFrame, textCol: String,
       merges: Int = 8): DataFrame =
-    bpeTrain(df, textCol, merges)._2
-      .select(col("w"), col("c"),
+    bpeTrainArtifacts(df, textCol, merges)._2
+
+  /** Both trainer artifacts from ONE training run: the merge table
+    * (rank, x, y, merged, cnt) and the segmented vocabulary
+    * (w, c, seg, n_subtokens). A tokenizer release ships the pair; a
+    * caller that needs both (the q_doc_bpe_merges + q_doc_bpe_encode
+    * gates share one training run through a per-sfDir cache owner)
+    * pays the k sequential rounds once instead of once per artifact. */
+  def bpeTrainArtifacts(df: DataFrame, textCol: String,
+      merges: Int = 8): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (learned, seg) = bpeTrain(df, textCol, merges)
+    (learned.toDF("rank", "x", "y", "merged", "cnt"),
+      seg.select(col("w"), col("c"),
         array_join(col("toks"), "|").as("seg"),
-        size(col("toks")).cast("long").as("n_subtokens"))
+        size(col("toks")).cast("long").as("n_subtokens")))
+  }
+
+  /** Per-document learned-tokenizer token counts: (id, bpe_tokens) with
+    * bpe_tokens = Σ over the document's words of that word's subword
+    * count under `segVocab` (a [[bpeSegmentedVocab]] frame — or any
+    * (w, n_subtokens) table). The join is VOCABULARY-sized and
+    * broadcast: at 100 TB the corpus side is one row-local explode +
+    * one map-side-combined per-doc sum; the vocabulary side is the
+    * tokenizer artifact, plan-small by construction. Words outside the
+    * vocabulary count `oovTokens` each (1 = one <unk>); docs with no
+    * words (null/empty text) report 0. */
+  def bpeDocTokenCounts(df: DataFrame, segVocab: DataFrame, idCol: String,
+      textCol: String, oovTokens: Long = 1L): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    val counted = words
+      .join(broadcast(segVocab.select(col("w"), col("n_subtokens"))),
+        Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("n_subtokens"), lit(oovTokens))).as("bpe_tokens"))
+    df.select(col(idCol).as("id"))
+      .join(counted, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
 
   /** The shared training loop: (learned merge list, final segmented
     * vocabulary frame). */
@@ -530,6 +567,14 @@ object TextAnalysis {
                 element_at(acc, -1) === lit(x) && t === lit(y),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
               .otherwise(concat(acc, array(t)))))
+        // bound the round lineage: each round nests another aggregate()
+        // fold over the previous segmentation, so by the 256-merge cap
+        // the expression tree would be 256 folds deep and analyzer time
+        // per round grows with r. Re-materializing every 16 rounds keeps
+        // the tree ≤ 16 deep for a vocabulary-sized write (the paths
+        // walk's checkpoint cadence, QueryEngine's iterative fixpoint).
+        if (r % 16 == 0 && r < merges)
+          seg = seg.localCheckpoint(eager = true)
       }
     }
     (learned.toSeq, seg)

@@ -1108,6 +1108,39 @@ class OpsSpec extends SparkSpec {
       ("b", 1L, "b", 1L)))
   }
 
+  test("BPE doc token counts: learned segmentation summed per doc, OOV " +
+      "words count 1, null/empty text counts 0") {
+    val train = Seq((1L, "aa ab aa"), (2L, "ab aa b")).toDF("id", "text")
+    val seg = graft.ops.TextAnalysis.bpeSegmentedVocab(train, "text", merges = 8)
+    // after the two merges every training word is ONE subword
+    val apply = Seq((1L, "aa ab aa"), (2L, "ab aa b"),
+      (3L, "aa unseenword"), (4L, null.asInstanceOf[String]), (5L, "   "))
+      .toDF("id", "text")
+    val got = graft.ops.TextAnalysis.bpeDocTokenCounts(apply, seg, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 0L), (5L, 0L)))
+    // one training run yields both artifacts consistently
+    val (m, s2) = graft.ops.TextAnalysis.bpeTrainArtifacts(train, "text", 8)
+    assert(m.count() === 2L && s2.count() === 3L)
+  }
+
+  test("BPE trainer: k=40 merges over a 41-char word trains to one token " +
+      "(the periodic re-checkpoint keeps round lineage bounded)") {
+    // 41 distinct chars that survive the trainer's lower() unchanged
+    // (letters + digits cap at 36 distinct; punctuation fills the tail)
+    val word = "abcdefghijklmnopqrstuvwxyz0123456789!@#$%"
+    assert(word.length === 41 && word.distinct === word &&
+      word.toLowerCase === word)
+    val docs1 = Seq((1L, word)).toDF("id", "text")
+    val merges = graft.ops.TextAnalysis.bpeTrainMerges(docs1, "text", merges = 64)
+      .collect()
+    assert(merges.length === 40, s"expected 40 merges, got ${merges.length}")
+    val seg = graft.ops.TextAnalysis.bpeSegmentedVocab(docs1, "text", merges = 64)
+      .collect()
+    assert(seg.length === 1 && seg(0).getLong(3) === 1L &&
+      seg(0).getString(2) === word)
+  }
+
   test("curation chain: each stage drops exactly its planted victim, " +
       "composition matches the hand-derived keep set") {
     val A = "the quick brown fox jumps over the lazy dog while many " +
@@ -1152,6 +1185,62 @@ class OpsSpec extends SparkSpec {
         Dedup.minhashDedup(canon, "id", "text", threshold = 0.8))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(viaSeam === ids)
+  }
+
+  test("full curation chain: span-removal strips the planted duplicated " +
+      "span from every carrier, DSIR stage accepts/rejects by tau") {
+    val A = "the quick brown fox jumps over the lazy dog while many " +
+      "other animals watch the quiet field today"
+    val S8 = "the quick brown fox jumps over the lazy" // A's first 8 tokens
+    val G = "completely novel content about rivers mountains and weather " +
+      "patterns in distant lands"
+    val F = "the contamination sentinel phrase appears exactly here " +
+      "once more for the benchmark to catch today"
+    val corpusC = Seq(
+      (1L, A),                   // loses its first 8 tokens at span removal
+      (2L, A),                   // exact dup -> dropped at exact dedup
+      (3L, A + " extraterm"),    // near-dup of 1 -> dropped at greedy keep
+      (6L, F),                   // shares 8-grams with bench -> decontam drop
+      (20L, S8 + " tailone zqa"), // span twin -> keeps only its tail
+      (21L, S8 + " tailtwo zqb"), // span twin -> keeps only its tail
+      (30L, G)                   // survives everything untouched
+    ).toDF("id", "text")
+    val bench = Seq((100L,
+      "benchmark doc containing contamination sentinel phrase appears " +
+        "exactly here once more for the suite")).toDF("id", "text")
+    // an all-positive training set fits a model that keeps every doc —
+    // the LR stage is pinned elsewhere; here it must not confound the
+    // two NEW stage victims
+    val labeled = Seq((11L, "alpha beta", 1), (12L, "gamma delta", 1))
+      .toDF("id", "text", "label")
+    val model = graft.ops.QualityClassifier.train(
+      labeled, "id", "text", "label", iters = 200, lr = 2.0)
+    // tau very negative: ln(u) >= ln(2^-32) ≈ -22.18 keeps the accept
+    // inequality true for every doc -> the DSIR stage passes everything
+    // and the output isolates the span-removal semantics
+    val keptAll = graft.ops.Curation.curateFull(corpusC, bench, model,
+        "id", "text", tauE4 = -10000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptAll.keySet === Set(1L, 20L, 21L, 30L), s"got ${keptAll.keySet}")
+    assert(keptAll(1L) ===
+      "dog while many other animals watch the quiet field today")
+    assert(keptAll(20L) === "tailone zqa")
+    assert(keptAll(21L) === "tailtwo zqb")
+    assert(keptAll(30L) === G)
+    // tau very positive: round(ln(u)e4) + tau > 0 >= w - mean for some
+    // doc is not enough — it must reject ALL; 1e7 dominates any w spread
+    val keptNone = graft.ops.Curation.curateFull(corpusC, bench, model,
+      "id", "text", tauE4 = 10000000L)
+    assert(keptNone.count() === 0L)
+    // the staged decomposition is the same chain
+    val canon = graft.ops.Curation.normalizedSurvivors(
+      corpusC, model, "id", "text")
+    val pairs = Dedup.minhashDedup(canon, "id", "text", threshold = 0.8)
+    val viaStages = graft.ops.Curation.resampleStage(
+        graft.ops.Curation.cleanedStage(canon, bench, "id", "text", pairs),
+        bench, "id", "text", tauE4 = -10000000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaStages === keptAll.keySet)
   }
 
   test("cluster cap: dense cell capped exactly, sparse cell passes whole, " +

@@ -13,6 +13,7 @@ take the median; `value` is recomputed as the sum of merged medians.
 Usage: python3 tools/medianbench.py <out.json> <in1.json> <in2.json> [...]
 """
 import json
+import os
 import statistics
 import sys
 
@@ -26,19 +27,29 @@ def main(out, *ins):
     merged = dict(runs[0])
     merged["queries"] = {
         q: statistics.median(r["queries"][q] for r in runs) for q in sorted(qs)}
-    jobs = {}
-    for q in sorted(qs):
-        vals = {r["jobs"].get(q) for r in runs}
-        assert len(vals) == 1, f"job count drifts across runs for {q}: {vals}"
-        jobs[q] = vals.pop()
-    merged["jobs"] = jobs
+    if all("jobs" in r for r in runs):
+        jobs = {}
+        for q in sorted(qs):
+            vals = {r["jobs"].get(q) for r in runs}
+            assert len(vals) == 1, f"job count drifts across runs for {q}: {vals}"
+            jobs[q] = vals.pop()
+        merged["jobs"] = jobs
+    else:
+        missing = [p for p, r in zip(ins, runs) if "jobs" not in r]
+        assert not missing, f"runs missing a 'jobs' map: {missing}"
+    have_floor = [r for r in runs if "floor_sec" in r]
+    assert len(have_floor) == len(runs), (
+        "runs missing 'floor_sec': "
+        f"{[p for p, r in zip(ins, runs) if 'floor_sec' not in r]}")
     merged["floor_sec"] = statistics.median(r["floor_sec"] for r in runs)
     if all("warmup_build_sec" in r for r in runs):
         merged["warmup_build_sec"] = statistics.median(
             r["warmup_build_sec"] for r in runs)
     merged["value"] = round(sum(merged["queries"].values()), 3)
+    # basenames only: the committed artifact should not embed local paths
+    labels = ", ".join(os.path.basename(p) for p in ins)
     merged["notes"] = (f"median-of-{len(runs)} across solo runs "
-                       f"({', '.join(ins)}); " + str(runs[0].get("notes", "")))
+                       f"({labels}); " + str(runs[0].get("notes", "")))
     json.dump(merged, open(out, "w"))
     floors = [r["floor_sec"] for r in runs]
     print(f"wrote {out}: {len(qs)} queries, total {merged['value']} s, "
