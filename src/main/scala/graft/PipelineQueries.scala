@@ -165,6 +165,21 @@ object PipelineQueries {
       Dedup.minhashDedup(pipelineCanon(s, dir), "doc_id", "text", threshold = 0.8)
     })
 
+  // The pipeline's DSIR λ table — a FITTED POLICY ARTIFACT (the qlrModel
+  // treatment): fit ONCE per sfDir on the cached cleaned stage against
+  // the normalized bench target, exported verbatim as the
+  // `pipeline_lambda` oracle seam, and applied (never refit) by the
+  // gate. λ is bounded by the feature-bucket count, so the eager
+  // materialization is plan-small; [[clearCaches]] releases it.
+  private val pipeLambdaCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pipelineLambda(s: SparkSession, dir: String): DataFrame =
+    pipeLambdaCache.computeIfAbsent(dir, { _ =>
+      graft.ops.Dsir.logRatioWeights(pipelineCleaned(s, dir),
+          graft.ops.Curation.normalizedBench(pipeBench(s, dir), "text"),
+          "doc_id", "text")
+        .localCheckpoint(eager = true)
+    })
+
   // One BPE training run per sfDir — the cache OWNER for both trainer
   // artifacts (merge table, segmented vocabulary) and every consumer of
   // the learned tokenizer (q_doc_bpe_merges / _encode / _tokens /
@@ -293,7 +308,7 @@ object PipelineQueries {
     docsCache.clear(); tfCache.clear(); embCountCache.clear()
     docsCountCache.clear(); embParCache.clear(); pcaCache.clear()
     qlrCache.clear(); pipeCanonCache.clear(); pipePairsCache.clear()
-    bpeCache.clear(); pipeCleanCache.clear()
+    bpeCache.clear(); pipeCleanCache.clear(); pipeLambdaCache.clear()
     RdfQueries.clearCaches()
   }
 
@@ -417,8 +432,8 @@ object PipelineQueries {
     // pipeline_lambda policy seams, and any upstream deviation changes
     // the kept set and reds a checksum.
     "q_doc_pipeline" -> ((s, dir) => {
-      val fin = graft.ops.Curation.resampleStage(
-        pipelineCleaned(s, dir), pipeBench(s, dir), "doc_id", "text")
+      val fin = graft.ops.Curation.resampleStageWith(
+        pipelineCleaned(s, dir), pipelineLambda(s, dir), "doc_id", "text")
       val man = graft.ops.Shards.manifest(
           graft.ops.Shards.trainingShuffle(fin.select("doc_id", "text"),
             "doc_id", nShards = 8, salt = "pipe"),
@@ -657,7 +672,11 @@ object PipelineQueries {
     // laws fold into a single full-outer join + conditional aggregate.
     "q_doc_minhash_contract" -> ((s, dir) => {
       val pairs = minhashPairs(s, dir).withColumn("in_pairs", lit(true))
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      // docsPar, not the raw single-row-group scan: the text-equality
+      // self-join below builds AND probes on full document texts, and
+      // over the 1-task scan both sides ran single-threaded (the same
+      // barrier rationale as every other row-local-heavy doc gate)
+      val d = docsPar(s, dir)
       val corpus = d.union(
         d.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L)))
       val dup = corpus.as("x").join(corpus.as("y"),
@@ -1644,13 +1663,10 @@ object PipelineQueries {
       .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_pairs")
     // Pipeline DSIR seam: the λ table fit on the cleaned stage (the
     // SAME frame the gate resamples — pipelineCleaned is the one cached
-    // derivation) against the normalized bench target. λ is an exact
-    // integer function of integer feature counts, so this recompute and
-    // the gate's internal one cannot diverge; DuckDB re-derives every
-    // document's w_e4 and the acceptance comparison from these.
-    graft.ops.Dsir.logRatioWeights(pipelineCleaned(s, dir),
-        graft.ops.Curation.normalizedBench(pipeBench(s, dir), "text"),
-        "doc_id", "text")
+    // derivation) against the normalized bench target. The export IS
+    // the gate's λ (pipelineLambda, the one fitted artifact), so the
+    // two cannot diverge by construction.
+    pipelineLambda(s, dir)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleAuxDir/pipeline_lambda")
     // BPE word-count seam: the vocabulary the merge trainer iterates

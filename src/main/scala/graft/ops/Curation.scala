@@ -102,8 +102,21 @@ object Curation {
     * rows with the audit columns dropped. */
   def resampleStage(cleaned: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, tauE4: Long = 7000L, buckets: Int = 4096): DataFrame =
-    Dsir.resample(cleaned, normalizedBench(bench, textCol), idCol, textCol,
-        tauE4, buckets)
+    resampleStageWith(cleaned,
+      Dsir.logRatioWeights(cleaned, normalizedBench(bench, textCol), idCol,
+        textCol, buckets),
+      idCol, textCol, tauE4, buckets)
+
+  /** [[resampleStage]] with an externally fitted λ table — the apply
+    * half of the fit/apply seam (same pattern as `pairs` injection in
+    * [[curate]]): a run fits λ ONCE on the cleaned corpus, exports it
+    * as the `pipeline_lambda` policy seam, and every consumer applies
+    * the same integers instead of refitting per action. Identical
+    * output to [[resampleStage]] when `lambda` is
+    * [[Dsir.logRatioWeights]](cleaned, normalizedBench(bench)). */
+  def resampleStageWith(cleaned: DataFrame, lambda: DataFrame, idCol: String,
+      textCol: String, tauE4: Long = 7000L, buckets: Int = 4096): DataFrame =
+    Dsir.resampleWith(cleaned, lambda, idCol, textCol, tauE4, buckets)
       .filter(col("accept") === 1)
       .drop("w_e4", "accept")
 

@@ -99,23 +99,30 @@ object Decontam {
     * no single-reducer countDistinct state (deliberately NOT
     * [[dupSpanStats]]'s one-pass window: a window partitioned by gram
     * cannot be split by AQE when one gram holds a billion rows, a
-    * shuffle join can) → join-back on gram marks duplicated starts,
-    * each exploding into its n covered positions (cost = duplicated
-    * volume × n, never corpus²) → one left join + per-doc conditional
-    * aggregate rebuilds the text, exactly the flag-then-aggregate
-    * shape of stripBoilerplateLines. Nothing pairwise, nothing
-    * driver-side. */
+    * shuffle join can) → join-back on gram collects each doc's
+    * duplicated START positions (one map-side-combined set per doc,
+    * bounded by the doc's own gram count; cost = duplicated volume,
+    * never corpus²) → ONE id-keyed join of docs to their start sets +
+    * a ROW-LOCAL rebuild: the coverage union, the token filter and the
+    * reassembly are higher-order array functions inside the scan
+    * projection. The former shape shuffled the corpus TOKEN-exploded
+    * (every token as its own row through an exchange, plus a covered-
+    * position explode + distinct + a collect_list re-aggregation);
+    * this one moves each text exactly once, as one row (guide §2.3:
+    * shuffle fewer bytes; §2.4: remove shuffles outright — 5 exchanges
+    * → 3, and nothing token-granular ever crosses the wire). */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2L, maxTokens: Int = 4000000): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2L,
       s"minDocs ($minDocs) below 2 would strip every span of every doc")
     require(maxTokens >= n, s"maxTokens ($maxTokens) must be >= n ($n)")
-    for (c <- Seq("pos", "token", "gpos", "gram", "__cov"))
+    for (c <- Seq("pos", "token", "gpos", "gram", "__cov", "__starts", "__toks"))
       require(idCol != c, s"idCol '$c' collides with an internal name")
-    // the rebuild holds every surviving (pos, token) of a document in
-    // ONE collect_list buffer — bounded for web documents, pathological
-    // for a single hundreds-of-MB document. Refuse loudly (the repo's
+    // per-doc start-position sets are the one remaining aggregation
+    // buffer (ints, bounded by the doc's gram count); the rebuild
+    // itself holds the doc's token array — both pathological only for
+    // a single hundreds-of-MB document. Refuse loudly (the repo's
     // limit(cap+1) policy, expressed row-locally so the guard costs no
     // extra job and fires BEFORE any buffer builds) instead of OOMing
     // an executor; callers with megadocs chunk first or raise the cap.
@@ -127,9 +134,6 @@ object Decontam {
             "the document or raise maxTokens",
           lit(maxTokens.toLong), size(rawToks).cast("long"))))
       .otherwise(rawToks)
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(guardedToks).as(Seq("pos", "token")))
-      .filter(col("token") =!= "") // all-empty text tokenizes to [""]
     val grams = df.select(col(idCol).as("id"),
       posexplode(TextAnalysis.wordGrams(col(textCol), n, distinct = false))
         .as(Seq("gpos", "gram")))
@@ -137,21 +141,25 @@ object Decontam {
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("gram"))
-    val covered = grams.join(dup, "gram")
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + lit(n - 1))).as("pos"))
-      .distinct()
-      .withColumn("__cov", lit(1))
-    toks.join(covered, Seq("id", "pos"), "left")
+    // duplicated-span START positions per document — a position pos is
+    // covered iff some duplicated gram starts in [pos-n+1, pos], so the
+    // start set alone carries the whole coverage union row-locally
+    val starts = grams.join(dup, "gram")
       .groupBy(col("id"))
-      .agg(
-        // when() without otherwise is null on covered rows and
-        // collect_list skips nulls — only surviving tokens are rebuilt
-        array_join(transform(array_sort(collect_list(
-            when(col("__cov").isNull, struct(col("pos"), col("token"))))),
-          x => x.getField("token")), " ").as(textCol),
-        count(when(col("__cov").isNull, lit(1))).as("tokens_kept"),
-        count(lit(1)).as("tokens_total"))
+      .agg(collect_set(col("gpos")).as("__starts"))
+    val uncovered = (t: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      t =!= "" && !exists(col("__starts"), s => i >= s && i <= s + lit(n - 1))
+    df.select(col(idCol).as("id"), col(textCol))
+      .join(starts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"),
+        guardedToks.as("__toks"))
+      .select(col("id"),
+        array_join(filter(col("__toks"), uncovered), " ").as(textCol),
+        size(filter(col("__toks"), uncovered)).cast("long").as("tokens_kept"),
+        // all-empty text tokenizes to [""] — excluded from the total
+        // exactly as the former token explode filtered it
+        size(filter(col("__toks"), t => t =!= "")).cast("long").as("tokens_total"))
       .filter(col("tokens_kept") > 0)
       .withColumn("tokens_dropped", col("tokens_total") - col("tokens_kept"))
       .drop("tokens_total")

@@ -632,21 +632,21 @@ object Dedup {
 
   /** Shared Jaccard tail over any (id, tok) element stream: prefix-filter
     * candidates, exact intersection on candidates only, similarity ≥
-    * threshold. */
-  private def jaccardPairsFromToks(toksRaw: DataFrame, threshold: Double): DataFrame = {
-    // ONE persisted substrate — (id, tok, rank, sz) — feeds the prefix
-    // and BOTH intersection sides and already carries each doc's size,
-    // so the former separate `sizes` aggregate and its two per-side
-    // joins (two broadcast-build jobs at gate scale, two shuffles at
-    // corpus scale) fold into the substrate's window pass. Everything
-    // downstream stays LAZY: the one terminal localCheckpoint
-    // materializes the whole chain as one action, then releases the
-    // persist. localCheckpoint output is bounded by true near-dups, so
-    // executor-local storage is safe even at scale.
-    val ranked = rankedToks(toksRaw).persist()
-    try jaccardTail(ranked, threshold).localCheckpoint()
-    finally { ranked.unpersist(); () }
-  }
+    * threshold.
+    *
+    * The (id, tok, rank, sz) substrate feeds the prefix and BOTH
+    * intersection sides as ONE canonical subplan: its window exchange
+    * (hashpartitioning(id)) and the df-count broadcast are identical in
+    * every use, so ReuseExchange serves the second and third
+    * evaluations from the first's shuffle/broadcast output — no
+    * persist, no checkpoint, no extra materialization job. (The former
+    * persist + terminal localCheckpoint bought the same sharing for two
+    * extra actions and a block-manager round-trip per call: 6 Spark
+    * jobs per gate evaluation vs 1–3 for the lazy plan, and the
+    * persisted blocks churned neighbors' cached substrates out of the
+    * store. At cluster scale AQE performs the same exchange reuse.) */
+  private def jaccardPairsFromToks(toksRaw: DataFrame, threshold: Double): DataFrame =
+    jaccardTail(rankedToks(toksRaw), threshold)
 
   /** Candidate generation + exact intersection + threshold over a
     * ranked substrate — the lazy plan behind [[jaccardPairsFromToks]],

@@ -100,9 +100,17 @@ object Dsir {
   def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
       salt: String = "dsir"): DataFrame =
+    weightsWith(corpus,
+      logRatioWeights(corpus, target, idCol, textCol, buckets, salt),
+      idCol, textCol, buckets, salt)
+
+  /** The per-document weight sum under an externally fitted λ — the one
+    * derivation shared by [[importanceWeights]] and [[resampleWith]]. */
+  private def weightsWith(corpus: DataFrame, lambda: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      salt: String): DataFrame =
     featureCounts(corpus, idCol, textCol, buckets, salt)
-      .join(broadcast(logRatioWeights(corpus, target, idCol, textCol,
-        buckets, salt)), "feat")
+      .join(broadcast(lambda), "feat")
       .groupBy("id")
       .agg(sum(col("cnt") * col("lambda_e4")).as("w_e4"))
 
@@ -127,17 +135,40 @@ object Dsir {
     * frame, nothing driver-side. */
   def resample(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, tauE4: Long, buckets: Int = 4096,
+      salt: String = "dsir", acceptSalt: String = "dsir-accept"): DataFrame =
+    resampleWith(corpus,
+      logRatioWeights(corpus, target, idCol, textCol, buckets, salt),
+      idCol, textCol, tauE4, buckets, salt, acceptSalt)
+
+  /** [[resample]] with an externally fitted λ table — the apply half of
+    * the fit/apply seam. A pipeline fits λ once (it is a policy
+    * artifact, exported for the oracle like the LR quality model) and
+    * applies it to the corpus; refitting per consumer re-runs both
+    * corpus-side feature aggregates for the same integers. Identical
+    * output to [[resample]] when `lambda` is
+    * [[logRatioWeights]](corpus, target). */
+  def resampleWith(corpus: DataFrame, lambda: DataFrame, idCol: String,
+      textCol: String, tauE4: Long, buckets: Int = 4096,
       salt: String = "dsir", acceptSalt: String = "dsir-accept"): DataFrame = {
     for (c <- Seq("w_e4", "accept", "__sw", "__nw"))
       require(!corpus.columns.contains(c),
         s"input already has a '$c' column — rename it first")
-    val w = importanceWeights(corpus, target, idCol, textCol, buckets, salt)
+    val w = weightsWith(corpus, lambda, idCol, textCol, buckets, salt)
       .withColumnRenamed("id", idCol)
     val joined = corpus.join(w, Seq(idCol), "left")
       .withColumn("w_e4", coalesce(col("w_e4"), lit(0L)))
-    // Σw as decimal: a Long sum wraps once n·|w| passes ~9·10¹⁸
-    val norm = joined.agg(sum(col("w_e4").cast("decimal(38,0)")).as("__sw"),
-      count(lit(1)).as("__nw"))
+    // Σw as decimal: a Long sum wraps once n·|w| passes ~9·10¹⁸.
+    // The normalizer re-derives (Σw, n) from the ID-PROJECTED corpus
+    // joined to the same w subtree — identical sums (including under
+    // duplicate ids) to aggregating `joined` itself, but the second
+    // evaluation of the corpus carries one id column instead of the
+    // full text payload (guide §2.3: project before the exchange), and
+    // the w aggregate's exchange is canonically identical to the one
+    // in `joined`, so ReuseExchange serves it from shuffle files
+    // instead of recomputing the feature pass.
+    val norm = corpus.select(col(idCol)).join(w, Seq(idCol), "left")
+      .agg(sum(coalesce(col("w_e4"), lit(0L)).cast("decimal(38,0)")).as("__sw"),
+        count(lit(1)).as("__nw"))
     val u = (Sampling.hashBucket(col(idCol), acceptSalt) + 1L).cast("double") /
       lit(4294967296.0)
     // decimal(19,0) operands → decimal(38,0) products (Spark caps the

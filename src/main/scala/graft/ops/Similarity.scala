@@ -310,7 +310,16 @@ object Similarity {
     import spark.implicits._
     val cents = idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "__centroid")
-    idx.cells.join(broadcast(cents), Seq("cell"))
+    // LEFT join + post-filter, not inner: an inner join on `cell` makes
+    // the optimizer infer `isnotnull(cell)` and push it into the scan
+    // filter, where the substituted nearest_cell(...) then evaluates
+    // TWICE per row (once in the pushed filter, once in the projection
+    // — the guide §4.4 duplication, JVM-side). Every non-null cell has
+    // a centroid (cells are 0..k−1 by construction), so dropping rows
+    // whose joined centroid is null keeps the result identical while
+    // the assignment runs once per row.
+    idx.cells.join(broadcast(cents), Seq("cell"), "left")
+      .filter(col("__centroid").isNotNull)
       .select(col(idCol), col("cell"),
         (round(cosine(col(vecCol), col("__centroid")), 4) + lit(0.0)).as("proto"))
   }

@@ -156,25 +156,31 @@ object TextAnalysis {
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= threshold)
       .select(col("line").as("b"), lit(1).as("__bf"))
-    // flag-then-aggregate, NOT anti-join + re-aggregate + re-join: a
-    // left join marks boilerplate lines (blank lines never match, so
-    // they always survive), and ONE per-doc aggregate produces the
-    // rebuilt text AND both line counts via conditional aggregation —
-    // the old shape paid a second lines aggregate plus an id-keyed join
-    // just to recover lines_total. The boilerplate side stays unhinted:
-    // its size is corpus-dependent, the planner (or AQE) picks the
-    // join strategy from its aggregated stats.
-    val flagged = lines.join(boiler,
-      lines("line") === col("b") && trim(lines("line")) =!= "", "left")
-    flagged.groupBy(col(idCol))
-      .agg(
-        // when() without otherwise is null on boilerplate rows and
-        // collect_list skips nulls — only kept lines enter the rebuild
-        array_join(transform(array_sort(collect_list(
-            when(col("__bf").isNull, struct(col("pos"), col("line"))))),
-          x => x.getField("line")), "\n").as(textCol),
-        count(when(col("__bf").isNull, lit(1))).as("lines_kept"),
-        count(lit(1)).as("lines_total"))
+    // per-doc boilerplate POSITIONS, then a row-local rebuild — the
+    // [[graft.ops.Decontam.stripDupSpans]] shape: the join-back marks
+    // each doc's flagged line positions as one bounded int set (blank
+    // lines never match: boiler holds only trim≠"" lines and exact
+    // string equality cannot pair them with a blank), and the text is
+    // reassembled by higher-order array functions inside the scan
+    // projection. The former shape shuffled the corpus LINE-exploded
+    // through a collect_list re-aggregation — every line of every doc
+    // as its own row through an exchange; this one moves each text
+    // once, as one row (guide §2.3/§2.4). The boilerplate side stays
+    // unhinted: its size is corpus-dependent, the planner (or AQE)
+    // picks the join strategy from its aggregated stats.
+    val bpos = lines.join(boiler, lines("line") === col("b"))
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__bpos"))
+    val kept = (l: Column, i: Column) =>
+      !exists(col("__bpos"), p => p === i)
+    df.select(col(idCol), col(textCol))
+      .join(bpos, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__bpos"), array().cast("array<int>")).as("__bpos"),
+        split(col(textCol), "\n", -1).as("__lines"))
+      .select(col(idCol),
+        array_join(filter(col("__lines"), kept), "\n").as(textCol),
+        size(filter(col("__lines"), kept)).cast("long").as("lines_kept"),
+        size(col("__lines")).cast("long").as("lines_total"))
       // a doc whose every line was boilerplate leaves the corpus (the
       // anti-join form dropped it implicitly; the reference SQL agrees)
       .filter(col("lines_kept") > 0)
@@ -312,11 +318,18 @@ object TextAnalysis {
   def unigramNllFromTf(tf: DataFrame, idCol: String): DataFrame = {
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val n = ctf.agg(sum(col("ctf")).as("n_corpus"))
-    tf.join(ctf, "term").crossJoin(broadcast(n))
+    // per-TERM surprisal assembled on the bounded vocabulary side, then
+    // ONE broadcast join back to the (doc, term) rows — same fold as
+    // [[bigramNll]]: the former tf⋈ctf⋈n shape paid two doc-level
+    // broadcast joins for integers that are a pure function of the term
+    val surp = ctf.crossJoin(broadcast(n))
+      .select(col("term"),
+        round(-log(col("ctf") / col("n_corpus")) * 10000).cast("long")
+          .as("__s"))
+    tf.join(broadcast(surp), "term")
       .groupBy(col(idCol))
       .agg(
-        sum(col("tf") * round(-log(col("ctf") / col("n_corpus")) * 10000).cast("long"))
-          .as("nll_e4"),
+        sum(col("tf") * col("__s")).as("nll_e4"),
         sum(col("tf")).as("n_tokens"))
   }
 
@@ -347,13 +360,24 @@ object TextAnalysis {
       .agg(sum(col("cbg")).as("cu"))
     val v = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bg.join(cbg, "bg")
+    // per-BIGRAM surprisal assembled on the bounded (distinct-bigram)
+    // side first, then ONE broadcast join back to the (doc, bigram)
+    // rows. Joining cbg/cu/v at the (doc, bigram) level instead planned
+    // the corpus bigram explode + aggregate chain TWICE (the cu operand
+    // canonicalized differently from the cbg one, defeating
+    // ReuseExchange) and paid two doc-level broadcast joins; this shape
+    // derives cu FROM the cbg plan (one bigram aggregate, reused) and
+    // ships one bounded surprisal table (guide §2.4 / §2.3).
+    val surp = cbg
       .join(cu, substring_index(col("bg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(v))
+      .select(col("bg"),
+        round(-log((col("cbg") + lit(1.0)) / (col("cu") + col("v")))
+          * 10000).cast("long").as("__s"))
+    bg.join(broadcast(surp), "bg")
       .groupBy(col(idCol))
       .agg(
-        sum(col("tf") * round(-log((col("cbg") + lit(1.0)) / (col("cu") + col("v")))
-          * 10000).cast("long")).as("nll_e4"),
+        sum(col("tf") * col("__s")).as("nll_e4"),
         sum(col("tf")).as("n_bigrams"))
   }
 
