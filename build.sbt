@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep stdout machine-parseable for the driver's bench capture:
+// 1. sbt's trailing "[success] Total time ..." banner otherwise lands
+//    AFTER the bench's one-line JSON, so a parser that reads the last
+//    stdout line never sees JSON;
+// 2. the default LoggedOutput strategy prefixes every forked-process
+//    stdout line with "[info] ", which breaks json-parsing the line
+//    wherever it sits — StdoutOutput passes the lines through raw.
+Global / showSuccess := false
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
