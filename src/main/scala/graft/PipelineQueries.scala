@@ -832,8 +832,12 @@ object PipelineQueries {
       graft.ops.AsOf.rangeSelfPairs(
           events(s, dir).select("user_id", "event_id", "ts"),
           Seq("user_id"), "ts", "event_id", bandSeconds = 300L)
-        .select(col("user_id"), col("a"), col("b"),
-          (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_s"))
+        // gap_s IS cast(ts_b as long) - cast(ts_a as long) (the operator
+        // derives it from the same epoch casts) - reading it instead of
+        // re-deriving it from the timestamps lets column pruning drop
+        // ts_a/ts_b from the join, so only the epoch longs cross the
+        // build/probe boundary (guide 2.3); identical integers
+        .select(col("user_id"), col("a"), col("b"), col("gap_s"))
         .orderBy("a", "b")
     }),
 

@@ -85,7 +85,11 @@ object AsOf {
     * key group whose timestamps lie within `bandSeconds` of each other
     * (`0 < t2 − t1 <= band`, so a row never pairs with itself and each
     * unordered pair appears once, earlier row first; equal-ts rows pair
-    * by id order). Returns the two id columns plus both timestamps.
+    * by id order). Returns the two id columns, both timestamps, and
+    * `gap_s` = epoch(ts_b) − epoch(ts_a) in integer seconds — a caller
+    * that reads only the gap lets column pruning drop the raw
+    * timestamps from the join entirely (guide §2.3: the verify columns
+    * are the epoch longs; the timestamps are presentation).
     *
     * Candidates come from quantizing ts into band-width buckets and
     * equi-joining on (key, bucket) ∪ (key, bucket+1) — any pair within
@@ -114,6 +118,7 @@ object AsOf {
         (col("__sb") > col("__sa") && col("__sb") - col("__sa") <= bandSeconds) ||
         (col("__sb") === col("__sa") && col("b") > col("a")))
       .select(keyCols.map(col) ++
-        Seq(col("a"), col("b"), col("ts_a"), col("ts_b")): _*)
+        Seq(col("a"), col("b"), col("ts_a"), col("ts_b"),
+          (col("__sb") - col("__sa")).as("gap_s")): _*)
   }
 }

@@ -110,8 +110,9 @@ object Selection {
     * the grid contract bounds (4-dp scores → ≤ ~10⁴ rows in one sort
     * task at any corpus size — for a CONTINUOUS score, bucket it to a
     * grid first or use [[keepAboveQuantile]]'s refinement for a single
-    * cut); the decile pick is a 10-row broadcast join against that
-    * frame. Null/NaN scores are excluded (no engine-portable rank). */
+    * cut); the decile pick is a row-local explode of each histogram
+    * row's matching deciles (no join, no broadcast build job).
+    * Null/NaN scores are excluded (no engine-portable rank). */
   def scoreDeciles(df: DataFrame, scoreCol: String): DataFrame = {
     val s = col(scoreCol).cast("double")
     val hist = df.filter(col(scoreCol).isNotNull && !isnan(s))
@@ -121,10 +122,18 @@ object Selection {
     val wAll = Window.partitionBy()
     val h = hist.withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
-    val deciles = df.sparkSession.range(1, 11).toDF("decile")
-    val k = ceil((col("decile") * col("n")).cast("double") / lit(10.0))
+    // each histogram row resolves its deciles ROW-LOCALLY: decile d's
+    // cut rank k = ceil(d*n/10) lands on this row iff cum-c < k <= cum,
+    // so explode the (<=10) matching deciles per row instead of joining
+    // a broadcast 10-row frame - identical (row, decile) pairs, one job
+    // instead of two (the broadcast build was its own Spark job), no
+    // BroadcastNestedLoopJoin. Arithmetic unchanged: (d*n) cast to
+    // double, /10.0, ceil, cast long.
+    val k = (d: Column) => ceil((d * col("n")).cast("double") / lit(10.0))
       .cast("long")
-    h.join(broadcast(deciles), col("cum") - col("c") < k && col("cum") >= k)
+    h.select(col("score"), col("c"), col("cum"),
+        explode(filter(sequence(lit(1L), lit(10L)),
+          d => col("cum") - col("c") < k(d) && col("cum") >= k(d))).as("decile"))
       .select(col("decile"), col("score").as("threshold"),
         col("cum").as("n_at_or_below"))
   }

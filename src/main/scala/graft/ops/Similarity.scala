@@ -306,22 +306,27 @@ object Similarity {
   def prototypicality(emb: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16): DataFrame = {
     val idx = Ivf.build(emb, idCol, vecCol, nLists)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = idx.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "__centroid")
-    // LEFT join + post-filter, not inner: an inner join on `cell` makes
-    // the optimizer infer `isnotnull(cell)` and push it into the scan
-    // filter, where the substituted nearest_cell(...) then evaluates
-    // TWICE per row (once in the pushed filter, once in the projection
-    // — the guide §4.4 duplication, JVM-side). Every non-null cell has
-    // a centroid (cells are 0..k−1 by construction), so dropping rows
-    // whose joined centroid is null keeps the result identical while
-    // the assignment runs once per row.
-    idx.cells.join(broadcast(cents), Seq("cell"), "left")
-      .filter(col("__centroid").isNotNull)
+    // row-local centroid LOOKUP instead of a centroid-table join: the
+    // centroids are already plan constants inside nearest_cell (the
+    // NearestCellExpr reference object), so carrying them once more as
+    // an array literal adds nothing new to the plan while removing the
+    // BroadcastExchange + join entirely — and with it the
+    // join-inferred `isnotnull(cell)` that pushed the substituted
+    // nearest_cell(...) argmin into the scan filter and evaluated it
+    // TWICE per row. (The round-12 left-join + isNotNull(__centroid)
+    // attempt was undone by EliminateOuterJoin — a null-intolerant
+    // filter on the right side converts a left join back to inner,
+    // plans byte-identical; with no join there is nothing to infer
+    // from.) The null-vector drop becomes an explicit isnotnull(vec)
+    // pushed to the scan — identical rows: a UnaryExpression cell is
+    // null iff the vector is, and every non-null cell is 0..k−1 by
+    // construction so element_at never misses. cosine() runs against
+    // the same float-array values the joined __centroid column carried.
+    val centLit = typedLit(idx.centroids.map(_.toSeq).toSeq)
+    idx.cells.filter(col(vecCol).isNotNull)
       .select(col(idCol), col("cell"),
-        (round(cosine(col(vecCol), col("__centroid")), 4) + lit(0.0)).as("proto"))
+        (round(cosine(col(vecCol), element_at(centLit, col("cell") + 1)), 4)
+          + lit(0.0)).as("proto"))
   }
 
   /** Prototypicality pruning: drop the `pruneFrac` most-prototypical

@@ -148,38 +148,64 @@ object TextAnalysis {
     require(minDocs >= 2, s"minDocs ($minDocs) below 2 would strip unique lines")
     val n = totalDocs.getOrElse(df.count())
     val threshold = math.max(minDocs.toLong, math.ceil(maxDocFrac * n).toLong)
-    // -1 limit keeps trailing empty lines, matching SQL string_split
+    // -1 limit keeps trailing empty lines, matching SQL string_split.
+    // Blank lines are excluded up front: they never count toward
+    // boilerplate AND never match a boiler line in the join-back
+    // (boiler holds only trim≠"" lines, exact string equality cannot
+    // pair them with a blank) — so BOTH consumers read the same
+    // non-blank line stream.
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-    val boiler = lines.filter(trim(col("line")) =!= "")
-      .select(col("line"), col(idCol)).distinct()
-      .groupBy("line").agg(count(lit(1)).as("df"))
+      // null-id rows carry no document identity (the rebuild's left
+      // join can never match them — they pass through uncleaned, as
+      // before) and no longer count toward the line doc-frequency;
+      // stating isnotnull(id) here keeps every copy of this subtree
+      // canonically identical (see stripDupSpans)
+      .filter(trim(col("line")) =!= "" && col(idCol).isNotNull)
+    // ONE exploded-line pass — the [[graft.ops.Decontam.stripDupSpans]]
+    // shape: the (line, id) aggregate keeps the two-stage de-skew
+    // contract (exchange keyed (line, id), no countDistinct) while ALSO
+    // collecting each doc's positions for that line, so the
+    // doc-frequency roll-up and the boilerplate join-back both consume
+    // THIS aggregate and ReuseExchange serves the corpus explode from
+    // one shuffle (the former shape ran the line explode twice). The
+    // count probes `poss` (non-empty by construction — always true)
+    // only to stop the optimizer pruning it out of this consumer's
+    // copy. The boilerplate side stays unhinted: its size is
+    // corpus-dependent, the planner (or AQE) picks the join strategy
+    // from its aggregated stats.
+    val s1 = lines.groupBy(col("line"), col(idCol))
+      .agg(collect_set(col("pos")).as("poss"))
+    val boiler = s1.groupBy(col("line"))
+      .agg(count(when(size(col("poss")) >= 1, 1)).as("df"))
       .filter(col("df") >= threshold)
-      .select(col("line").as("b"), lit(1).as("__bf"))
-    // per-doc boilerplate POSITIONS, then a row-local rebuild — the
-    // [[graft.ops.Decontam.stripDupSpans]] shape: the join-back marks
-    // each doc's flagged line positions as one bounded int set (blank
-    // lines never match: boiler holds only trim≠"" lines and exact
-    // string equality cannot pair them with a blank), and the text is
-    // reassembled by higher-order array functions inside the scan
-    // projection. The former shape shuffled the corpus LINE-exploded
-    // through a collect_list re-aggregation — every line of every doc
-    // as its own row through an exchange; this one moves each text
-    // once, as one row (guide §2.3/§2.4). The boilerplate side stays
-    // unhinted: its size is corpus-dependent, the planner (or AQE)
-    // picks the join strategy from its aggregated stats.
-    val bpos = lines.join(boiler, lines("line") === col("b"))
-      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__bpos"))
-    val kept = (l: Column, i: Column) =>
-      !exists(col("__bpos"), p => p === i)
+      .select(col("line").as("b"))
+    val bpos = s1.join(boiler, s1("line") === col("b"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(col("poss")))).as("__bpos"))
+    // row-local rebuild in O(lines + |bpos|): sort the flagged-position
+    // set once, fence it with -1 and |lines|, and slice the line array
+    // over the UNCOVERED gaps between consecutive boundaries — each
+    // line is copied once (the former per-line exists() membership scan
+    // was O(lines × |bpos|)). Blank lines are never flagged, so they
+    // survive inside the gaps.
+    val keptLines = flatten(zip_with(
+      slice(col("__b"), lit(1), size(col("__b")) - 1),
+      slice(col("__b"), lit(2), size(col("__b")) - 1),
+      (lo, hi) => slice(col("__lines"), lo + lit(2), hi - lo - lit(1))))
     df.select(col(idCol), col(textCol))
       .join(bpos, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__bpos"), array().cast("array<int>")).as("__bpos"),
-        split(col(textCol), "\n", -1).as("__lines"))
+        split(col(textCol), "\n", -1).as("__lines"),
+        array_sort(coalesce(col("__bpos"),
+          array().cast("array<int>"))).as("__bp"))
+      .select(col(idCol), col("__lines"),
+        concat(array(lit(-1)), col("__bp"),
+          array(size(col("__lines")))).as("__b"))
+      .select(col(idCol), col("__lines"), keptLines.as("__kept"))
       .select(col(idCol),
-        array_join(filter(col("__lines"), kept), "\n").as(textCol),
-        size(filter(col("__lines"), kept)).cast("long").as("lines_kept"),
+        array_join(col("__kept"), "\n").as(textCol),
+        size(col("__kept")).cast("long").as("lines_kept"),
         size(col("__lines")).cast("long").as("lines_total"))
       // a doc whose every line was boilerplate leaves the corpus (the
       // anti-join form dropped it implicitly; the reference SQL agrees)
@@ -319,14 +345,21 @@ object TextAnalysis {
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val n = ctf.agg(sum(col("ctf")).as("n_corpus"))
     // per-TERM surprisal assembled on the bounded vocabulary side, then
-    // ONE broadcast join back to the (doc, term) rows — same fold as
+    // ONE join back to the (doc, term) rows — same fold as
     // [[bigramNll]]: the former tf⋈ctf⋈n shape paid two doc-level
-    // broadcast joins for integers that are a pure function of the term
+    // joins for integers that are a pure function of the term. The
+    // surprisal side is VOCABULARY-sized — corpus-dependent, so no
+    // broadcast hint (the planner/AQE picks from the aggregated stats;
+    // a forced broadcast of an unbounded table is a 100 TB OOM). The
+    // scalar n (one row) stays hinted.
     val surp = ctf.crossJoin(broadcast(n))
       .select(col("term"),
         round(-log(col("ctf") / col("n_corpus")) * 10000).cast("long")
           .as("__s"))
-    tf.join(broadcast(surp), "term")
+    // same deliberate non-broadcast strategy as [[bigramNll]]: unhinted,
+    // the planner broadcast the CORPUS-side tf table from its product
+    // estimates — shuffle-hash on the vocabulary side instead
+    tf.join(surp.hint("shuffle_hash"), "term")
       .groupBy(col(idCol))
       .agg(
         sum(col("tf") * col("__s")).as("nll_e4"),
@@ -352,29 +385,75 @@ object TextAnalysis {
     * nothing corpus² at any scale. */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-(doc, bigram) counts: every occurrence, not distinct
+    // the two isnotnull conjuncts are ALWAYS TRUE (WordGrams yields
+    // non-null gram strings; substring_index of a non-null string is
+    // non-null) — they are stated explicitly so every consumer of this
+    // aggregate carries the IDENTICAL constraint set: the final surp
+    // join infers isnotnull(bg) and the cu join infers
+    // isnotnull(substring_index(bg, " ", 1)), and when those pushed
+    // filters land in only SOME copies of the subtree, canonicalization
+    // diverges and ReuseExchange re-plans the corpus explode once per
+    // consumer (three full explodes in the round-12 plan).
     val bg = df.select(col(idCol),
         explode(wordGrams(col(textCol), 2, distinct = false)).as("bg"))
+      .filter(col("bg").isNotNull &&
+        substring_index(col("bg"), " ", 1).isNotNull)
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     val cbg = bg.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
     val cu = cbg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cbg")).as("cu"))
-    val v = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
+    // V (the corpus distinct-token count) derives from the SAME bigram
+    // aggregate instead of a second corpus-wide token explode: every
+    // token of a ≥2-token document occurs in at least one corpus bigram
+    // (as its first or last word), so the distinct tokens are exactly
+    // the distinct words of the distinct-bigram table ∪ the tokens of
+    // exactly-1-token documents (incl. the "" a whitespace-only text
+    // tokenizes to — same membership the old token explode counted;
+    // null text contributes to neither side, as before). Tokens never
+    // contain whitespace (wsTokens splits on \s+), so splitting the
+    // space-joined bigram is exact. The remaining corpus pass is a
+    // narrow row-local size() filter that emits almost nothing; the
+    // always-true `cbg >= 1` conjunct keeps this subtree reading the
+    // same (bg, cbg) aggregate as the surprisal fold, so ReuseExchange
+    // serves both from one shuffle instead of re-planning the corpus
+    // bigram explode (guide §2.4 — the corpus is exploded ONCE).
+    val bgWords = cbg.filter(col("cbg") >= 1L)
+      .select(explode(array(substring_index(col("bg"), " ", 1),
+        substring_index(col("bg"), " ", -1))).as("w"))
+    val toks1 = df.select(wsTokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) === 1)
+      .select(explode(col("__t")).as("w"))
+    val v = bgWords.union(toks1).agg(count_distinct(col("w")).as("v"))
     // per-BIGRAM surprisal assembled on the bounded (distinct-bigram)
-    // side first, then ONE broadcast join back to the (doc, bigram)
-    // rows. Joining cbg/cu/v at the (doc, bigram) level instead planned
-    // the corpus bigram explode + aggregate chain TWICE (the cu operand
+    // side first, then ONE join back to the (doc, bigram) rows. Joining
+    // cbg/cu/v at the (doc, bigram) level instead planned the corpus
+    // bigram explode + aggregate chain TWICE (the cu operand
     // canonicalized differently from the cbg one, defeating
-    // ReuseExchange) and paid two doc-level broadcast joins; this shape
-    // derives cu FROM the cbg plan (one bigram aggregate, reused) and
-    // ships one bounded surprisal table (guide §2.4 / §2.3).
+    // ReuseExchange) and paid two doc-level joins; this shape derives
+    // cu AND v FROM the cbg plan (one bigram aggregate, reused) and
+    // joins one bounded surprisal table (guide §2.4 / §2.3). The
+    // surprisal side carries one row per DISTINCT CORPUS BIGRAM — a
+    // corpus-dependent cardinality, so it is deliberately NOT
+    // broadcast-hinted (the stripBoilerplateLines rule: the planner/AQE
+    // picks the strategy from the aggregated stats; a forced broadcast
+    // of an unbounded table is an OOM at 100 TB, not a slowdown). The
+    // scalar v (one row) stays hinted.
     val surp = cbg
       .join(cu, substring_index(col("bg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(v))
       .select(col("bg"),
         round(-log((col("cbg") + lit(1.0)) / (col("cu") + col("v")))
           * 10000).cast("long").as("__s"))
-    bg.join(broadcast(surp), "bg")
+    // deliberate non-broadcast strategy (guide §3.1): left unhinted the
+    // planner's size estimates (join stats are products without CBO)
+    // made the CORPUS-side (doc, bigram) table look like the smaller
+    // side and BROADCAST IT — a hard OOM at corpus scale and slower
+    // locally than probing it. SHUFFLE_HASH on the surprisal side keeps
+    // both sides shuffled by bg (no driver-side relation ever holds the
+    // corpus) and builds the per-partition hash on the bounded
+    // aggregated side; it degrades to sort-merge only if the hint is
+    // inapplicable.
+    bg.join(surp.hint("shuffle_hash"), "bg")
       .groupBy(col(idCol))
       .agg(
         sum(col("tf") * col("__s")).as("nll_e4"),

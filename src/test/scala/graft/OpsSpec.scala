@@ -1480,8 +1480,9 @@ class OpsSpec extends SparkSpec {
     val rows = Seq(
       (1L, "a b a b c"),
       (2L, "a b"),
-      (3L, "x"), // no bigrams -> no row
-      (4L, "c c c"))
+      (3L, "x"), // no bigrams -> no row; its token still counts in V
+      (4L, "c c c"),
+      (5L, "")) // empty text tokenizes to [""]: no row, but "" is in V
     val got = graft.ops.TextAnalysis.bigramNll(rows.toDF("doc_id", "text"),
         "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -505,13 +505,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!bp.contains("Join"), s"bpePairCounts joins:\n$bp")
     assert("Exchange hashpartitioning".r.findAllIn(bp).size === 2,
       s"bpePairCounts should pay exactly the word + pair aggregates:\n$bp")
-    // prototypicality: centroid lookup broadcasts; the corpus never
-    // hash-shuffles to score, and pruning adds exactly the cell window
+    // prototypicality: the centroid lookup is a row-local plan-constant
+    // array (no join AT ALL — the r12 broadcast-join shape let the
+    // optimizer infer isnotnull(cell) and evaluate the nearest_cell
+    // argmin twice per row, once in the pushed scan filter and once in
+    // the projection); the corpus never shuffles to score, and pruning
+    // adds exactly the cell window
     val vecs = (1L to 30L).map(i => (i, Array(0.1f * i, 1f))).toDF("vec_id", "embedding")
     val pr = plan(graft.ops.Similarity.prototypicality(vecs, "vec_id", "embedding", nLists = 4))
-    assert(pr.contains("BroadcastExchange") && !pr.contains("Exchange hashpartitioning"),
-      s"prototypicality should broadcast centroids, not shuffle the corpus:\n$pr")
-    assert(!pr.contains("SortMergeJoin"), s"centroid join degenerated:\n$pr")
+    assert(!pr.contains("Join") && !pr.contains("BroadcastExchange") &&
+      !pr.contains("Exchange hashpartitioning"),
+      s"prototypicality should score row-locally, no join/shuffle:\n$pr")
+    assert(!pr.contains("Filter isnotnull(nearest_cell") &&
+      !pr.contains("isnotnull(nearest_cell"),
+      s"the argmin must not be duplicated into a filter:\n$pr")
     val pk = plan(graft.ops.Similarity.prunePrototypes(
       vecs, "vec_id", "embedding", pruneFrac = 0.25, nLists = 4))
     assert("Exchange hashpartitioning".r.findAllIn(pk).size === 1,
