@@ -110,7 +110,16 @@ object Decontam {
     * position explode + distinct + a collect_list re-aggregation);
     * this one moves each text exactly once, as one row (guide §2.3:
     * shuffle fewer bytes; §2.4: remove shuffles outright — 5 exchanges
-    * → 3, and nothing token-granular ever crosses the wire). */
+    * → 3, and nothing token-granular ever crosses the wire).
+    *
+    * MEASURED trade (round 13): folding the df side and the join-back
+    * into ONE (gram, id) collect_set aggregate (single explode,
+    * ReuseExchange) was tried and REVERTED — collecting position sets
+    * for every gram of every doc turns the whole stream into an
+    * ObjectHashAggregate (no codegen, per-group set state for mostly
+    * unique grams) and measured 2.5× SLOWER at sf1 (5.05 s vs 2.03 s
+    * same-session) than the two row-local explodes + codegen distinct
+    * kept here; positions are collected only for DUPLICATED grams. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2L, maxTokens: Int = 4000000): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
@@ -123,11 +132,10 @@ object Decontam {
     // buffer (ints, bounded by the doc's gram count); the rebuild
     // itself holds the doc's token array plus a transient covered-
     // position expansion (≤ n·|starts| ints before dedup) — all
-    // pathological only for a single hundreds-of-MB document. Refuse
-    // loudly (the repo's limit(cap+1) policy, expressed row-locally so
-    // the guard costs no extra job and fires BEFORE any buffer builds)
-    // instead of OOMing an executor; callers with megadocs chunk first
-    // or raise the cap.
+    // pathological only for a single hundreds-of-MB document. Refuse loudly (the repo's
+    // limit(cap+1) policy, expressed row-locally so the guard costs no
+    // extra job and fires BEFORE any buffer builds) instead of OOMing
+    // an executor; callers with megadocs chunk first or raise the cap.
     val rawToks = TextAnalysis.wsTokens(col(textCol))
     val guardedToks = when(size(rawToks) > maxTokens,
         raise_error(format_string(
@@ -136,75 +144,59 @@ object Decontam {
             "the document or raise maxTokens",
           lit(maxTokens.toLong), size(rawToks).cast("long"))))
       .otherwise(rawToks)
-    // null-id rows carry no document identity: the rebuild's left join
-    // can never match them (a null join key matches nothing — they pass
-    // through unstripped, unchanged), and they are excluded from the
-    // doc-frequency roll-up (previously ALL null-id rows collectively
-    // counted as one phantom "document"). Stated explicitly here so the
-    // join-inferred isnotnull(id) lands in EVERY copy of this subtree —
-    // with it present in only the join-back copy, canonicalization
-    // diverged and ReuseExchange re-ran the corpus explode per consumer.
     val grams = df.select(col(idCol).as("id"),
       posexplode(TextAnalysis.wordGrams(col(textCol), n, distinct = false))
         .as(Seq("gpos", "gram")))
-      .filter(col("id").isNotNull)
-    // ONE exploded-gram pass: the (gram, id) aggregate keeps the
-    // two-stage de-skew contract (the exchange keyed (gram, id) spreads
-    // a corpus-universal gram across reducers by id; never a
-    // countDistinct, never a gram-partitioned window) while ALSO
-    // collecting each doc's start positions for that gram — so the
-    // doc-frequency roll-up and the duplicated-gram join-back both
-    // consume THIS aggregate and ReuseExchange serves the corpus
-    // explode from one shuffle. The former shape ran the row-local
-    // WordGrams explode TWICE (df side + join-back side) and shuffled
-    // the join-back side at occurrence granularity (the gram string
-    // repeated once per position); this one crosses each (gram, id)
-    // pair once, with its positions as one int set (guide §2.3/§2.4).
-    val s1 = grams.groupBy(col("gram"), col("id"))
-      .agg(collect_set(col("gpos")).as("gposs"))
-    // row count per gram over s1 = DISTINCT-doc frequency (s1 is one
-    // row per (gram, id) — exact under duplicate ids too). The count
-    // probes `gposs` (non-empty by construction: every grouped row has
-    // ≥ 1 position, so the predicate is always true) ONLY to stop the
-    // optimizer pruning it out of this consumer's copy of s1 — both
-    // consumers must read the identical aggregate for the exchange to
-    // be shared.
-    val dup = s1.groupBy(col("gram"))
-      .agg(count(when(size(col("gposs")) >= 1, 1)).as("df"))
+    val dup = grams.select(col("gram"), col("id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("gram"))
     // duplicated-span START positions per document — a position pos is
     // covered iff some duplicated gram starts in [pos-n+1, pos], so the
-    // start set alone carries the whole coverage union row-locally.
-    // Position sets of different grams never overlap (one position
-    // starts one gram), so the flatten is duplicate-free; the distinct
-    // is cheap insurance.
-    val starts = s1.join(dup, "gram")
+    // start set alone carries the whole coverage union row-locally
+    val starts = grams.join(dup, "gram")
       .groupBy(col("id"))
-      .agg(array_distinct(flatten(collect_list(col("gposs")))).as("__starts"))
-    // row-local rebuild in O(tokens + n·|starts|): expand the start set
-    // once into a sorted distinct covered-position array, fence it with
-    // -1 and |toks|, and slice the token array over the UNCOVERED gaps
-    // between consecutive boundaries — each token is copied once. The
-    // former per-token exists() scan of the start set was
-    // O(tokens × |starts|), a quadratic-CPU hazard for a heavily
-    // duplicated document near the maxTokens cap.
-    val cov = array_sort(array_distinct(flatten(transform(
-      coalesce(col("__starts"), array().cast("array<int>")),
-      s => sequence(s, s + lit(n - 1))))))
-    val gapToks = filter(
-      flatten(zip_with(
-        slice(col("__b"), lit(1), size(col("__b")) - 1),
-        slice(col("__b"), lit(2), size(col("__b")) - 1),
-        (lo, hi) => slice(col("__toks"), lo + lit(2), hi - lo - lit(1)))),
-      t => t =!= "")
+      .agg(collect_set(col("gpos")).as("__starts"))
+    // row-local rebuild, two regimes switched on the ACTUAL cost model
+    // (measured, not assumed — a gaps-only rebuild ran ~20% slower on
+    // the sf1 corpus because its per-gap slice allocations beat the
+    // constant-light exists() lambda only when the product below is
+    // large):
+    //  - tokens × |starts| ≤ 4·10⁶ (every realistic document): the
+    //    direct per-token exists() test — that many interpreted probes
+    //    cost single-digit milliseconds;
+    //  - beyond it (the quadratic-CPU hazard: a heavily duplicated
+    //    document near the maxTokens cap would pay ~10¹³ probes):
+    //    expand the start set once into a sorted distinct
+    //    covered-position array, fence it with -1 and |toks|, and
+    //    slice the token array over the UNCOVERED gaps between
+    //    consecutive boundaries — O(tokens + n·|starts|), each token
+    //    copied once.
+    // the gap machinery lives entirely INSIDE the otherwise-branch so
+    // rows on the exists path never evaluate it (a column-stage version
+    // computed the covered-position expansion for every row)
+    val gapToks = {
+      val cov = array_sort(array_distinct(flatten(transform(
+        col("__starts"), st => sequence(st, st + lit(n - 1))))))
+      val b = concat(array(lit(-1)), cov, array(size(col("__toks"))))
+      filter(
+        flatten(zip_with(
+          slice(b, lit(1), size(b) - 1),
+          slice(b, lit(2), size(b) - 1),
+          (lo, hi) => slice(col("__toks"), lo + lit(2), hi - lo - lit(1)))),
+        t => t =!= "")
+    }
+    val uncovered = (t: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      t =!= "" && !exists(col("__starts"), s => i >= s && i <= s + lit(n - 1))
+    val keptToks = when(
+      size(col("__starts")).cast("long") * size(col("__toks")) <= 4000000L,
+      filter(col("__toks"), uncovered)).otherwise(gapToks)
     df.select(col(idCol).as("id"), col(textCol))
       .join(starts, Seq("id"), "left")
-      .select(col("id"), guardedToks.as("__toks"), cov.as("__cov"))
-      .select(col("id"), col("__toks"),
-        concat(array(lit(-1)), col("__cov"),
-          array(size(col("__toks")))).as("__b"))
-      .select(col("id"), col("__toks"), gapToks.as("__kept"))
+      .select(col("id"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"),
+        guardedToks.as("__toks"))
+      .select(col("id"), col("__toks"), keptToks.as("__kept"))
       .select(col("id"),
         array_join(col("__kept"), " ").as(textCol),
         size(col("__kept")).cast("long").as("tokens_kept"),

@@ -189,19 +189,28 @@ object TextAnalysis {
     // line is copied once (the former per-line exists() membership scan
     // was O(lines × |bpos|)). Blank lines are never flagged, so they
     // survive inside the gaps.
-    val keptLines = flatten(zip_with(
-      slice(col("__b"), lit(1), size(col("__b")) - 1),
-      slice(col("__b"), lit(2), size(col("__b")) - 1),
-      (lo, hi) => slice(col("__lines"), lo + lit(2), hi - lo - lit(1))))
+    // row-local rebuild, two regimes on the actual cost model (the
+    // stripDupSpans rationale): the per-line exists() membership test
+    // while lines × |bpos| stays small (every realistic document), the
+    // sorted-boundary gap slices only where the product explodes
+    val gapLines = {
+      val b = concat(array(lit(-1)), col("__bp"),
+        array(size(col("__lines"))))
+      flatten(zip_with(
+        slice(b, lit(1), size(b) - 1),
+        slice(b, lit(2), size(b) - 1),
+        (lo, hi) => slice(col("__lines"), lo + lit(2), hi - lo - lit(1))))
+    }
+    val keptLines = when(
+      size(col("__bp")).cast("long") * size(col("__lines")) <= 4000000L,
+      filter(col("__lines"), (l, i) => !exists(col("__bp"), p => p === i)))
+      .otherwise(gapLines)
     df.select(col(idCol), col(textCol))
       .join(bpos, Seq(idCol), "left")
       .select(col(idCol),
         split(col(textCol), "\n", -1).as("__lines"),
         array_sort(coalesce(col("__bpos"),
           array().cast("array<int>"))).as("__bp"))
-      .select(col(idCol), col("__lines"),
-        concat(array(lit(-1)), col("__bp"),
-          array(size(col("__lines")))).as("__b"))
       .select(col(idCol), col("__lines"), keptLines.as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), "\n").as(textCol),

@@ -88,6 +88,25 @@ class OpsSpec extends SparkSpec {
     assert(loose.agg(sum("lines_dropped")).head.getLong(0) === 0L)
   }
 
+  test("boilerplate gap-path rebuild (lines x flagged above the exists() " +
+      "cost bound) matches the small-doc rebuild semantics") {
+    // three docs share 2100 boilerplate lines (df 3 >= threshold), so
+    // |bpos| = 2100 and lines x flagged > 4e6 routes the rebuild through
+    // the sorted-boundary gap slices; unique head/tail lines survive
+    val shared = (0 until 2100).map(i => s"boiler line $i").mkString("\n")
+    val docs = Seq(
+      (1L, s"keep one\n$shared\nkeep two"),
+      (2L, s"$shared\nkeep three"),
+      (3L, shared)).toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(docs, "id", "text",
+        minDocs = 3, maxDocFrac = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("keep one\nkeep two", 2L, 2100L)))
+    assert(out(2L) === (("keep three", 1L, 2100L)))
+    assert(!out.contains(3L)) // all boilerplate -> dropped
+  }
+
   test("native text-stat counters match their declarative twins on every edge") {
     // curated edges: empty, all-whitespace (split keeps trailing empties
     // at limit -1), tabs/newlines at edges (trim strips 0x20 only),
@@ -1088,6 +1107,25 @@ class OpsSpec extends SparkSpec {
       (3L, "zc", 1L, 10L),
       (5L, "totally different text with no shared span at all anywhere",
         10L, 0L)))
+  }
+
+  test("dup-span strip gap-path rebuild (tokens x starts above the " +
+      "exists() cost bound) matches the small-doc rebuild semantics") {
+    // two docs share a 2500-token prefix: every prefix gram is
+    // duplicated, so |starts| = 2493 and tokens x starts > 4e6 routes
+    // the rebuild through the sorted-boundary gap slices instead of the
+    // per-token exists() probe; only the unique tails survive
+    val prefix = (0 until 2500).map(i => s"w$i").mkString(" ")
+    val c = Seq(
+      (1L, s"$prefix ua ub uc"),
+      (2L, s"$prefix va vb")).toDF("id", "text")
+    val got = graft.ops.Decontam.stripDupSpans(c, "id", "text", n = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "ua ub uc", 3L, 2500L),
+      (2L, "va vb", 2L, 2500L)))
   }
 
   test("BPE trainer: hand-derived merges in order, early exhaustion, " +
